@@ -1,0 +1,227 @@
+"""The immutable grid state and functional cell-edit operations.
+
+The reference's mutable ``Harmonic`` struct
+(/root/reference/libepic/include/epic/harmonic/harmonic.h:44-64) holds
+host+device pointer pairs plus solver bookkeeping. In the TPU build this
+collapses into one immutable pytree, ``GridState``; every mutator
+(``harmonic_utilities_set_cells_2d_{cpu,gpu}``, goal edits, occupancy ingest)
+becomes a pure function ``state -> state``. There is no host/device mirroring:
+XLA owns placement, and donation makes the functional update loop zero-copy.
+
+Coordinate convention matches the reference: ``u`` is indexed ``[y, x]`` (row
+major, ``m[0] = height``, ``m[1] = width``), and cell-edit vectors ``v`` are
+``(x, y)`` pairs (harmonic_utilities_cpu.cpp:47-49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridState:
+    """Log-space harmonic grid state (2D or 3D).
+
+    Attributes:
+      u: float32[*dims] log-potentials. GOAL cells hold 0.0; OBSTACLE and
+        unrelaxed FREE cells hold -1e6 (constants.h:41-43).
+      locked: bool[*dims]. Locked cells are never updated by the solver
+        (harmonic_cpu.cpp:53).
+      iteration: int32 scalar; the reference's ``currentIteration``. Parity of
+        the red-black sweep is derived from it (harmonic_cpu.cpp:49).
+      delta: float32 scalar; max |u' - u| over the cells updated in the most
+        recent *checked* sweep (harmonic_cpu.cpp:74).
+      converged: bool scalar; result of the most recent sweep's convergence
+        check. NOT sticky: plain (unchecked) sweeps reset it to False, exactly
+        as the reference's ``result`` variable is overwritten every iteration
+        (harmonic_cpu.cpp:158-173) — the solve loop can only exit right after
+        a staggered check.
+      epsilon: float32 scalar convergence threshold in log space.
+    """
+
+    u: jax.Array
+    locked: jax.Array
+    iteration: jax.Array
+    delta: jax.Array
+    converged: jax.Array
+    epsilon: jax.Array
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.u.shape
+
+    @property
+    def height(self) -> int:
+        return self.u.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.u.shape[1]
+
+    @property
+    def ndim_grid(self) -> int:
+        return self.u.ndim
+
+
+def make_state(
+    u: np.ndarray | jax.Array,
+    locked: np.ndarray | jax.Array,
+    epsilon: float = C.DEFAULT_EPSILON,
+) -> GridState:
+    """Build a fresh GridState from u/locked arrays (resets solver bookkeeping).
+
+    ``delta`` starts at ``epsilon + 1`` and ``converged`` at False, matching
+    harmonic_complete_cpu's preamble (harmonic_cpu.cpp:153-156).
+    """
+    if epsilon <= 0.0:
+        # harmonic_complete_cpu rejects epsilon <= 0 as INVALID_DATA
+        # (harmonic_cpu.cpp:141-145); the solve loop could never terminate.
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    u = jnp.asarray(u, dtype=jnp.float32)
+    locked = jnp.asarray(locked).astype(jnp.bool_)
+    if u.shape != locked.shape:
+        raise ValueError(f"u shape {u.shape} != locked shape {locked.shape}")
+    if u.ndim not in (2, 3):
+        raise ValueError(f"only 2D/3D grids supported, got {u.ndim}D")
+    return GridState(
+        u=u,
+        locked=locked,
+        iteration=jnp.int32(0),
+        delta=jnp.float32(epsilon + 1.0),
+        converged=jnp.asarray(False),
+        epsilon=jnp.float32(epsilon),
+    )
+
+
+def empty_state(height: int, width: int, epsilon: float = C.DEFAULT_EPSILON) -> GridState:
+    """All-free grid with u = 0, as the ROS node's initAlg creates it
+    (epic_navigation_node_harmonic.cpp:216-226), with the boundary ring forced
+    to locked obstacles (setBoundariesAsObstacles, :282-307)."""
+    u = np.zeros((height, width), dtype=np.float32)
+    locked = np.zeros((height, width), dtype=bool)
+    u[0, :] = C.LOG_SPACE_OBSTACLE
+    u[-1, :] = C.LOG_SPACE_OBSTACLE
+    u[:, 0] = C.LOG_SPACE_OBSTACLE
+    u[:, -1] = C.LOG_SPACE_OBSTACLE
+    locked[0, :] = True
+    locked[-1, :] = True
+    locked[:, 0] = True
+    locked[:, -1] = True
+    return make_state(u, locked, epsilon)
+
+
+def from_occupancy_image(img: np.ndarray, epsilon: float = C.DEFAULT_EPSILON) -> GridState:
+    """Ingest a grayscale occupancy image, HarmonicMap.load semantics
+    (libepic/python/epic/harmonic_map.py:54-100):
+
+      pixel == 255 -> GOAL (locked, u = 0.0)
+      pixel == 0   -> OBSTACLE (locked, u = -1e6)
+      otherwise    -> FREE (unlocked, u = -1e6)
+    """
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("expected a 2D grayscale image")
+    goal = img == 255
+    obstacle = img == 0
+    u = np.where(goal, C.LOG_SPACE_GOAL, C.LOG_SPACE_FREE).astype(np.float32)
+    locked = goal | obstacle
+    return make_state(u, locked, epsilon)
+
+
+# ---------------------------------------------------------------------------
+# Functional cell edits (the SetCells family).
+# ---------------------------------------------------------------------------
+
+_TYPE_TO_U = {
+    C.CELL_TYPE_GOAL: float(C.LOG_SPACE_GOAL),
+    C.CELL_TYPE_OBSTACLE: float(C.LOG_SPACE_OBSTACLE),
+    C.CELL_TYPE_FREE: float(C.LOG_SPACE_FREE),
+}
+_TYPE_TO_LOCKED = {
+    C.CELL_TYPE_GOAL: True,
+    C.CELL_TYPE_OBSTACLE: True,
+    C.CELL_TYPE_FREE: False,
+}
+
+
+def set_cells(
+    state: GridState,
+    xy: np.ndarray | Sequence[tuple[int, int]],
+    types: np.ndarray | Sequence[int],
+) -> GridState:
+    """Point edits: (x, y, type) -> (u, locked) writes.
+
+    Functional equivalent of ``harmonic_utilities_set_cells_2d_cpu``
+    (harmonic_utilities_cpu.cpp:38-76) and its GPU twin — one code path, no
+    host/device mirroring. Out-of-bounds or unknown-type entries are skipped
+    (the reference warns and continues).
+
+    Resets ``converged`` — an edit perturbs the field, so the previous
+    convergence verdict no longer holds (the reference node keeps relaxing
+    regardless; see SURVEY §3.2).
+    """
+    xy = np.atleast_2d(np.asarray(xy, dtype=np.int64))
+    types = np.asarray(types, dtype=np.int64).reshape(-1)
+    if xy.shape[0] != types.shape[0]:
+        raise ValueError("xy and types length mismatch")
+    h, w = state.u.shape[:2]
+    valid = (
+        (xy[:, 0] >= 0)
+        & (xy[:, 0] < w)
+        & (xy[:, 1] >= 0)
+        & (xy[:, 1] < h)
+        & np.isin(types, list(_TYPE_TO_U))
+    )
+    xy = xy[valid]
+    types = types[valid]
+    if xy.shape[0] == 0:
+        return state
+    u_vals = np.array([_TYPE_TO_U[t] for t in types], dtype=np.float32)
+    l_vals = np.array([_TYPE_TO_LOCKED[t] for t in types], dtype=bool)
+    ys = jnp.asarray(xy[:, 1])
+    xs = jnp.asarray(xy[:, 0])
+    u = state.u.at[ys, xs].set(jnp.asarray(u_vals))
+    locked = state.locked.at[ys, xs].set(jnp.asarray(l_vals))
+    return dataclasses.replace(state, u=u, locked=locked, converged=jnp.asarray(False))
+
+
+def reset_free_cells(state: GridState) -> GridState:
+    """Rewrite every unlocked interior cell to the FREE value -1e6, clearing
+    stale potentials (srvResetFreeCells,
+    epic_navigation_node_harmonic.cpp:582-611). The explicit cold restart."""
+    h, w = state.u.shape[:2]
+    interior = np.zeros((h, w), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    mask = jnp.asarray(interior) & ~state.locked
+    u = jnp.where(mask, jnp.float32(C.LOG_SPACE_FREE), state.u)
+    return dataclasses.replace(
+        state,
+        u=u,
+        converged=jnp.asarray(False),
+        iteration=jnp.int32(0),
+        delta=state.epsilon + 1.0,
+    )
+
+
+def is_cell_obstacle(state: GridState, x: int, y: int) -> bool:
+    """epic_navigation_node_harmonic.cpp:332-341: out-of-map counts as obstacle."""
+    h, w = state.u.shape[:2]
+    if not (0 <= x < w and 0 <= y < h):
+        return True
+    return bool(state.locked[y, x]) and float(state.u[y, x]) == float(C.LOG_SPACE_OBSTACLE)
+
+
+def is_cell_goal(state: GridState, x: int, y: int) -> bool:
+    """epic_navigation_node_harmonic.cpp:344-353."""
+    h, w = state.u.shape[:2]
+    if not (0 <= x < w and 0 <= y < h):
+        return False
+    return bool(state.locked[y, x]) and float(state.u[y, x]) == float(C.LOG_SPACE_GOAL)
