@@ -1,0 +1,268 @@
+"""The anytime planner: warm-started incremental re-solves + service verbs.
+
+Functional re-design of the reference ROS node's core
+(/root/reference/src/epic_navigation_node_harmonic.cpp). The reference keeps
+a mutable ``Harmonic`` struct, mirrors every edit to both CPU and GPU copies
+(setCells, :357-380), and relaxes forever in the background. Here the state
+is one immutable ``GridState`` on the accelerator; edits are functional
+scatter updates; ``update()`` is a donated jitted chunk of sweeps, so the
+anytime loop is zero-copy on device and there is nothing to mirror.
+
+Key semantic carried over (SURVEY §3.2): the planner NEVER stops relaxing —
+edits perturb ``u``/``locked`` in place and relaxation resumes from the
+current state. That warm-started incremental re-solve is what makes the
+replanning loop cheap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from . import constants as C
+from . import grid as G
+from .errors import EpicError, InvalidLocationError
+from .path import compute_path
+from .solver import core
+
+
+@dataclasses.dataclass
+class PlannerConfig:
+    """Typed config covering the reference's ROS-parameter surface
+    (src/epic_navigation_node_main.cpp:43-68 + map_server YAML metadata)."""
+
+    epsilon: float = C.DEFAULT_EPSILON_NODE
+    stagger: int = C.DEFAULT_STAGGER
+    steps_per_update: int = 50       # launch/epic_navigation_node_maze.launch:11
+    resolution: float = 1.0
+    origin_x: float = 0.0
+    origin_y: float = 0.0
+    interpolation: str = "reference"  # or "bilinear" (epic_tpu extension)
+
+
+@dataclasses.dataclass(frozen=True)
+class PathPose:
+    """A path pose: world coordinates + yaw from the segment direction
+    (epic_navigation_node_harmonic.cpp:655-668)."""
+
+    x: float
+    y: float
+    yaw: float
+
+
+class Planner:
+    """Incremental anytime harmonic planner with the reference's verbs.
+
+    Verb mapping (srv/*.srv -> methods):
+      SetStatus      -> set_status(paused)
+      ModifyGoals +  -> add_goals(world_points)
+      ModifyGoals -  -> remove_goals(world_points)
+      GetCell        -> get_cell(x, y)
+      SetCells       -> set_cells(xy_cells, types)     [cell coords, no transform]
+      ResetFreeCells -> reset_free_cells()
+      ComputePath    -> compute_path(start_world, ...)
+      (OccupancyGrid subscriber) -> update_occupancy(grid, resolution, origin)
+      (main loop)    -> update(num_steps)
+    """
+
+    def __init__(self, config: PlannerConfig | None = None):
+        self.config = config or PlannerConfig()
+        self.state: G.GridState | None = None
+        self.paused = False
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @property
+    def initialized(self) -> bool:
+        return self.state is not None
+
+    def init(self, width: int, height: int) -> None:
+        """initAlg equivalent (epic_navigation_node_harmonic.cpp:207-244):
+        u = 0 everywhere, unlocked, boundary ring forced obstacle."""
+        self.state = G.empty_state(height, width, epsilon=self.config.epsilon)
+
+    def uninit(self) -> None:
+        self.state = None
+
+    def _require_state(self) -> G.GridState:
+        if self.state is None:
+            raise EpicError(2, "planner not initialized")
+        return self.state
+
+    # -- world <-> map transforms -----------------------------------------
+
+    def map_to_world(self, mx: float, my: float) -> tuple[float, float]:
+        """epic_navigation_node_harmonic.cpp:310-315."""
+        return (
+            self.config.origin_x + mx * self.config.resolution,
+            self.config.origin_y + my * self.config.resolution,
+        )
+
+    def world_to_map(self, wx: float, wy: float) -> tuple[float, float]:
+        """epic_navigation_node_harmonic.cpp:318-330; raises if outside."""
+        cfg = self.config
+        st = self._require_state()
+        h, w = st.u.shape
+        if (
+            wx < cfg.origin_x
+            or wy < cfg.origin_y
+            or wx >= cfg.origin_x + w * cfg.resolution
+            or wy >= cfg.origin_y + h * cfg.resolution
+        ):
+            raise InvalidLocationError(f"world ({wx}, {wy}) outside map")
+        return (wx - cfg.origin_x) / cfg.resolution, (wy - cfg.origin_y) / cfg.resolution
+
+    # -- the anytime loop --------------------------------------------------
+
+    def update(self, num_steps: int | None = None) -> None:
+        """Run a chunk of relaxation sweeps (no-op when paused / uninit),
+        mirroring EpicNavigationNodeHarmonic::update (:165-204)."""
+        if self.state is None or self.paused:
+            return
+        n = num_steps if num_steps is not None else self.config.steps_per_update
+        self.state = core.update_n(self.state, n)
+
+    def solve(self) -> None:
+        """Blocking solve-to-convergence (harmonic_complete semantics), as
+        the nav_core plugin does per makePlan (epic_nav_core_plugin.cpp:256)."""
+        self.state = core.solve(self._require_state(), stagger=self.config.stagger)
+
+    # -- service verbs -----------------------------------------------------
+
+    def set_status(self, paused: bool) -> bool:
+        """srvSetStatus (:429-438)."""
+        self.paused = bool(paused)
+        return True
+
+    def set_cells(self, xy, types) -> bool:
+        """srvSetCells (:545-579): raw cell coordinates, no world transform."""
+        st = self._require_state()
+        self.state = G.set_cells(st, xy, types)
+        return True
+
+    def add_goals(self, world_points) -> bool:
+        """srvAddGoals (:441-482): world coords -> cells; goals are refused
+        inside obstacles; returns False if no goal could be added."""
+        st = self._require_state()
+        xy = []
+        for wx, wy in world_points:
+            try:
+                mx, my = self.world_to_map(wx, wy)
+            except InvalidLocationError:
+                continue
+            if G.is_cell_obstacle(st, int(mx + 0.5), int(my + 0.5)):
+                continue
+            xy.append((int(mx), int(my)))
+        if not xy:
+            return False
+        self.state = G.set_cells(st, xy, [C.CELL_TYPE_GOAL] * len(xy))
+        return True
+
+    def remove_goals(self, world_points) -> bool:
+        """srvRemoveGoals (:485-519): removed goals become FREE cells."""
+        st = self._require_state()
+        xy = []
+        for wx, wy in world_points:
+            try:
+                mx, my = self.world_to_map(wx, wy)
+            except InvalidLocationError:
+                continue
+            xy.append((int(mx), int(my)))
+        if xy:
+            self.state = G.set_cells(st, xy, [C.CELL_TYPE_FREE] * len(xy))
+        return True
+
+    def get_cell(self, x: int, y: int) -> float:
+        """srvGetCell (:522-542): the cell's log hitting probability."""
+        st = self._require_state()
+        h, w = st.u.shape
+        if not (0 <= x < w and 0 <= y < h):
+            raise InvalidLocationError(f"cell ({x}, {y}) outside map")
+        return float(st.u[y, x])
+
+    def reset_free_cells(self) -> bool:
+        """srvResetFreeCells (:582-611)."""
+        self.state = G.reset_free_cells(self._require_state())
+        return True
+
+    def update_occupancy(
+        self,
+        data: np.ndarray,
+        resolution: float | None = None,
+        origin: tuple[float, float] | None = None,
+    ) -> None:
+        """OccupancyGrid ingest (subOccupancyGrid, :383-426).
+
+        ``data``: int [H, W], occupancy 0..100, or OCCUPANCY_NO_CHANGE (-2).
+        Values >= 50 -> OBSTACLE, else FREE; NO_CHANGE and existing-goal
+        cells untouched; size change triggers full reinit (goals are lost,
+        as in the reference); boundary ring stays obstacle.
+        """
+        data = np.asarray(data)
+        h, w = data.shape
+        if self.state is None or self.state.u.shape != (h, w):
+            self.uninit()
+            self.init(w, h)
+        if resolution is not None:
+            self.config.resolution = float(resolution)
+        if origin is not None:
+            self.config.origin_x, self.config.origin_y = map(float, origin)
+
+        st = self._require_state()
+        u_np = np.asarray(st.u)
+        locked_np = np.asarray(st.locked)
+        goal_mask = locked_np & (u_np == float(C.LOG_SPACE_GOAL))
+
+        interior = np.zeros((h, w), dtype=bool)
+        interior[1:-1, 1:-1] = True
+        changeable = interior & (data != C.OCCUPANCY_NO_CHANGE) & ~goal_mask
+        obstacle = changeable & (data >= C.OCCUPANCY_OBSTACLE_THRESHOLD)
+        free = changeable & ~obstacle
+        ys, xs = np.nonzero(obstacle | free)
+        if len(ys) == 0:
+            return
+        types = np.where(obstacle[ys, xs], C.CELL_TYPE_OBSTACLE, C.CELL_TYPE_FREE)
+        self.state = G.set_cells(st, np.stack([xs, ys], axis=1), types)
+
+    def compute_path(
+        self,
+        start_world: tuple[float, float],
+        step_size: float = 0.05,
+        cd_precision: float = 0.5,
+        max_length: int | None = None,
+    ) -> list[PathPose]:
+        """srvComputePath (:614-674): extract a streamline from the current
+        field and convert to world poses with per-segment yaw.
+
+        Parameter defaults follow the rviz node
+        (epic_navigation_node_harmonic_rviz.cpp:114-116); max_length defaults
+        to w*h/step_size as there.
+        """
+        st = self._require_state()
+        h, w = st.u.shape
+        if max_length is None:
+            max_length = int(w * h / step_size)
+        mx, my = self.world_to_map(*start_world)
+        u_np = np.asarray(st.u)
+        locked_np = np.asarray(st.locked)
+        pts = compute_path(
+            u_np,
+            locked_np,
+            mx,
+            my,
+            step_size=step_size,
+            cd_precision=cd_precision,
+            max_length=max_length,
+            mode=self.config.interpolation,
+        )
+        poses: list[PathPose] = []
+        sx, sy = self.map_to_world(float(pts[0, 0]), float(pts[0, 1]))
+        poses.append(PathPose(sx, sy, 0.0))
+        for i in range(1, len(pts)):
+            x, y = float(pts[i, 0]), float(pts[i, 1])
+            yaw = math.atan2(y - float(pts[i - 1, 1]), x - float(pts[i - 1, 0]))
+            wx, wy = self.map_to_world(x, y)
+            poses.append(PathPose(wx, wy, yaw))
+        return poses

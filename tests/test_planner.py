@@ -1,0 +1,185 @@
+"""Planner service semantics: the 7 verbs + occupancy ingest + warm restart
+(SURVEY §2.1, §3.2)."""
+
+import numpy as np
+import pytest
+
+from epic_tpu import constants as C
+from epic_tpu import maps
+from epic_tpu.errors import InvalidLocationError
+from epic_tpu.planner import Planner, PlannerConfig
+from epic_tpu.services import messages as msg
+from epic_tpu.services import EpicNavCorePlugin, EpicNavigationNode, EpicNavigationNodeRviz
+
+
+def _occupancy_from_img(img):
+    """PNG fixture -> occupancy values (0 free, 100 obstacle)."""
+    data = np.zeros(img.shape, dtype=np.int8)
+    data[img == 0] = 100
+    return data
+
+
+@pytest.fixture()
+def node():
+    n = EpicNavigationNode(PlannerConfig(epsilon=1e-2, steps_per_update=50))
+    img = maps.open_room(40, 40)
+    grid = msg.OccupancyGrid(40, 40, 1.0, 0.0, 0.0, _occupancy_from_img(img))
+    n.sub_occupancy_grid(grid)
+    return n
+
+
+def test_init_creates_boundary_obstacles(node):
+    st = node.planner.state
+    u = np.asarray(st.u)
+    locked = np.asarray(st.locked)
+    assert np.all(u[0, :] == np.float32(C.LOG_SPACE_OBSTACLE))
+    assert np.all(locked[0, :]) and np.all(locked[:, -1])
+    # Interior free cells were ingested as FREE (-1e6, unlocked).
+    assert not locked[5, 5] and u[5, 5] == np.float32(C.LOG_SPACE_FREE)
+
+
+def test_add_goals_then_update_then_path(node):
+    ok = node.srv_add_goals(
+        msg.ModifyGoalsRequest(goals=[msg.PoseStamped(20.0, 20.0)])
+    ).success
+    assert ok
+    # Goal cell set (world == map coords at resolution 1, origin 0).
+    assert node.planner.get_cell(20, 20) == 0.0
+    for _ in range(20):
+        node.update()
+    resp = node.srv_compute_path(
+        msg.ComputePathRequest(start=msg.PoseStamped(5.0, 5.0), step_size=0.2, precision=0.4)
+    )
+    poses = resp.path.poses
+    assert len(poses) > 2
+    # First pose is the request's start verbatim.
+    assert poses[0].x == 5.0 and poses[0].y == 5.0
+    # Path ends near the goal.
+    end = poses[-1]
+    assert abs(end.x - 20) < 2 and abs(end.y - 20) < 2
+
+
+def test_goals_refused_inside_obstacles(node):
+    # (0, 0) is the boundary obstacle ring.
+    ok = node.srv_add_goals(
+        msg.ModifyGoalsRequest(goals=[msg.PoseStamped(0.0, 0.0)])
+    ).success
+    assert not ok
+
+
+def test_remove_goals_turns_free(node):
+    node.srv_add_goals(msg.ModifyGoalsRequest(goals=[msg.PoseStamped(20.0, 20.0)]))
+    node.srv_remove_goals(msg.ModifyGoalsRequest(goals=[msg.PoseStamped(20.0, 20.0)]))
+    st = node.planner.state
+    assert not bool(np.asarray(st.locked)[20, 20])
+    assert float(np.asarray(st.u)[20, 20]) == float(C.LOG_SPACE_FREE)
+
+
+def test_set_status_pauses_updates(node):
+    node.srv_set_status(msg.SetStatusRequest(paused=True))
+    it0 = int(node.planner.state.iteration)
+    node.update()
+    assert int(node.planner.state.iteration) == it0
+    node.srv_set_status(msg.SetStatusRequest(paused=False))
+    node.update()
+    assert int(node.planner.state.iteration) == it0 + 50
+
+
+def test_set_cells_raw_coordinates(node):
+    req = msg.SetCellsRequest(v=[7, 9, 8, 9], types=[C.CELL_TYPE_OBSTACLE, C.CELL_TYPE_GOAL])
+    assert node.srv_set_cells(req).success
+    st = node.planner.state
+    u = np.asarray(st.u)
+    assert u[9, 7] == np.float32(C.LOG_SPACE_OBSTACLE)
+    assert u[9, 8] == 0.0
+
+
+def test_reset_free_cells_clears_potential_keeps_goals(node):
+    node.srv_add_goals(msg.ModifyGoalsRequest(goals=[msg.PoseStamped(20.0, 20.0)]))
+    for _ in range(10):
+        node.update()
+    u_before = np.asarray(node.planner.state.u)
+    assert u_before[19, 20] > -1e6  # relaxed
+    node.srv_reset_free_cells(msg.ResetFreeCellsRequest())
+    u_after = np.asarray(node.planner.state.u)
+    assert u_after[19, 20] == np.float32(C.LOG_SPACE_FREE)
+    assert u_after[20, 20] == 0.0  # goal kept
+
+
+def test_warm_restart_faster_than_cold():
+    # After an obstacle edit, relaxation resumes from the perturbed state —
+    # far fewer sweeps to re-converge than from scratch (SURVEY §3.2).
+    from epic_tpu.solver import core
+
+    img = maps.open_room(64, 64, goal=(50, 30))
+    p = Planner(PlannerConfig(epsilon=1e-2))
+    p.init(64, 64)
+    p.update_occupancy(_occupancy_from_img(img))
+    p.add_goals([(50.0, 30.0)])
+    p.solve()
+    cold_iters = int(p.state.iteration)
+    # Drop a small obstacle block and re-solve warm.
+    cells = [(x, y) for x in range(10, 14) for y in range(10, 14)]
+    p.set_cells(cells, [C.CELL_TYPE_OBSTACLE] * len(cells))
+    p.solve()
+    warm_iters = int(p.state.iteration)
+    assert warm_iters < cold_iters
+
+
+def test_occupancy_refresh_keeps_goals_unless_resized(node):
+    node.srv_add_goals(msg.ModifyGoalsRequest(goals=[msg.PoseStamped(20.0, 20.0)]))
+    img = maps.open_room(40, 40)
+    node.sub_occupancy_grid(msg.OccupancyGrid(40, 40, 1.0, 0.0, 0.0, _occupancy_from_img(img)))
+    assert node.planner.get_cell(20, 20) == 0.0  # goal survived refresh
+    # Resize loses everything (full reinit).
+    img2 = maps.open_room(48, 48)
+    node.sub_occupancy_grid(msg.OccupancyGrid(48, 48, 1.0, 0.0, 0.0, _occupancy_from_img(img2)))
+    assert node.planner.state.u.shape == (48, 48)
+    assert node.planner.get_cell(20, 20) == np.float32(C.LOG_SPACE_FREE)
+
+
+def test_no_change_cells_untouched(node):
+    node.srv_set_cells(msg.SetCellsRequest(v=[5, 5], types=[C.CELL_TYPE_OBSTACLE]))
+    data = np.full((40, 40), C.OCCUPANCY_NO_CHANGE, dtype=np.int8)
+    node.sub_occupancy_grid(msg.OccupancyGrid(40, 40, 1.0, 0.0, 0.0, data))
+    st = node.planner.state
+    assert bool(np.asarray(st.locked)[5, 5])  # obstacle untouched
+
+
+def test_world_to_map_outside_raises(node):
+    with pytest.raises(InvalidLocationError):
+        node.planner.world_to_map(-1.0, 5.0)
+    with pytest.raises(InvalidLocationError):
+        node.planner.world_to_map(5.0, 40.0)
+
+
+def test_rviz_goal_replacement():
+    n = EpicNavigationNodeRviz(PlannerConfig(epsilon=1e-2))
+    img = maps.open_room(32, 32)
+    n.sub_occupancy_grid(msg.OccupancyGrid(32, 32, 1.0, 0.0, 0.0, _occupancy_from_img(img)))
+    assert n.set_goal(msg.PoseStamped(10.0, 10.0))
+    assert n.set_goal(msg.PoseStamped(20.0, 20.0))
+    # Old goal removed, new goal set.
+    assert n.planner.get_cell(10, 10) == np.float32(C.LOG_SPACE_FREE)
+    assert n.planner.get_cell(20, 20) == 0.0
+
+
+def test_nav_core_make_plan_end_to_end():
+    img = maps.open_room(48, 48)
+    costmap = np.zeros(img.shape, dtype=np.uint8)
+    costmap[img == 0] = 254
+    plugin = EpicNavCorePlugin(interpolation="bilinear")
+    plugin.initialize(costmap, resolution=0.5, origin=(-2.0, -3.0))
+    plan = plugin.make_plan(
+        start_world=(0.0, 0.0), goal_world=(plugin.origin_x + 20 * 0.5, plugin.origin_y + 30 * 0.5)
+    )
+    assert plan is not None
+    assert len(plan) > 3
+    # Plan starts at start, ends at the goal pose appended last.
+    assert plan[0].x == 0.0 and plan[0].y == 0.0
+    assert plan[-1].x == pytest.approx(plugin.origin_x + 20 * 0.5)
+    # Replanning with a new goal clears the old one (single-goal semantics).
+    plan2 = plugin.make_plan((0.0, 0.0), (plugin.origin_x + 10 * 0.5, plugin.origin_y + 8 * 0.5))
+    assert plan2 is not None
+    u = np.asarray(plugin.state.u)
+    assert (u == 0.0).sum() == 1  # exactly one goal cell
