@@ -1,0 +1,273 @@
+"""Pallas TPU kernel: VMEM-resident multi-sweep red-black relaxation.
+
+This replaces the reference's CUDA stencil kernels
+(/root/reference/libepic/src/harmonic/harmonic_gpu.cu:39-153) with a
+TPU-native design. The CUDA version launches one kernel per iteration (one
+block per row, threads striding the columns) and runs a two-stage shared-mem
+delta reduction with a 4-byte D2H copy per staggered check
+(harmonic_gpu.cu:266-290,402). Here:
+
+- A whole *chunk* of K sweeps runs inside one kernel invocation with ``u``
+  resident in VMEM: HBM traffic and kernel-dispatch overhead are both
+  amortized K-fold. For every grid the reference ships (up to ~1M cells)
+  the full grid fits VMEM (~16 MB).
+- The delta max-reduction is a VPU ``jnp.max`` over the updated cells of the
+  chunk's first sweep, written to SMEM — no shared-memory tree, no D2H copy;
+  the solve loop reads it device-side.
+- The checkerboard parity mask is generated on the fly with
+  ``broadcasted_iota`` (zero memory traffic), not stored.
+
+The update numerics are pinned to the oracle
+(:mod:`epic_tpu.solver.reference_np`): max tree over ((N,S),(W,E)),
+left-associated exp sum, log, subtract log(4) — see harmonic_cpu.cpp:59-70.
+
+Grids larger than VMEM fall back to :mod:`epic_tpu.solver.core` (XLA); a
+tiled halo-exchange kernel and the multi-chip path live in
+:mod:`epic_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..grid import GridState
+
+_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+
+# Conservative VMEM budget: u (4B) live + u_new temp (4B) + frozen (1B) per
+# cell, plus headroom for Mosaic temporaries, against ~16 MB of VMEM.
+VMEM_CELL_BUDGET = 1_100_000
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fits_vmem(shape: tuple[int, int]) -> bool:
+    h, w = shape
+    return _round_up(h, 8) * _round_up(w, 128) <= VMEM_CELL_BUDGET
+
+
+def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_sweeps):
+    """K sweeps over a VMEM-resident grid; delta recorded from sweep 0.
+
+    Works on the full (padded) grid with circular shifts: wrapped-around
+    neighbour values at the edges are garbage, but every edge/padding cell is
+    frozen (never updated), so they are masked out — mirroring how the
+    reference only touches interior cells (harmonic_cpu.cpp:46-51). This
+    avoids interior slicing, which Mosaic cannot lower efficiently.
+    """
+    t0 = it_ref[0]
+    u0 = u_ref[:]
+    h, w = u0.shape
+    not_frozen = jnp.logical_not(frozen_ref[:])
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    parity = (row + col) % 2
+
+    def body(k, carry):
+        u, delta = carry
+        # pltpu.roll requires non-negative shifts; h-1 == circular -1.
+        un = pltpu.roll(u, 1, 0)        # value from row above
+        us = pltpu.roll(u, h - 1, 0)    # value from row below
+        uw = pltpu.roll(u, 1, 1)        # value from column left
+        ue = pltpu.roll(u, w - 1, 1)    # value from column right
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(s)) - _LOG2N_2D
+        update = (parity != ((t0 + k) % 2)) & not_frozen
+        u_new = jnp.where(update, val, u)
+        d = jnp.max(jnp.abs(u_new - u))
+        delta = jnp.where(k == 0, d, delta)
+        return u_new, delta
+
+    u, delta = jax.lax.fori_loop(0, num_sweeps, body, (u0, jnp.float32(0.0)))
+    u_out_ref[:] = u
+    delta_ref[0] = delta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "interpret"), donate_argnums=(0,)
+)
+def sweep_chunk(
+    u: jax.Array,
+    frozen: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    interpret: bool = False,
+):
+    """Run ``num_sweeps`` red-black sweeps on a padded grid.
+
+    Args:
+      u: f32[H, W], H % 8 == 0, W % 128 == 0 (use :func:`pad_state`).
+      frozen: bool[H, W]; True where a cell must never update (locked cells,
+        the original boundary ring, and alignment padding).
+      iteration: i32 scalar, the reference's ``currentIteration`` at entry.
+      num_sweeps: chunk length (static).
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns (u_new, delta_of_first_sweep).
+    """
+    h, w = u.shape
+    out_u, out_delta = pl.pallas_call(
+        functools.partial(_multisweep_kernel, num_sweeps=num_sweeps),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(iteration.reshape(1), u, frozen)
+    return out_u, out_delta[0]
+
+
+# ---------------------------------------------------------------------------
+# Padded-state wrapper: aligns the grid to TPU tiles and carries the frozen
+# mask so kernel calls are allocation-free.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedGrid:
+    """Tile-aligned view of a GridState for the Pallas solver.
+
+    ``frozen`` = locked | outside-original-interior | padding, so the kernel
+    needs no knowledge of the original extent: exactness w.r.t. the
+    reference's interior-only updates (harmonic_cpu.cpp:46-51) is carried by
+    the mask.
+    """
+
+    u: jax.Array        # f32[Hp, Wp]
+    frozen: jax.Array   # bool[Hp, Wp]
+    height: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+
+
+def pad_state(state: GridState) -> PaddedGrid:
+    h, w = state.u.shape
+    hp, wp = _round_up(h, 8), _round_up(w, 128)
+    u = jnp.pad(
+        state.u,
+        ((0, hp - h), (0, wp - w)),
+        constant_values=np.float32(C.LOG_SPACE_OBSTACLE),
+    )
+    interior = np.zeros((hp, wp), dtype=bool)
+    interior[1 : h - 1, 1 : w - 1] = True
+    frozen = jnp.pad(state.locked, ((0, hp - h), (0, wp - w)), constant_values=True)
+    frozen = frozen | jnp.asarray(~interior)
+    return PaddedGrid(u=u, frozen=frozen, height=h, width=w)
+
+
+def unpad(padded: PaddedGrid, state: GridState) -> GridState:
+    return dataclasses.replace(state, u=padded.u[: padded.height, : padded.width])
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def update_n(state: GridState, num_steps: int, interpret: bool | None = None) -> GridState:
+    """Anytime chunk stepper on the Pallas path; semantics identical to
+    :func:`epic_tpu.solver.core.update_n` (delta from the first sweep)."""
+    if interpret is None:
+        interpret = _is_cpu()
+    padded = pad_state(state)
+    u, delta = sweep_chunk(padded.u, padded.frozen, state.iteration, num_steps, interpret)
+    return dataclasses.replace(
+        state,
+        u=u[: padded.height, : padded.width],
+        iteration=state.iteration + num_steps,
+        delta=delta,
+        converged=(delta < state.epsilon) if num_steps == 1 else jnp.asarray(False),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stagger", "max_iterations", "interpret", "height", "width"),
+    donate_argnums=(0, 1),
+)
+def _solve_padded(
+    u,
+    frozen,
+    epsilon,
+    stagger: int,
+    max_iterations: int,
+    interpret: bool,
+    height: int,
+    width: int,
+):
+    m_max = max(height, width)
+
+    def cond(carry):
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
+
+    def body(carry):
+        u, iteration, _, _ = carry
+        u, delta = sweep_chunk(u, frozen, iteration, 1, interpret)
+        iteration = iteration + 1
+        done = (delta < epsilon) & (iteration >= m_max)
+
+        def run_rest(args):
+            u, iteration = args
+            u, _ = sweep_chunk(u, frozen, iteration, stagger - 1, interpret)
+            return u, iteration + (stagger - 1)
+
+        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
+        return u, iteration, delta, done
+
+    return jax.lax.while_loop(
+        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+    )
+
+
+def solve(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    interpret: bool | None = None,
+) -> GridState:
+    """Relax to convergence on the Pallas path; protocol identical to
+    :func:`epic_tpu.solver.core.solve` (and harmonic_complete_cpu): exit only
+    right after a staggered check with delta < eps and the propagation guard
+    satisfied. The whole loop is one jitted program; the host reads nothing
+    until it finishes."""
+    if interpret is None:
+        interpret = _is_cpu()
+    padded = pad_state(state)
+    u, iteration, delta, converged = _solve_padded(
+        padded.u,
+        padded.frozen,
+        state.epsilon,
+        stagger,
+        max_iterations,
+        interpret,
+        padded.height,
+        padded.width,
+    )
+    return dataclasses.replace(
+        state,
+        u=u[: padded.height, : padded.width],
+        iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
