@@ -7,6 +7,22 @@ streamline extraction, incremental warm-started replanning services, batched
 multi-scenario solves, and multi-chip spatial domain decomposition.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: first-compile latency dominates interactive
+# use (remote-compile TPU backends especially); cache across processes.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/epic_tpu_jax"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # config name drift across jax versions — best effort
+        pass
+
 from . import constants, errors
 from .grid import (
     GridState,

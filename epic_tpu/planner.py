@@ -40,6 +40,11 @@ class PlannerConfig:
     origin_x: float = 0.0
     origin_y: float = 0.0
     interpolation: str = "reference"  # or "bilinear" (epic_tpu extension)
+    # Solver backend: "auto" picks the Pallas VMEM kernel on TPU for grids
+    # that fit VMEM, else the XLA path (which itself runs on any backend) —
+    # the functional analog of the reference's gpu->cpu fallback
+    # (harmonic.py:76-102) with no mirrored state to keep in sync.
+    backend: str = "auto"            # "auto" | "xla" | "pallas"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,18 +121,49 @@ class Planner:
 
     # -- the anytime loop --------------------------------------------------
 
+    def _use_pallas(self) -> bool:
+        backend = self.config.backend
+        if backend == "xla":
+            return False
+        st = self._require_state()
+        if st.u.ndim != 2:
+            return False
+        from .solver import pallas_sweep
+
+        if backend == "pallas":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu" and pallas_sweep.fits_vmem(
+            st.u.shape
+        )
+
     def update(self, num_steps: int | None = None) -> None:
         """Run a chunk of relaxation sweeps (no-op when paused / uninit),
         mirroring EpicNavigationNodeHarmonic::update (:165-204)."""
         if self.state is None or self.paused:
             return
         n = num_steps if num_steps is not None else self.config.steps_per_update
-        self.state = core.update_n(self.state, n)
+        if self._use_pallas():
+            from .solver import pallas_sweep
+
+            self.state = pallas_sweep.update_n(self.state, n)
+        else:
+            self.state = core.update_n(self.state, n)
 
     def solve(self) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as
         the nav_core plugin does per makePlan (epic_nav_core_plugin.cpp:256)."""
-        self.state = core.solve(self._require_state(), stagger=self.config.stagger)
+        if self._use_pallas():
+            from .solver import pallas_sweep
+
+            self.state = pallas_sweep.solve(
+                self._require_state(), stagger=self.config.stagger
+            )
+        else:
+            self.state = core.solve(
+                self._require_state(), stagger=self.config.stagger
+            )
 
     # -- service verbs -----------------------------------------------------
 

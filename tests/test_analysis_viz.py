@@ -1,0 +1,56 @@
+"""Validity analysis + rendering smoke tests."""
+
+import numpy as np
+
+import epic_tpu
+from epic_tpu import analysis, maps, path, viz
+from epic_tpu.solver import core
+
+
+def test_percent_valid_log_space_near_one():
+    img = maps.recursive_maze(96, 96, seed=5)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    out = core.solve(st)
+    pv = analysis.percent_valid(
+        np.asarray(out.u), np.asarray(out.locked), img == 255
+    )
+    assert pv > 0.99
+
+
+def test_reachability_respects_walls():
+    passable = np.zeros((5, 5), dtype=bool)
+    passable[1:4, 1] = True
+    passable[1, 1:4] = True  # L-shape
+    seed = np.zeros((5, 5), dtype=bool)
+    seed[3, 1] = True
+    reached = analysis.reachable_from(seed, passable)
+    assert reached[1, 3] and reached[1, 1]
+    assert not reached[3, 3]
+
+
+def test_render_overlay_and_png(tmp_path):
+    img = maps.open_room(40, 40)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    out = core.solve(st)
+    u, locked = np.asarray(out.u), np.asarray(out.locked)
+    p = path.compute_path(u, locked, 5.0, 5.0, 0.2, 0.4, mode="bilinear")
+    rgb = viz.render(u, locked, [p])
+    assert rgb.shape == (40, 40, 3)
+    # Start point green, some path pixel red, goal white, obstacle black.
+    assert tuple(rgb[5, 5]) == (0, 255, 0)
+    assert (rgb[..., 0] == 255).sum() > (rgb[..., 2] == 255).sum()
+    assert tuple(rgb[0, 0]) == (0, 0, 0)
+    f = tmp_path / "overlay.png"
+    viz.save_png(str(f), rgb)
+    loaded = maps.load_png(f)
+    assert loaded.shape == (40, 40)
+
+
+def test_streamline_success_rate_metric():
+    img = maps.open_room(48, 48)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    out = core.solve(st)
+    rate = analysis.streamline_success_rate(
+        np.asarray(out.u), np.asarray(out.locked), img == 255, n_samples=40
+    )
+    assert rate > 0.9

@@ -1,0 +1,103 @@
+"""Native C++ helper library: bit/behaviour agreement with the NumPy oracles."""
+
+import numpy as np
+import pytest
+
+import epic_tpu
+from epic_tpu import maps, native, path
+from epic_tpu.errors import InvalidLocationError, InvalidPathError
+from epic_tpu.solver import core, legacy, reference_np
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+@pytest.fixture(scope="module")
+def solved_maze():
+    img = maps.recursive_maze(64, 64, seed=3)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    out = core.solve(st)
+    return img, np.asarray(out.u), np.asarray(out.locked)
+
+
+def test_native_sweep_bitmatches_scalar_oracle():
+    img = maps.random_obstacles(24, 20, density=0.2, seed=3)
+    st = epic_tpu.from_occupancy_image(img)
+    u = np.asarray(st.u)
+    locked = np.asarray(st.locked)
+    for it in range(4):
+        u_n, d_n = native.sweep_2d(u, locked, it)
+        u_p, d_p = reference_np.sweep_scalar(u, locked, it)
+        np.testing.assert_array_equal(u_n, u_p)
+        assert d_n == pytest.approx(d_p, abs=0)
+        u = u_p
+
+
+@pytest.mark.parametrize("mode", ["reference", "bilinear"])
+def test_native_path_matches_numpy(solved_maze, mode):
+    img, u, locked = solved_maze
+    ys, xs = np.nonzero(img == 128)
+    rng = np.random.default_rng(0)
+    for i in rng.choice(len(ys), 15):
+        x, y = float(xs[i]), float(ys[i])
+        try:
+            p1 = path.compute_path(u, locked, x, y, 0.2, 0.4, mode=mode)
+            e1 = None
+        except Exception as ex:
+            p1, e1 = None, type(ex).__name__
+        try:
+            p2 = native.compute_path(u, locked, x, y, 0.2, 0.4, mode=mode)
+            e2 = None
+        except Exception as ex:
+            p2, e2 = None, type(ex).__name__
+        assert e1 == e2, f"error mismatch at ({x},{y}): {e1} vs {e2}"
+        if e1 is None:
+            assert len(p1) == len(p2)
+            np.testing.assert_allclose(p1, p2, atol=1e-4)
+
+
+def test_native_path_error_codes(solved_maze):
+    img, u, locked = solved_maze
+    with pytest.raises(InvalidLocationError):
+        native.compute_path(u, locked, -4.0, 2.0)
+    oy, ox = np.argwhere(img == 0)[0]
+    with pytest.raises(InvalidLocationError):
+        native.compute_path(u, locked, float(ox), float(oy))
+    # Unrelaxed field -> invalid path / gradient.
+    st = epic_tpu.from_occupancy_image(img)
+    with pytest.raises((InvalidPathError, path.InvalidGradientError)):
+        native.compute_path(np.asarray(st.u), locked, 2.0, 2.0)
+
+
+def test_native_sor_matches_numpy_sor():
+    img = maps.open_room(20, 20)
+    u, locked = legacy.from_image(img)
+    u_n, it_n = native.legacy_sor_2d(u, locked, epsilon=1e-4, omega=1.5,
+                                     min_iterations=100)
+    u_p, it_p = legacy.sor_numpy(u.copy(), locked, epsilon=1e-4, omega=1.5,
+                                 min_iterations=100)
+    assert it_n == it_p
+    np.testing.assert_allclose(u_n, u_p, rtol=0, atol=1e-12)
+
+
+def test_native_sor_f32_vs_f64_precision_collapse():
+    # The paper's motivating failure: down maze corridors the linear-space
+    # potential attenuates exponentially, so f32 SOR underflows to flat
+    # gradients far sooner than f64. Open rooms decay polynomially and do
+    # NOT show this — maze topology is required. Measured with the
+    # reference's percent-valid metric (gradient-alive + goal-reachable).
+    from epic_tpu import analysis
+
+    img = maps.recursive_maze(140, 140, seed=1, corridor=8)
+    u64, locked = legacy.from_image(img, dtype=np.float64)
+    u32, _ = legacy.from_image(img, dtype=np.float32)
+    out64, _ = native.legacy_sor_2d(u64, locked, epsilon=1e-4, omega=1.5,
+                                    min_iterations=20000, dtype=np.float64)
+    out32, _ = native.legacy_sor_2d(u32, locked, epsilon=1e-4, omega=1.5,
+                                    min_iterations=20000, dtype=np.float32)
+    goal = img == 255
+    pv64 = analysis.percent_valid(out64, locked, goal)
+    pv32 = analysis.percent_valid(out32, locked, goal)
+    assert pv64 > 0.85, pv64
+    assert pv64 > pv32 + 0.15, (pv64, pv32)
