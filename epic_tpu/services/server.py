@@ -1,0 +1,232 @@
+"""A transport for the service plane: newline-delimited JSON over TCP.
+
+The reference exposes its verbs as ROS services over TCPROS
+(/root/reference/src/epic_navigation_node_harmonic.cpp:88-162 advertises 7
+services; src/epic_navigation_node_main.cpp:62-81 interleaves callbacks with
+relaxation chunks). This module provides the same runtime shape without ROS:
+a single-threaded event loop that services socket requests between anytime
+update chunks, so request handling and relaxation interleave exactly like
+spinOnce()/update(num_steps).
+
+Protocol: one JSON object per line.
+  request:  {"srv": <name>, ...args}
+  response: {"success": bool, ...payload}
+
+Verbs: set_status, add_goals, remove_goals, get_cell, set_cells,
+reset_free_cells, compute_path, occupancy_grid, info.
+
+Run:   python -m epic_tpu.services.server --port 7171 --map maze.png
+Client: EpicClient (below) or any JSON-capable peer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import selectors
+import socket
+
+import numpy as np
+
+from ..errors import EpicError
+from ..planner import PlannerConfig
+from . import messages as msg
+from .navigation_node import EpicNavigationNodeRviz
+
+
+class EpicServiceServer:
+    def __init__(
+        self,
+        node: EpicNavigationNodeRviz,
+        host: str = "127.0.0.1",
+        port: int = 7171,
+    ):
+        self.node = node
+        self.sel = selectors.DefaultSelector()
+        self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.listener.bind((host, port))
+        self.listener.listen()
+        self.listener.setblocking(False)
+        self.sel.register(self.listener, selectors.EVENT_READ, None)
+        self.port = self.listener.getsockname()[1]
+        self._buffers: dict[socket.socket, bytes] = {}
+
+    # -- request dispatch --------------------------------------------------
+
+    def _dispatch(self, req: dict) -> dict:
+        srv = req.get("srv")
+        node = self.node
+        try:
+            if srv == "set_status":
+                r = node.srv_set_status(msg.SetStatusRequest(bool(req["paused"])))
+                return {"success": r.success}
+            if srv in ("add_goals", "remove_goals"):
+                goals = [msg.PoseStamped(float(x), float(y)) for x, y in req["goals"]]
+                handler = node.srv_add_goals if srv == "add_goals" else node.srv_remove_goals
+                return {"success": handler(msg.ModifyGoalsRequest(goals)).success}
+            if srv == "get_cell":
+                r = node.srv_get_cell(msg.GetCellRequest(int(req["x"]), int(req["y"])))
+                return {"success": r.success, "value": r.value}
+            if srv == "set_cells":
+                r = node.srv_set_cells(
+                    msg.SetCellsRequest([int(v) for v in req["v"]],
+                                        [int(t) for t in req["types"]])
+                )
+                return {"success": r.success}
+            if srv == "reset_free_cells":
+                return {"success": node.srv_reset_free_cells(
+                    msg.ResetFreeCellsRequest()).success}
+            if srv == "compute_path":
+                r = node.srv_compute_path(
+                    msg.ComputePathRequest(
+                        start=msg.PoseStamped(float(req["x"]), float(req["y"])),
+                        step_size=float(req.get("step_size", 0.05)),
+                        precision=float(req.get("precision", 0.5)),
+                        max_length=int(req.get("max_length", 0)),
+                    )
+                )
+                return {
+                    "success": True,
+                    "path": [[p.x, p.y, p.yaw] for p in r.path.poses],
+                }
+            if srv == "occupancy_grid":
+                data = np.asarray(req["data"], dtype=np.int8)
+                node.sub_occupancy_grid(
+                    msg.OccupancyGrid(
+                        int(req["width"]), int(req["height"]),
+                        float(req.get("resolution", 1.0)),
+                        float(req.get("origin_x", 0.0)),
+                        float(req.get("origin_y", 0.0)),
+                        data,
+                    )
+                )
+                return {"success": True}
+            if srv == "info":
+                st = node.planner.state
+                return {
+                    "success": True,
+                    "initialized": st is not None,
+                    "shape": list(st.u.shape) if st is not None else None,
+                    "iteration": int(st.iteration) if st is not None else 0,
+                    "delta": float(st.delta) if st is not None else None,
+                    "paused": node.planner.paused,
+                }
+            return {"success": False, "error": f"unknown srv {srv!r}"}
+        except EpicError as e:
+            return {"success": False, "error": str(e)}
+        except (KeyError, ValueError, TypeError) as e:
+            return {"success": False, "error": f"bad request: {e}"}
+
+    # -- event loop --------------------------------------------------------
+
+    def _service_sockets(self) -> None:
+        for key, _ in self.sel.select(timeout=0):
+            sock = key.fileobj
+            if sock is self.listener:
+                conn, _ = self.listener.accept()
+                conn.setblocking(False)
+                self.sel.register(conn, selectors.EVENT_READ, None)
+                self._buffers[conn] = b""
+                continue
+            try:
+                data = sock.recv(1 << 20)
+            except (ConnectionResetError, BlockingIOError):
+                data = b""
+            if not data:
+                self.sel.unregister(sock)
+                self._buffers.pop(sock, None)
+                sock.close()
+                continue
+            self._buffers[sock] += data
+            while b"\n" in self._buffers[sock]:
+                line, self._buffers[sock] = self._buffers[sock].split(b"\n", 1)
+                if not line.strip():
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {"success": False, "error": f"bad json: {e}"}
+                else:
+                    resp = self._dispatch(req)
+                try:
+                    sock.sendall(json.dumps(resp).encode() + b"\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+    def spin_once(self, num_steps: int | None = None) -> None:
+        """One tick: service pending requests, then one relaxation chunk —
+        the spinOnce()/update() interleave."""
+        self._service_sockets()
+        self.node.update(num_steps)
+
+    def run_forever(self) -> None:  # pragma: no cover - long-running
+        while True:
+            self.spin_once()
+
+    def close(self) -> None:
+        for sock in list(self._buffers):
+            self.sel.unregister(sock)
+            sock.close()
+        self._buffers.clear()
+        self.sel.unregister(self.listener)
+        self.listener.close()
+
+
+class EpicClient:
+    """Minimal blocking client for EpicServiceServer."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 7171, timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+
+    def call(self, srv: str, **args) -> dict:
+        self.sock.sendall(json.dumps({"srv": srv, **args}).encode() + b"\n")
+        while b"\n" not in self._buf:
+            data = self.sock.recv(1 << 20)
+            if not data:
+                raise ConnectionError("server closed")
+            self._buf += data
+        line, self._buf = self._buf.split(b"\n", 1)
+        return json.loads(line)
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def main() -> None:  # pragma: no cover - CLI
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7171)
+    ap.add_argument("--map", default=None, help="PNG map to load at startup")
+    ap.add_argument("--epsilon", type=float, default=1e-3)
+    ap.add_argument("--steps-per-update", type=int, default=50)
+    args = ap.parse_args()
+
+    node = EpicNavigationNodeRviz(
+        PlannerConfig(epsilon=args.epsilon, steps_per_update=args.steps_per_update)
+    )
+    if args.map:
+        from .. import maps
+
+        img = maps.load_png(args.map)
+        occ = np.zeros(img.shape, dtype=np.int8)
+        occ[img == 0] = 100
+        node.sub_occupancy_grid(
+            msg.OccupancyGrid(img.shape[1], img.shape[0], 1.0, 0.0, 0.0, occ)
+        )
+        # Seed goals from the map's 255 pixels.
+        ys, xs = np.nonzero(img == 255)
+        if len(ys):
+            node.srv_add_goals(
+                msg.ModifyGoalsRequest(
+                    [msg.PoseStamped(float(x), float(y)) for y, x in zip(ys, xs)]
+                )
+            )
+    server = EpicServiceServer(node, args.host, args.port)
+    print(f"epic_tpu service server on {args.host}:{server.port}")
+    server.run_forever()
+
+
+if __name__ == "__main__":
+    main()

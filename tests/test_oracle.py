@@ -136,3 +136,25 @@ def test_goal_cells_stay_zero_and_obstacles_stay():
     free = img == 128
     assert np.all(u_out[free] < 0.0)
     assert np.any(u_out[free] > -1e6)
+
+
+def test_3d_solve_converges():
+    # 3D CPU-only variant in the reference (harmonic_cpu.cpp:81-133); ours
+    # runs the same generic kernel on any backend.
+    u = np.full((12, 12, 12), -1e6, dtype=np.float32)
+    locked = np.zeros((12, 12, 12), dtype=bool)
+    locked[0], locked[-1] = True, True
+    locked[:, 0], locked[:, -1] = True, True
+    locked[:, :, 0], locked[:, :, -1] = True, True
+    u[6, 6, 6] = 0.0
+    locked[6, 6, 6] = True
+    state = make_state(u, locked, epsilon=1e-2)
+    out = core.solve(state, stagger=10)
+    assert bool(out.converged)
+    assert int(out.iteration) % 10 == 1
+    u_out = np.asarray(out.u)
+    assert u_out[6, 6, 6] == 0.0
+    free = ~locked
+    assert np.all(u_out[free] < 0.0) and np.any(u_out[free] > -1e6)
+    # Potential decays with distance from the goal.
+    assert u_out[6, 6, 5] > u_out[6, 6, 2]

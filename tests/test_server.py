@@ -1,0 +1,104 @@
+"""Service server: drive the full verb set over a real socket."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from epic_tpu import maps
+from epic_tpu.planner import PlannerConfig
+from epic_tpu.services import messages as msg
+from epic_tpu.services.navigation_node import EpicNavigationNodeRviz
+from epic_tpu.services.server import EpicClient, EpicServiceServer
+
+
+@pytest.fixture()
+def server_client():
+    node = EpicNavigationNodeRviz(PlannerConfig(epsilon=1e-2, steps_per_update=25))
+    server = EpicServiceServer(node, port=0)  # ephemeral port
+    stop = threading.Event()
+
+    def loop():
+        while not stop.is_set():
+            server.spin_once()
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    client = EpicClient(port=server.port)
+    yield server, client
+    stop.set()
+    t.join(timeout=5)
+    client.close()
+    server.close()
+
+
+def _occupancy(img):
+    occ = np.zeros(img.shape, dtype=np.int8)
+    occ[img == 0] = 100
+    return occ.reshape(-1).tolist()
+
+
+def test_full_replanning_session_over_socket(server_client):
+    server, client = server_client
+    img = maps.open_room(40, 40)
+
+    r = client.call(
+        "occupancy_grid", width=40, height=40, data=_occupancy(img)
+    )
+    assert r["success"]
+
+    r = client.call("info")
+    assert r["initialized"] and r["shape"] == [40, 40]
+
+    assert client.call("add_goals", goals=[[20.0, 20.0]])["success"]
+    assert client.call("get_cell", x=20, y=20) == {"success": True, "value": 0.0}
+
+    # Let the anytime loop relax for a bit (server thread is updating).
+    import time
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        if client.call("info")["iteration"] >= 500:
+            break
+        time.sleep(0.1)
+    assert client.call("info")["iteration"] >= 500
+
+    r = client.call("compute_path", x=5.0, y=5.0, step_size=0.2, precision=0.4)
+    assert r["success"]
+    path = np.asarray(r["path"])
+    assert len(path) > 2
+    assert abs(path[-1][0] - 20) < 2 and abs(path[-1][1] - 20) < 2
+
+    # Pause stops iteration growth.
+    assert client.call("set_status", paused=True)["success"]
+    it0 = client.call("info")["iteration"]
+    time.sleep(0.3)
+    assert client.call("info")["iteration"] == it0
+    client.call("set_status", paused=False)
+
+    # Cell edits + reset. Pause first: otherwise the anytime loop re-relaxes
+    # the freed cell from its neighbours before we can read it (the
+    # warm-restart semantic working as intended).
+    assert client.call("set_status", paused=True)["success"]
+    assert client.call("set_cells", v=[7, 9], types=[1])["success"]
+    assert client.call("remove_goals", goals=[[20.0, 20.0]])["success"]
+    assert client.call("reset_free_cells")["success"]
+    assert client.call("get_cell", x=20, y=20)["value"] == -1e6
+
+
+def test_malformed_requests_get_clean_errors(server_client):
+    _, client = server_client
+    r = client.call("nonexistent_srv")
+    assert not r["success"] and "unknown srv" in r["error"]
+    r = client.call("get_cell", x=3)  # missing y
+    assert not r["success"] and "bad request" in r["error"]
+    r = client.call("compute_path", x=1.0, y=1.0)  # planner uninitialized
+    assert not r["success"]
+    # Raw garbage line.
+    client.sock.sendall(b"this is not json\n")
+    import json
+
+    while b"\n" not in client._buf:
+        client._buf += client.sock.recv(1 << 20)
+    line, client._buf = client._buf.split(b"\n", 1)
+    assert not json.loads(line)["success"]
