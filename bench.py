@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """epic_tpu headline benchmark — prints ONE JSON line.
 
-Workload: the reference's primary fixture class (maze, 482x482 — the ROS demo
-map, maps/maze.yaml) relaxed with the Pallas VMEM-resident multi-sweep kernel
-on one chip. Metric: red-black stencil sweeps/s at steady state, reported as
+Workload: the reference's primary fixture (maze 482x482, maps/maze.yaml — the
+ROS demo map; procedural stand-in when the reference tree is absent) relaxed
+with the Pallas VMEM-resident multi-sweep kernel on one chip.
+
+Metric: red-black stencil sweeps/s at steady state, reported as
 cell-updates/s (one update = 4 neighbour reads + max-shifted logsumexp on one
 parity class = half the interior per sweep; SURVEY §6).
 
@@ -12,6 +14,11 @@ requirement — its umass launch configuration sustains 100 sweeps per 33 ms
 tick = 3030 sweeps/s (launch/epic_navigation_node_umass.launch:11-12; the
 repo publishes no other numbers, BASELINE.md). Values > 1 beat the reference
 protocol's budget.
+
+Measurement discipline (tunnelled-TPU-safe): padding/masks are prepared in
+NumPy (no extra device compiles), a single kernel jaxpr is compiled once,
+and every timed region is closed by a full D2H np.asarray readback —
+block_until_ready alone can return early through remote-execution tunnels.
 """
 
 import json
@@ -24,44 +31,61 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    import epic_tpu
+    from epic_tpu import constants as C
     from epic_tpu import maps
     from epic_tpu.solver import pallas_sweep
 
-    # Prefer the reference's own maze map when mounted; else a procedural
-    # stand-in of the same size/occupancy class.
     ref = maps.reference_map_path("maze.png")
     if ref is not None:
         img = maps.load_png(ref)
     else:
         img = maps.random_obstacles(482, 482, density=0.1, seed=0)
 
-    state = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
-    padded = pallas_sweep.pad_state(state)
+    h, w = img.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+
+    goal = img == 255
+    obstacle = img == 0
+    u_np = np.full((hp, wp), C.LOG_SPACE_FREE, np.float32)
+    u_np[:h, :w] = np.where(goal, 0.0, C.LOG_SPACE_FREE)
+    frozen_np = np.ones((hp, wp), dtype=bool)
+    frozen_np[1 : h - 1, 1 : w - 1] = (goal | obstacle)[1:-1, 1:-1]
+
     interpret = jax.default_backend() == "cpu"
-
-    u, frozen = padded.u, padded.frozen
     chunk = 100  # the reference's numIterationsToStaggerCheck
-    # Warm-up / compile.
-    u, d = pallas_sweep.sweep_chunk(u, frozen, jnp.int32(0), chunk, interpret)
-    u.block_until_ready()
 
-    reps = 3 if interpret else 20
+    u = jax.device_put(jnp.asarray(u_np))
+    frozen = jax.device_put(jnp.asarray(frozen_np))
+
+    reps = 3 if interpret else 30
+
+    # One device program for the whole measurement: `reps` chunks of `chunk`
+    # sweeps each, single dispatch — measures device capability, not
+    # host-dispatch round trips.
+    @jax.jit
+    def run_all(u, frozen, it0):
+        def body(i, u):
+            u, _ = pallas_sweep.sweep_chunk.__wrapped__(
+                u, frozen, it0 + i * chunk, chunk, interpret
+            )
+            return u
+
+        return jax.lax.fori_loop(0, reps, body, u)
+
+    # Warm-up / compile (the only distinct jaxpr in this process).
+    u_warm = run_all(u, frozen, jnp.int32(0))
+    _ = np.asarray(u_warm)  # full completion barrier
+
     t0 = time.perf_counter()
-    for i in range(reps):
-        u, d = pallas_sweep.sweep_chunk(
-            u, frozen, jnp.int32(chunk * (i + 1)), chunk, interpret
-        )
-    u.block_until_ready()
+    u_out = run_all(u_warm, frozen, jnp.int32(reps * chunk))
+    checksum = float(np.asarray(u_out).sum(dtype=np.float64))  # D2H barrier
     dt = time.perf_counter() - t0
 
     sweeps = reps * chunk
-    h, w = state.u.shape
     cell_updates = (h - 2) * (w - 2) / 2 * sweeps
     sweeps_per_s = sweeps / dt
     updates_per_s = cell_updates / dt
-
-    # Reference anytime budget: 100 sweeps / 33 ms tick (umass launch).
     baseline_sweeps_per_s = 3030.0
 
     print(
@@ -75,6 +99,7 @@ def main() -> None:
                     "grid": f"{h}x{w}",
                     "sweeps_per_s": round(sweeps_per_s),
                     "backend": jax.default_backend(),
+                    "checksum": checksum,
                     "baseline": "reference umass anytime budget 3030 sweeps/s "
                     "(launch/epic_navigation_node_umass.launch:11-12)",
                 },

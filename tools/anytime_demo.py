@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Anytime-navigation demo — the launch-file workflow without ROS.
+
+Replicates launch/epic_navigation_node_maze.launch (map_server + node at 50
+steps per 100 ms tick) as a script: load a map (reference maze.yaml when
+mounted, else procedural), start the anytime node, script the rviz
+interactions (set a goal, wait for relaxation, request paths from several
+starts), and render the result to PNG.
+
+Usage: python tools/anytime_demo.py [--map /root/reference/maps/maze.yaml]
+       [--ticks 40] [--out demo.png]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", default=None, help="map_server YAML or PNG")
+    ap.add_argument("--ticks", type=int, default=40,
+                    help="anytime ticks (50 sweeps each)")
+    ap.add_argument("--out", default="demo.png")
+    ap.add_argument("--starts", type=int, default=6)
+    args = ap.parse_args()
+
+    from epic_tpu import maps, viz
+    from epic_tpu.planner import PlannerConfig
+    from epic_tpu.services import messages as msg
+    from epic_tpu.services.navigation_node import EpicNavigationNodeRviz
+
+    meta = maps.MapMeta()
+    if args.map and args.map.endswith((".yaml", ".yml")):
+        img, meta = maps.load_map_server_yaml(args.map)
+    elif args.map:
+        img = maps.load_png(args.map)
+    else:
+        ref = maps.reference_map_path("maze.png")
+        img = maps.load_png(ref) if ref else maps.recursive_maze(482, 482, seed=0)
+
+    h, w = img.shape
+    node = EpicNavigationNodeRviz(
+        PlannerConfig(epsilon=1e-3, steps_per_update=50,
+                      resolution=meta.resolution,
+                      origin_x=meta.origin_x, origin_y=meta.origin_y,
+                      interpolation="bilinear"),
+        update_rate=10.0,
+    )
+    occ = np.zeros(img.shape, dtype=np.int8)
+    occ[img == 0] = 100
+    node.sub_occupancy_grid(msg.OccupancyGrid(w, h, meta.resolution,
+                                              meta.origin_x, meta.origin_y, occ))
+
+    # rviz verb: set a goal (the map's 255 pixel if present, else centre-ish).
+    ys, xs = np.nonzero(img == 255)
+    if len(ys):
+        gy, gx = int(ys[0]), int(xs[0])
+    else:
+        free = np.argwhere(img == 128)
+        gy, gx = map(int, free[len(free) // 2])
+    wx, wy = node.planner.map_to_world(gx, gy)
+    assert node.set_goal(msg.PoseStamped(wx, wy)), "set_goal failed"
+
+    t0 = time.perf_counter()
+    node.run(duration_s=0.0)  # no-op warmup of the jitted chunk
+    for _ in range(args.ticks):
+        node.update()
+    it = int(node.planner.state.iteration)
+    dt = time.perf_counter() - t0
+    print(f"anytime loop: {it} sweeps over {args.ticks} ticks in {dt:.2f}s")
+
+    # rviz verb: initialpose -> path, from several random free starts.
+    free = np.argwhere(img == 128)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in rng.choice(len(free), size=args.starts, replace=False):
+        y, x = map(int, free[i])
+        swx, swy = node.planner.map_to_world(x, y)
+        try:
+            resp = node.set_start(msg.PoseStamped(swx, swy))
+        except Exception as e:
+            print(f"  start ({x},{y}): {type(e).__name__}")
+            continue
+        pts = np.array(
+            [node.planner.world_to_map(p.x, p.y) for p in resp.path.poses],
+            dtype=np.float32,
+        )
+        paths.append(pts)
+        print(f"  start ({x},{y}): {len(pts)} poses")
+
+    st = node.planner.state
+    rgb = viz.render(np.asarray(st.u), np.asarray(st.locked), paths)
+    viz.save_png(args.out, rgb)
+    print(f"rendered {len(paths)} paths -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
