@@ -1,0 +1,55 @@
+"""Typed configuration for the solver stack (SURVEY §5 "config/flag system").
+
+The reference's configuration surface is ROS parameters + keyword defaults
+scattered across launch files (epic_navigation_node_main.cpp:43-68,
+launch/*.launch). Here it is one dataclass tree covering solver numerics,
+kernel selection/tiling, mesh shape, and service endpoints. PlannerConfig
+(epic_tpu.planner) embeds SolverConfig semantics for the anytime node.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import constants as C
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Numerics + kernel selection."""
+
+    epsilon: float = C.DEFAULT_EPSILON_NODE
+    stagger: int = C.DEFAULT_STAGGER
+    max_iterations: int = 1_000_000
+    # backend: "auto" = pallas on TPU when the grid fits VMEM, else XLA.
+    backend: str = "auto"            # "auto" | "xla" | "pallas" | "pallas_tiled"
+    # kernel: masked full-grid vs parity-packed half-grid planes.
+    kernel: str = "packed"           # "packed" | "masked"
+    # Tiled (beyond-VMEM) kernel parameters.
+    tile_band: int = 256
+    tile_depth: int = 8              # temporal-blocking K
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Multi-chip decomposition (epic_tpu.parallel)."""
+
+    shape: tuple[int, int] | None = None   # None -> near-square over devices
+    axis_names: tuple[str, str] = ("my", "mx")
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    """Service-plane endpoints (epic_tpu.services.server)."""
+
+    host: str = "127.0.0.1"
+    port: int = 7171
+    steps_per_update: int = 50
+    update_rate_hz: float = 10.0
+
+
+@dataclasses.dataclass
+class EpicConfig:
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    service: ServiceConfig = dataclasses.field(default_factory=ServiceConfig)

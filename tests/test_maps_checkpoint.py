@@ -1,0 +1,56 @@
+"""Map ingest (YAML + PNG) and checkpoint save/resume."""
+
+import numpy as np
+import pytest
+
+import epic_tpu
+from epic_tpu import checkpoint, maps
+from epic_tpu.solver import core
+
+
+def test_png_roundtrip(tmp_path):
+    img = maps.recursive_maze(64, 64, seed=1)
+    from PIL import Image
+
+    p = tmp_path / "m.png"
+    Image.fromarray(img).save(p)
+    loaded = maps.load_png(p)
+    np.testing.assert_array_equal(loaded, img)
+
+
+def test_map_server_yaml(tmp_path):
+    img = maps.open_room(32, 48)
+    from PIL import Image
+
+    Image.fromarray(img).save(tmp_path / "room.png")
+    (tmp_path / "room.yaml").write_text(
+        "image: room.png\nresolution: 0.05\norigin: [-1.0, -2.0, 0.0]\n"
+        "occupied_thresh: 0.65\nfree_thresh: 0.196\nnegate: 0\n"
+    )
+    loaded, meta = maps.load_map_server_yaml(tmp_path / "room.yaml")
+    assert loaded.shape == (32, 48)
+    assert meta.resolution == 0.05
+    assert meta.origin_x == -1.0 and meta.origin_y == -2.0
+
+
+@pytest.mark.skipif(
+    maps.reference_map_path("maze.png") is None,
+    reason="reference tree not mounted",
+)
+def test_reference_maze_yaml_loads():
+    img, meta = maps.load_map_server_yaml("/root/reference/maps/maze.yaml")
+    assert img.shape == (482, 482)
+    assert meta.resolution == pytest.approx(0.1)
+
+
+def test_checkpoint_resume_equals_continuous(tmp_path):
+    img = maps.random_obstacles(24, 24, density=0.1, seed=2)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    mid = core.update_n(st, 7)
+    checkpoint.save(tmp_path / "ck.npz", mid)
+    resumed = checkpoint.load(tmp_path / "ck.npz")
+    assert int(resumed.iteration) == 7
+    a = core.update_n(mid, 5)
+    b = core.update_n(resumed, 5)
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+    assert float(a.delta) == float(b.delta)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Scaling harness: sweeps/s of the halo-exchange solver vs mesh size.
+
+BASELINE.md's north star asks for solves/s efficiency at 1 chip / 1 host /
+N hosts. Real multi-chip hardware is not present in this environment, so
+this harness measures the *sharded program* (ppermute halos + pmax residual,
+epic_tpu.parallel.sharded) on a virtual device mesh
+(--xla_force_host_platform_device_count) — validating the scaling path and
+its efficiency accounting end-to-end; on a real slice the same script runs
+unchanged with JAX_PLATFORMS=tpu.
+
+Usage: python tools/scaling_bench.py [--size 2048] [--sweeps 200]
+       [--devices 1 2 4 8]
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--sweeps", type=int, default=100)
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--cpu", action="store_true", default=None,
+                    help="force the virtual-CPU platform (default when no TPU)")
+    args = ap.parse_args()
+
+    max_dev = max(args.devices)
+    if args.cpu or os.environ.get("JAX_PLATFORMS") != "tpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max_dev}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max_dev)
+    else:
+        import jax
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    import epic_tpu
+    from epic_tpu import maps
+    from epic_tpu.parallel import make_mesh, sharded
+
+    img = maps.random_obstacles(args.size, args.size, density=0.1, seed=0)
+    base = None
+    print(f"grid {args.size}^2, {args.sweeps} sweeps per measurement, "
+          f"backend={jax.default_backend()}")
+    print("devices  mesh      sweeps/s   cell-updates/s   efficiency")
+    for n in args.devices:
+        my = int(np.floor(np.sqrt(n)))
+        while n % my:
+            my -= 1
+        mesh = make_mesh((my, n // my), devices=np.asarray(jax.devices()[:n]))
+        st = epic_tpu.from_occupancy_image(img, epsilon=1e-6)
+        # Warm-up/compile.
+        out = sharded.update_n(st, args.sweeps, mesh)
+        _ = float(out.delta)
+        st2 = epic_tpu.from_occupancy_image(img, epsilon=1e-6)
+        t0 = time.perf_counter()
+        out = sharded.update_n(st2, args.sweeps, mesh)
+        _ = np.asarray(out.u).sum()  # full D2H barrier
+        dt = time.perf_counter() - t0
+        sps = args.sweeps / dt
+        cups = (args.size - 2) ** 2 / 2 * sps
+        if base is None:
+            base = sps
+        eff = sps / (base * n / args.devices[0])
+        print(f"{n:7d}  ({my},{n//my})   {sps:9.1f}  {cups:13.3e}   {eff:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
