@@ -96,9 +96,13 @@ def _neighbor_update(tgt, src, row_even, half, h, log_update):
 
 
 def _packed_kernel(
-    it_ref, r_ref, b_ref, rf_ref, bf_ref, r_out, b_out, delta_ref, *, num_sweeps
+    r_ref, b_ref, rf_ref, bf_ref, r_out, b_out, delta_ref,
+    *, num_sweeps, start_parity
 ):
-    t0 = it_ref[0]
+    """Straight-line kernel: the sweep schedule (which plane updates when) is
+    compiled in via the static ``start_parity`` — no per-sweep lax.cond,
+    which Mosaic executes poorly. Iteration t updates parity (1 - t%2): the
+    B plane when t is even, R when odd (SURVEY §0 derivation)."""
     r = r_ref[:]
     b = b_ref[:]
     h, half = r.shape
@@ -108,69 +112,69 @@ def _packed_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (h, half), 0) % 2
     ) == 0
 
-    def sweep_b(args, t):
-        r, b, delta, first = args
+    def sweep_b(r, b):
         val = _neighbor_update(b, r, row_even, half, h, True)
         b_new = jnp.where(b_open, val, b)
-        d = jnp.max(jnp.abs(b_new - b))
-        delta = jnp.where(first, d, delta)
-        return r, b_new, delta
+        return r, b_new, jnp.max(jnp.abs(b_new - b))
 
-    def sweep_r(args, t):
-        r, b, delta, first = args
+    def sweep_r(r, b):
         val = _neighbor_update(r, b, row_even, half, h, False)
         r_new = jnp.where(r_open, val, r)
-        d = jnp.max(jnp.abs(r_new - r))
-        delta = jnp.where(first, d, delta)
-        return r_new, b, delta
+        return r_new, b, jnp.max(jnp.abs(r_new - r))
 
+    first_sweep = sweep_b if start_parity == 0 else sweep_r
+    second_sweep = sweep_r if start_parity == 0 else sweep_b
+
+    # First sweep carries the staggered-check delta.
+    r, b, delta = first_sweep(r, b)
+
+    n_rest = num_sweeps - 1
     def body(k, carry):
-        r, b, delta = carry
-        t = t0 + k
-        first = k == 0
-        # Iteration t updates parity (1 - t%2): B when t is even, R when odd
-        # (reference derivation, SURVEY §0).
-        r, b, delta = jax.lax.cond(
-            (t % 2) == 0,
-            lambda a: sweep_b(a, t),
-            lambda a: sweep_r(a, t),
-            (r, b, delta, first),
-        )
-        return r, b, delta
+        r, b = carry
+        r, b, _ = second_sweep(r, b)
+        r, b, _ = first_sweep(r, b)
+        return r, b
 
-    r, b, delta = jax.lax.fori_loop(
-        0, num_sweeps, body, (r, b, jnp.float32(0.0))
-    )
+    r, b = jax.lax.fori_loop(0, n_rest // 2, body, (r, b))
+    if n_rest % 2:
+        r, b, _ = second_sweep(r, b)
+
     r_out[:] = r
     b_out[:] = b
     delta_ref[0] = delta
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_sweeps", "interpret"), donate_argnums=(0, 1)
+    jax.jit,
+    static_argnames=("num_sweeps", "start_parity", "interpret"),
+    donate_argnums=(0, 1),
 )
 def sweep_chunk_packed(
     r: jax.Array,
     b: jax.Array,
     r_frozen: jax.Array,
     b_frozen: jax.Array,
-    iteration: jax.Array,
     num_sweeps: int,
+    start_parity: int = 0,
     interpret: bool = False,
 ):
     """num_sweeps red-black sweeps on parity-packed planes.
 
-    Returns (r, b, delta_of_first_sweep)."""
+    start_parity = iteration % 2 at chunk entry (STATIC: the sweep schedule
+    is compiled in — in the reference protocol chunks always start at
+    multiples of the stagger, i.e. parity 0). Returns
+    (r, b, delta_of_first_sweep)."""
     h, half = r.shape
     out_r, out_b, out_delta = pl.pallas_call(
-        functools.partial(_packed_kernel, num_sweeps=num_sweeps),
+        functools.partial(
+            _packed_kernel, num_sweeps=num_sweeps, start_parity=start_parity
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((h, half), jnp.float32),
             jax.ShapeDtypeStruct((h, half), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -181,9 +185,9 @@ def sweep_chunk_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
-    )(iteration.reshape(1), r, b, r_frozen, b_frozen)
+    )(r, b, r_frozen, b_frozen)
     return out_r, out_b, out_delta[0]
 
 
@@ -215,7 +219,9 @@ def pack_state(state: GridState) -> PackedGrid:
     interior = np.zeros((hp, wp), dtype=bool)
     interior[1 : h - 1, 1 : w - 1] = True
     frozen = jnp.pad(state.locked, ((0, hp - h), (0, wp - w)), constant_values=True)
-    frozen = (frozen | jnp.asarray(~interior)).astype(jnp.int8)
+    # int32 mask planes: Mosaic on v5e rejects int8 vector comparisons
+    # ("Target does not support this comparison"), int32 compares are fine.
+    frozen = (frozen | jnp.asarray(~interior)).astype(jnp.int32)
     r, b = pack(u)
     rf, bf = pack(frozen)
     return PackedGrid(r=r, b=b, r_frozen=rf, b_frozen=bf, height=h, width=w)
@@ -226,12 +232,17 @@ def unpack_state(packed: PackedGrid, state: GridState, r, b) -> jax.Array:
 
 
 def update_n(state: GridState, num_steps: int, interpret: bool | None = None) -> GridState:
-    """Anytime chunk on the packed path; semantics of core.update_n."""
+    """Anytime chunk on the packed path; semantics of core.update_n.
+
+    Reads iteration parity to the host (one scalar; the reference paid a
+    4-byte D2H per staggered check, harmonic_gpu.cu:402) so the sweep
+    schedule compiles statically."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     p = pack_state(state)
+    start_parity = int(state.iteration) % 2
     r, b, delta = sweep_chunk_packed(
-        p.r, p.b, p.r_frozen, p.b_frozen, state.iteration, num_steps, interpret
+        p.r, p.b, p.r_frozen, p.b_frozen, num_steps, start_parity, interpret
     )
     u = unpack(r, b)[: p.height, : p.width]
     return dataclasses.replace(

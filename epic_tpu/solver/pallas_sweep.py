@@ -73,8 +73,7 @@ def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_s
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     parity = (row + col) % 2
 
-    def body(k, carry):
-        u, delta = carry
+    def sweep(u, k):
         # pltpu.roll requires non-negative shifts; h-1 == circular -1.
         un = pltpu.roll(u, 1, 0)        # value from row above
         us = pltpu.roll(u, h - 1, 0)    # value from row below
@@ -84,12 +83,17 @@ def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_s
         s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
         val = (m + jnp.log(s)) - _LOG2N_2D
         update = (parity != ((t0 + k) % 2)) & not_frozen
-        u_new = jnp.where(update, val, u)
-        d = jnp.max(jnp.abs(u_new - u))
-        delta = jnp.where(k == 0, d, delta)
-        return u_new, delta
+        return jnp.where(update, val, u)
 
-    u, delta = jax.lax.fori_loop(0, num_sweeps, body, (u0, jnp.float32(0.0)))
+    # Only the first sweep carries the staggered-check delta; the remaining
+    # sweeps skip the full |u'-u| max-reduction entirely.
+    u = sweep(u0, 0)
+    delta = jnp.max(jnp.abs(u - u0))
+
+    def body(k, u):
+        return sweep(u, k + 1)
+
+    u = jax.lax.fori_loop(0, num_sweeps - 1, body, u)
     u_out_ref[:] = u
     delta_ref[0] = delta
 

@@ -58,11 +58,12 @@ def main():
                                               meta.origin_x, meta.origin_y, occ))
 
     # rviz verb: set a goal (the map's 255 pixel if present, else centre-ish).
+    free_mask = (img != 0) & (img != 255)
     ys, xs = np.nonzero(img == 255)
     if len(ys):
         gy, gx = int(ys[0]), int(xs[0])
     else:
-        free = np.argwhere(img == 128)
+        free = np.argwhere(free_mask)
         gy, gx = map(int, free[len(free) // 2])
     wx, wy = node.planner.map_to_world(gx, gy)
     assert node.set_goal(msg.PoseStamped(wx, wy)), "set_goal failed"
@@ -76,23 +77,40 @@ def main():
     print(f"anytime loop: {it} sweeps over {args.ticks} ticks in {dt:.2f}s")
 
     # rviz verb: initialpose -> path, from several random free starts.
-    free = np.argwhere(img == 128)
+    # The anytime contract (harmonic_path_cpu.cpp:207-212): a failed path
+    # means "not relaxed enough yet" — keep relaxing and retry.
+    from epic_tpu.errors import EpicError
+
+    free = np.argwhere(free_mask)
     rng = np.random.default_rng(0)
+    pending = [tuple(map(int, free[i]))
+               for i in rng.choice(len(free), size=args.starts, replace=False)]
     paths = []
-    for i in rng.choice(len(free), size=args.starts, replace=False):
-        y, x = map(int, free[i])
-        swx, swy = node.planner.map_to_world(x, y)
-        try:
-            resp = node.set_start(msg.PoseStamped(swx, swy))
-        except Exception as e:
-            print(f"  start ({x},{y}): {type(e).__name__}")
-            continue
-        pts = np.array(
-            [node.planner.world_to_map(p.x, p.y) for p in resp.path.poses],
-            dtype=np.float32,
-        )
-        paths.append(pts)
-        print(f"  start ({x},{y}): {len(pts)} poses")
+    for round_no in range(12):
+        still = []
+        for y, x in pending:
+            swx, swy = node.planner.map_to_world(x, y)
+            try:
+                resp = node.set_start(msg.PoseStamped(swx, swy))
+            except EpicError as e:
+                still.append((y, x))
+                continue
+            pts = np.array(
+                [node.planner.world_to_map(p.x, p.y) for p in resp.path.poses],
+                dtype=np.float32,
+            )
+            paths.append(pts)
+            print(f"  start ({x},{y}): {len(pts)} poses "
+                  f"(after {int(node.planner.state.iteration)} sweeps)")
+        pending = still
+        if not pending:
+            break
+        # Not relaxed enough for the remaining starts: run more ticks.
+        for _ in range(args.ticks):
+            node.update()
+    for y, x in pending:
+        print(f"  start ({x},{y}): no path after "
+              f"{int(node.planner.state.iteration)} sweeps")
 
     st = node.planner.state
     rgb = viz.render(np.asarray(st.u), np.asarray(st.locked), paths)
