@@ -23,7 +23,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     except Exception:  # config name drift across jax versions — best effort
         pass
 
-from . import constants, errors
+from . import analysis, checkpoint, config, constants, errors, maps, path, profiling, viz
 from .grid import (
     GridState,
     empty_state,
@@ -32,6 +32,7 @@ from .grid import (
     reset_free_cells,
     set_cells,
 )
+from .planner import Planner, PlannerConfig
 from .solver import core as solver_core
 from .solver import reference_np as solver_oracle
 
@@ -39,13 +40,22 @@ __version__ = "0.1.0"
 
 __all__ = [
     "GridState",
+    "Planner",
+    "PlannerConfig",
+    "analysis",
+    "checkpoint",
+    "config",
     "constants",
     "errors",
     "empty_state",
     "from_occupancy_image",
     "make_state",
+    "maps",
+    "path",
+    "profiling",
     "reset_free_cells",
     "set_cells",
     "solver_core",
     "solver_oracle",
+    "viz",
 ]

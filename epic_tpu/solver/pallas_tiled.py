@@ -46,13 +46,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tiled_kernel(it_ref, u_hbm, f_hbm, out_hbm, delta_ref, *, num_sweeps, band):
+def _tiled_kernel(it_ref, u_hbm, f_hbm, out_hbm, delta_ref, *, num_sweeps, band, guard):
     i = pl.program_id(0)
-    k = num_sweeps
+    k = guard  # halo depth baked into the layout (>= num_sweeps)
     ext = band + 2 * k
     w = u_hbm.shape[1]
     t0 = it_ref[0]
 
+    # (int32 masks: v5e Mosaic rejects int8 vector comparisons.)
     def inner(u_vmem, f_vmem, in_sem, out_sem):
         win0 = i * band  # window start row in the padded array
         in_u = pltpu.make_async_copy(
@@ -93,7 +94,7 @@ def _tiled_kernel(it_ref, u_hbm, f_hbm, out_hbm, delta_ref, *, num_sweeps, band)
             delta = jnp.where(s == 0, d, delta)
             return u_new, delta
 
-        u, delta = jax.lax.fori_loop(0, k, body, (u, jnp.float32(0.0)))
+        u, delta = jax.lax.fori_loop(0, num_sweeps, body, (u, jnp.float32(0.0)))
         u_vmem[:] = u
 
         out = pltpu.make_async_copy(
@@ -115,7 +116,7 @@ def _tiled_kernel(it_ref, u_hbm, f_hbm, out_hbm, delta_ref, *, num_sweeps, band)
     pl.run_scoped(
         inner,
         pltpu.VMEM((ext, w), jnp.float32),
-        pltpu.VMEM((ext, w), jnp.int8),
+        pltpu.VMEM((ext, w), jnp.int32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA,
     )
@@ -123,7 +124,7 @@ def _tiled_kernel(it_ref, u_hbm, f_hbm, out_hbm, delta_ref, *, num_sweeps, band)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "band", "interpret"),
+    static_argnames=("num_sweeps", "band", "interpret", "guard"),
 )
 def sweep_chunk_tiled(
     u: jax.Array,
@@ -132,19 +133,27 @@ def sweep_chunk_tiled(
     num_sweeps: int = 8,
     band: int = 256,
     interpret: bool = False,
+    guard: int | None = None,
 ):
     """K sweeps over a band-padded grid (see :func:`pad_for_tiles`).
 
-    Returns (u_new, delta_of_first_sweep). The guard rows (top K, bottom K,
-    and right padding) are frozen, so they pass through unchanged.
+    ``guard`` is the halo depth baked into the padded layout (defaults to
+    num_sweeps); a layout with deeper guards can run shallower chunks — e.g.
+    the reference protocol's single check sweep — without re-padding.
+
+    Returns (u_new, delta_of_first_sweep). The guard rows (top/bottom) and
+    right padding are frozen, so they pass through unchanged.
     """
+    if guard is None:
+        guard = num_sweeps
+    assert num_sweeps <= guard
     hp, wp = u.shape
-    k = num_sweeps
+    k = guard
     nbands = (hp - 2 * k) // band
     assert nbands * band + 2 * k == hp, (hp, band, k)
 
     out_u, out_delta = pl.pallas_call(
-        functools.partial(_tiled_kernel, num_sweeps=num_sweeps, band=band),
+        functools.partial(_tiled_kernel, num_sweeps=num_sweeps, band=band, guard=guard),
         grid=(nbands,),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
@@ -160,7 +169,7 @@ def sweep_chunk_tiled(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
-    )(iteration.reshape(1), u, frozen.astype(jnp.int8))
+    )(iteration.reshape(1), u, frozen.astype(jnp.int32))
     # Guard rows are never written by any band's output copy; restore them
     # from the input so the padded layout stays intact across chunks.
     out_u = out_u.at[:k, :].set(u[:k, :])

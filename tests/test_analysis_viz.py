@@ -54,3 +54,16 @@ def test_streamline_success_rate_metric():
         np.asarray(out.u), np.asarray(out.locked), img == 255, n_samples=40
     )
     assert rate > 0.9
+
+
+def test_profiling_timed_solve():
+    from epic_tpu import profiling
+    from epic_tpu.solver import core as score
+
+    img = maps.open_room(24, 24)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    out, stats = profiling.timed_solve(score.solve, st, stagger=10)
+    assert stats.iterations == int(out.iteration) > 0
+    assert stats.wall_s > 0 and stats.cells == 24 * 24
+    assert stats.sweeps_per_s > 0 and stats.cell_updates_per_s > 0
+    assert stats.time_per_update == stats.wall_s / stats.iterations

@@ -1,4 +1,4 @@
-"""Batched Pallas kernel: per-lane exactness vs the vmapped XLA path."""
+"""Stacked-grid batched solver: per-lane exactness vs the vmapped XLA path."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -17,18 +17,36 @@ def _batch(n_goals=3, h=24, w=32):
 def test_chunk_matches_vmapped_core():
     u, locked = _batch()
     u_host = np.asarray(u)
-    u_d, frozen, b, h, w = pallas_batched.pad_batch(
-        u_host, np.asarray(locked), lane_block=4
+    u_s, frozen, meta = pallas_batched.pad_batch(
+        u_host, np.asarray(locked), num_sweeps=5
     )
-    out, d = pallas_batched.sweep_chunk_batch(
-        u_d, frozen, jnp.int32(0), 5, lane_block=4, interpret=True
+    out, _ = pallas_batched.sweep_chunk_batch(
+        u_s, frozen, jnp.int32(0), 5, meta, interpret=True
     )
-    ref_u, ref_d = batched.update_n_batch(u, locked, jnp.int32(0), 5)
+    ref_u, _ = batched.update_n_batch(u, locked, jnp.int32(0), 5)
     np.testing.assert_allclose(
-        np.asarray(out)[:b, :h, :w], np.asarray(ref_u), rtol=2e-6, atol=1e-4
+        pallas_batched.unstack(out, meta), np.asarray(ref_u),
+        rtol=2e-6, atol=1e-4,
     )
+
+
+def test_parity_preserved_across_stacked_maps():
+    # The stacking argument requires even H; verify map index doesn't shift
+    # the checkerboard: lane 2's result equals a solo run of lane 2.
+    u, locked = _batch()
+    u_host = np.asarray(u)
+    u_s, frozen, meta = pallas_batched.pad_batch(
+        u_host, np.asarray(locked), num_sweeps=4
+    )
+    out, _ = pallas_batched.sweep_chunk_batch(
+        u_s, frozen, jnp.int32(0), 4, meta, interpret=True
+    )
+    lane = 2
+    st = epic_tpu.make_state(u_host[lane], np.asarray(locked)[lane])
+    solo = core.update_n(st, 4)
     np.testing.assert_allclose(
-        np.asarray(d)[:b], np.asarray(ref_d), rtol=1e-5, atol=1e-6
+        pallas_batched.unstack(out, meta)[lane], np.asarray(solo.u),
+        rtol=2e-6, atol=1e-4,
     )
 
 
@@ -37,26 +55,24 @@ def test_solve_batch_matches_solo():
     u_host = np.asarray(u)
     locked_host = np.asarray(locked)
     u_out, iters, deltas, conv = pallas_batched.solve_batch(
-        u_host, locked_host, epsilon=1e-2, stagger=10, lane_block=4,
+        u_host, locked_host, epsilon=1e-2, stagger=11, chunk_depth=5,
         interpret=True,
     )
     assert conv.all()
     for lane in range(u_host.shape[0]):
         st = epic_tpu.make_state(u_host[lane], locked_host[lane], epsilon=1e-2)
-        solo = core.solve(st, stagger=10)
+        solo = core.solve(st, stagger=11)
         assert int(iters[lane]) == int(solo.iteration), lane
         np.testing.assert_allclose(
             u_out[lane], np.asarray(solo.u), rtol=2e-6, atol=1e-3
         )
 
 
-def test_lane_padding_isolated():
-    # B not a multiple of lane_block: padded lanes must not affect results.
-    u, locked = _batch(n_goals=2)
-    u_host = np.asarray(u)
-    u_out, iters, deltas, conv = pallas_batched.solve_batch(
-        u_host, np.asarray(locked), epsilon=1e-2, stagger=10, lane_block=8,
-        interpret=True,
-    )
-    assert u_out.shape == u_host.shape
-    assert conv.all()
+def test_odd_height_rejected():
+    u = np.zeros((2, 9, 16), np.float32)
+    locked = np.zeros((2, 9, 16), bool)
+    try:
+        pallas_batched.pad_batch(u, locked)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
