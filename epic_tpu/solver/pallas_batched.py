@@ -1,23 +1,26 @@
-"""Batched-scenario solving on TPU: the stacked-grid design.
+"""Batched-scenario solving on TPU: the collage design.
 
-BASELINE config 3 asks for 4096 (map, goal-set) solves per chip. Two earlier
-designs fell short on v5e: the vmapped XLA path materializes per-sweep
-intermediates through HBM (~26x off roofline), and a 3D [lanes, H, W] Pallas
-brick lowers poorly in Mosaic (per-slice serialization). The winning
-observation: every map's boundary ring is frozen and H is padded even, so
+BASELINE config 3 asks for 4096 (map, goal-set) solves per chip. Designs
+that fell short on v5e:
 
-  - stacking the batch **vertically** into one [B*H, W] grid keeps the
-    checkerboard parity of every map intact ((b*H + y + x) % 2 == (y+x) % 2
-    for even H), and
-  - the frozen seams make the maps independent — a stencil read across a
-    seam only feeds a frozen cell's masked-out update.
+- vmapped XLA (:mod:`epic_tpu.solver.batched`): per-sweep intermediates
+  through HBM, ~26x off roofline;
+- a 3D [lanes, H, W] Pallas brick: Mosaic lowers 3D rolls poorly;
+- a tall [B*H, W] stack through the tiled kernel: only 128 lanes wide, so
+  thousands of tiny serialized DMA bands dominate.
 
-The batch therefore runs through the proven 2D kernels unchanged: the
-temporal row-band tiled kernel (:mod:`epic_tpu.solver.pallas_tiled`) does K
-sweeps per HBM round trip over the tall grid. Per-lane staggered-check
-deltas are computed between kernel passes with one cheap XLA reduction over
-the stacked layout (the check sweep is split out exactly as the reference
-protocol requires).
+The winning layout is a near-square **collage**: B maps arranged in a
+(Gr x Gc) grid of tiles, one big 2D array of (Gr*H, Gc*W). Because every
+map keeps its frozen boundary ring and H, W are padded even, the collage
+preserves each map's checkerboard parity (tile offsets are even) and the
+frozen seams keep maps independent — a stencil read across a seam only
+feeds a masked-out update. The whole batch then runs through the proven 2D
+temporal-blocking kernel (:mod:`epic_tpu.solver.pallas_tiled`) with wide
+bands and K sweeps per HBM round trip.
+
+Per-lane staggered-check deltas reduce on device between passes
+(one reshape + max over tile axes), and a lane retires (its tile's frozen
+plane set all-True) exactly per the reference protocol.
 """
 
 from __future__ import annotations
@@ -32,68 +35,84 @@ from .. import constants as C
 from . import pallas_tiled
 
 
-def pad_batch(u: np.ndarray, locked: np.ndarray, num_sweeps: int = 10):
-    """Stack a [B, H, W] batch into a tall tiled-kernel grid.
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
-    Returns (u_stacked, frozen_stacked, meta) where meta carries the layout
-    for :func:`sweep_chunk_batch` / :func:`unstack`. Width pads to 128; each
-    map keeps its own frozen boundary ring; K guard rows top and bottom.
+
+def pad_batch(
+    u: np.ndarray,
+    locked: np.ndarray,
+    num_sweeps: int = 10,
+    band: int = 256,
+    grid_cols: int | None = None,
+):
+    """Arrange a [B, H, W] batch into a collage for the tiled kernel.
+
+    Returns (u_collage, frozen_collage, meta). W pads to a lane multiple;
+    unused tiles (when Gr*Gc > B) are fully frozen.
     """
     b, h, w = u.shape
     if h % 2:
-        raise ValueError("map height must be even for stacked batching")
+        raise ValueError("map height must be even for collage batching")
+    wp = _round_up(w, 128)
+    if grid_cols is None:
+        # Aim for a few thousand lanes of width.
+        grid_cols = max(1, min(b, 4096 // wp if wp <= 4096 else 1))
+    gc = grid_cols
+    gr = -(-b // gc)
     k = num_sweeps
-    wp = -(-w // 128) * 128
-    hs = b * h
-    band = h  # one map per band keeps halos within neighbouring maps
-    nbands = b
-    hp = nbands * band + 2 * k
 
-    u_p = np.full((hp, wp), np.float32(C.LOG_SPACE_OBSTACLE), np.float32)
-    frozen = np.ones((hp, wp), dtype=np.int32)
+    rows = gr * h
+    hp = _round_up(rows, band) + 2 * k
+    cols = gc * wp
+
+    u_c = np.full((hp, cols), np.float32(C.LOG_SPACE_OBSTACLE), np.float32)
+    frozen = np.ones((hp, cols), dtype=np.int32)
     interior = np.zeros((h, w), dtype=bool)
     interior[1:-1, 1:-1] = True
-    u_flat = np.asarray(u, np.float32)
-    l_flat = np.asarray(locked).astype(bool)
-    u_p[k : k + hs, :w] = u_flat.reshape(hs, w)
-    frozen[k : k + hs, :w] = np.where(
-        np.tile(interior, (b, 1)), l_flat.reshape(hs, w).astype(np.int32), 1
-    )
-    meta = dict(b=b, h=h, w=w, k=k, hp=hp, wp=wp, band=band)
-    return jnp.asarray(u_p), jnp.asarray(frozen), meta
+    u_np = np.asarray(u, np.float32)
+    l_np = np.asarray(locked).astype(np.int32)
+    for lane in range(b):
+        r, c = divmod(lane, gc)
+        y0 = k + r * h
+        x0 = c * wp
+        u_c[y0 : y0 + h, x0 : x0 + w] = u_np[lane]
+        frozen[y0 : y0 + h, x0 : x0 + w] = np.where(interior, l_np[lane], 1)
+    meta = dict(b=b, h=h, w=w, k=k, gr=gr, gc=gc, wp=wp, hp=hp,
+                cols=cols, band=band)
+    return jnp.asarray(u_c), jnp.asarray(frozen), meta
 
 
-def unstack(u_stacked: jax.Array, meta) -> np.ndarray:
+def unstack(u_collage: jax.Array, meta) -> np.ndarray:
     b, h, w, k = meta["b"], meta["h"], meta["w"], meta["k"]
-    arr = np.asarray(u_stacked)[k : k + b * h, :w]
-    return arr.reshape(b, h, w)
+    gr, gc, wp = meta["gr"], meta["gc"], meta["wp"]
+    arr = np.asarray(u_collage)[k : k + gr * h, :].reshape(gr, h, gc, wp)
+    arr = arr.transpose(0, 2, 1, 3).reshape(gr * gc, h, wp)[:b, :, :w]
+    return arr
 
 
 def sweep_chunk_batch(
-    u_stacked: jax.Array,
+    u_collage: jax.Array,
     frozen: jax.Array,
     iteration: jax.Array,
     num_sweeps: int,
     meta,
     interpret: bool = False,
 ):
-    """num_sweeps sweeps over the stacked batch (one tiled-kernel pass).
-
-    num_sweeps must equal meta["k"] (the guard/halo depth baked into the
-    layout) or be split into passes of that depth by the caller.
-    """
+    """num_sweeps sweeps over the collage (one tiled-kernel pass);
+    num_sweeps <= meta['k'] (the guard depth baked into the layout)."""
     assert num_sweeps <= meta["k"], (num_sweeps, meta["k"])
-    u, delta = pallas_tiled.sweep_chunk_tiled(
-        u_stacked, frozen, iteration, num_sweeps, meta["band"], interpret,
+    return pallas_tiled.sweep_chunk_tiled(
+        u_collage, frozen, iteration, num_sweeps, meta["band"], interpret,
         guard=meta["k"],
     )
-    return u, delta
 
 
-@functools.partial(jax.jit, static_argnames=("b", "h", "wp", "k"))
-def _per_lane_delta(u_new, u_old, b: int, h: int, wp: int, k: int):
-    diff = jnp.abs(u_new - u_old)[k : k + b * h, :]
-    return jnp.max(diff.reshape(b, h * wp), axis=1)
+@functools.partial(jax.jit, static_argnames=("gr", "gc", "h", "wp", "k"))
+def _per_lane_delta(u_new, u_old, gr: int, gc: int, h: int, wp: int, k: int):
+    diff = jnp.abs(u_new - u_old)[k : k + gr * h, :]
+    per_tile = jnp.max(diff.reshape(gr, h, gc, wp), axis=(1, 3))
+    return per_tile.reshape(gr * gc)
 
 
 def solve_batch(
@@ -103,15 +122,16 @@ def solve_batch(
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
     chunk_depth: int = 10,
+    band: int = 256,
+    grid_cols: int | None = None,
     interpret: bool | None = None,
 ):
-    """Lockstep solve of B scenarios through the stacked tiled kernel.
+    """Lockstep solve of B scenarios through the collage tiled kernel.
 
     Per-lane exactness as :func:`epic_tpu.solver.batched.solve_batch`: the
     check sweep runs as its own pass, per-lane deltas reduce on device, and
-    a lane retires (frozen plane set all-True) when delta < eps and
-    iter + 1 >= max(H, W). ``stagger - 1`` must be divisible by
-    ``chunk_depth`` (default 10 fits the reference's stagger of 100).
+    a lane retires (tile frozen) when delta < eps and iter + 1 >= max(H, W).
+    ``stagger - 1`` must be divisible by ``chunk_depth``.
 
     Returns (u[B, H, W], iterations[B], deltas[B], converged[B]).
     """
@@ -124,33 +144,31 @@ def solve_batch(
     b, h, w = u.shape
     m_max = max(h, w)
 
-    # Layout for the plain-sweep passes (depth K) and the check pass (K=1).
-    u_s, frozen_s, meta = pad_batch(u, locked_np, num_sweeps=chunk_depth)
-    k = meta["k"]
+    u_c, frozen_c, meta = pad_batch(
+        u, locked_np, num_sweeps=chunk_depth, band=band, grid_cols=grid_cols
+    )
+    k, gr, gc, wp = meta["k"], meta["gr"], meta["gc"], meta["wp"]
 
-    iters = np.zeros(b, np.int64)
-    deltas = np.full(b, epsilon + 1.0, np.float32)
-    retired = np.zeros(b, bool)
-    frozen_host = np.array(frozen_s)
-    lane_rows = lambda lane: slice(k + lane * h, k + (lane + 1) * h)
+    n_lanes = gr * gc
+    iters = np.zeros(n_lanes, np.int64)
+    deltas = np.full(n_lanes, epsilon + 1.0, np.float32)
+    retired = np.zeros(n_lanes, bool)
+    retired[b:] = True
+    frozen_host = np.array(frozen_c)
 
-    # A 1-sweep layout shares the same padded shape (guards just deeper
-    # than needed), so we can reuse u_s/frozen_s for the check pass by
-    # running the K-deep kernel for 1 sweep via a separate meta.
+    def freeze_lane(lane):
+        r, c = divmod(lane, gc)
+        frozen_host[k + r * h : k + (r + 1) * h, c * wp : (c + 1) * wp] = 1
+
     t = 0
+    frozen_dev = jnp.asarray(frozen_host)
     while not retired.all() and t < max_iterations:
-        frozen_dev = jnp.asarray(frozen_host)
-        u_prev = u_s
-        # Check sweep (single sweep through the tiled kernel at depth K=1
-        # semantics: we run depth-K kernel with num_sweeps=K but need only
-        # the first sweep's per-lane delta -> run a 1-sweep pass instead).
-        u_s, _ = pallas_tiled.sweep_chunk_tiled(
-            u_s, frozen_dev, jnp.int32(t), 1, meta["band"], interpret,
-            guard=k,
+        u_prev = u_c
+        # The protocol's check sweep, as its own shallow pass.
+        u_c, _ = sweep_chunk_batch(
+            u_c, frozen_dev, jnp.int32(t), 1, meta, interpret
         )
-        d = np.asarray(
-            _per_lane_delta(u_s, u_prev, b, h, meta["wp"], k)
-        )
+        d = np.asarray(_per_lane_delta(u_c, u_prev, gr, gc, h, wp, k))
         active = ~retired
         deltas[active] = d[active]
         t += 1
@@ -159,18 +177,21 @@ def solve_batch(
         if just_done.any():
             retired |= just_done
             for lane in np.nonzero(just_done)[0]:
-                frozen_host[lane_rows(lane)] = 1
+                freeze_lane(lane)
             frozen_dev = jnp.asarray(frozen_host)
         if retired.all():
             break
-        # stagger - 1 plain sweeps in depth-K passes.
         for _ in range((stagger - 1) // chunk_depth):
-            u_s, _ = pallas_tiled.sweep_chunk_tiled(
-                u_s, frozen_dev, jnp.int32(t), chunk_depth, meta["band"],
-                interpret, guard=k,
+            u_c, _ = sweep_chunk_batch(
+                u_c, frozen_dev, jnp.int32(t), chunk_depth, meta, interpret
             )
             t += chunk_depth
         active = ~retired
         iters[active] = t
 
-    return unstack(u_s, meta), iters.astype(np.int32), deltas, retired
+    return (
+        unstack(u_c, meta),
+        iters[:b].astype(np.int32),
+        deltas[:b],
+        retired[:b],
+    )

@@ -1,4 +1,4 @@
-"""Stacked-grid batched solver: per-lane exactness vs the vmapped XLA path."""
+"""Collage batched solver: per-lane exactness vs the vmapped XLA path."""
 
 import numpy as np
 import jax.numpy as jnp
