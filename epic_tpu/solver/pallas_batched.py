@@ -42,11 +42,14 @@ def _round_up(x: int, m: int) -> int:
 def pad_batch(
     u: np.ndarray,
     locked: np.ndarray,
-    num_sweeps: int = 10,
+    num_sweeps: int = 16,
     band: int = 256,
     grid_cols: int | None = None,
 ):
     """Arrange a [B, H, W] batch into a collage for the tiled kernel.
+
+    ``num_sweeps`` (the guard depth) must be a multiple of 8 — Mosaic
+    requires 8-aligned DMA window heights and offsets.
 
     Returns (u_collage, frozen_collage, meta). W pads to a lane multiple;
     unused tiles (when Gr*Gc > B) are fully frozen.
@@ -121,7 +124,7 @@ def solve_batch(
     epsilon: float = C.DEFAULT_EPSILON,
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
-    chunk_depth: int = 10,
+    chunk_depth: int = 16,
     band: int = 256,
     grid_cols: int | None = None,
     interpret: bool | None = None,
@@ -131,14 +134,13 @@ def solve_batch(
     Per-lane exactness as :func:`epic_tpu.solver.batched.solve_batch`: the
     check sweep runs as its own pass, per-lane deltas reduce on device, and
     a lane retires (tile frozen) when delta < eps and iter + 1 >= max(H, W).
-    ``stagger - 1`` must be divisible by ``chunk_depth``.
+    The stagger-1 plain sweeps run as full chunk_depth passes plus one
+    remainder pass.
 
     Returns (u[B, H, W], iterations[B], deltas[B], converged[B]).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if (stagger - 1) % chunk_depth:
-        raise ValueError("stagger - 1 must be divisible by chunk_depth")
     u = np.asarray(u, np.float32)
     locked_np = np.asarray(locked).astype(bool)
     b, h, w = u.shape
@@ -181,11 +183,14 @@ def solve_batch(
             frozen_dev = jnp.asarray(frozen_host)
         if retired.all():
             break
-        for _ in range((stagger - 1) // chunk_depth):
+        rest = stagger - 1
+        while rest > 0:
+            depth = min(chunk_depth, rest)
             u_c, _ = sweep_chunk_batch(
-                u_c, frozen_dev, jnp.int32(t), chunk_depth, meta, interpret
+                u_c, frozen_dev, jnp.int32(t), depth, meta, interpret
             )
-            t += chunk_depth
+            t += depth
+            rest -= depth
         active = ~retired
         iters[active] = t
 

@@ -149,6 +149,9 @@ def sweep_chunk_tiled(
     assert num_sweeps <= guard
     hp, wp = u.shape
     k = guard
+    # Mosaic requires DMA window heights (band + 2*guard) and the writeback
+    # offset (guard) to be sublane-aligned.
+    assert (band + 2 * k) % 8 == 0, (band, k, "window height must be 8-aligned")
     nbands = (hp - 2 * k) // band
     assert nbands * band + 2 * k == hp, (hp, band, k)
 

@@ -18,12 +18,12 @@ def test_chunk_matches_vmapped_core():
     u, locked = _batch()
     u_host = np.asarray(u)
     u_s, frozen, meta = pallas_batched.pad_batch(
-        u_host, np.asarray(locked), num_sweeps=5
+        u_host, np.asarray(locked), num_sweeps=8
     )
     out, _ = pallas_batched.sweep_chunk_batch(
-        u_s, frozen, jnp.int32(0), 5, meta, interpret=True
+        u_s, frozen, jnp.int32(0), 8, meta, interpret=True
     )
-    ref_u, _ = batched.update_n_batch(u, locked, jnp.int32(0), 5)
+    ref_u, _ = batched.update_n_batch(u, locked, jnp.int32(0), 8)
     np.testing.assert_allclose(
         pallas_batched.unstack(out, meta), np.asarray(ref_u),
         rtol=2e-6, atol=1e-4,
@@ -36,14 +36,14 @@ def test_parity_preserved_across_stacked_maps():
     u, locked = _batch()
     u_host = np.asarray(u)
     u_s, frozen, meta = pallas_batched.pad_batch(
-        u_host, np.asarray(locked), num_sweeps=4
+        u_host, np.asarray(locked), num_sweeps=8
     )
     out, _ = pallas_batched.sweep_chunk_batch(
-        u_s, frozen, jnp.int32(0), 4, meta, interpret=True
+        u_s, frozen, jnp.int32(0), 8, meta, interpret=True
     )
     lane = 2
     st = epic_tpu.make_state(u_host[lane], np.asarray(locked)[lane])
-    solo = core.update_n(st, 4)
+    solo = core.update_n(st, 8)
     np.testing.assert_allclose(
         pallas_batched.unstack(out, meta)[lane], np.asarray(solo.u),
         rtol=2e-6, atol=1e-4,
@@ -55,7 +55,7 @@ def test_solve_batch_matches_solo():
     u_host = np.asarray(u)
     locked_host = np.asarray(locked)
     u_out, iters, deltas, conv = pallas_batched.solve_batch(
-        u_host, locked_host, epsilon=1e-2, stagger=11, chunk_depth=5,
+        u_host, locked_host, epsilon=1e-2, stagger=11, chunk_depth=8,
         interpret=True,
     )
     assert conv.all()
