@@ -1,26 +1,24 @@
-"""Batched-scenario solving on TPU: the collage design.
+"""Batched-scenario solving on TPU: VMEM-resident collage blocks.
 
 BASELINE config 3 asks for 4096 (map, goal-set) solves per chip. Designs
-that fell short on v5e:
+that fell short on v5e (see git history): vmapped XLA (intermediates
+through HBM), a 3D lane-brick kernel (Mosaic lowers 3D rolls poorly), and
+manual-DMA row-band tiling over a stacked grid (band DMAs serialize).
 
-- vmapped XLA (:mod:`epic_tpu.solver.batched`): per-sweep intermediates
-  through HBM, ~26x off roofline;
-- a 3D [lanes, H, W] Pallas brick: Mosaic lowers 3D rolls poorly;
-- a tall [B*H, W] stack through the tiled kernel: only 128 lanes wide, so
-  thousands of tiny serialized DMA bands dominate.
+The design that works composes two facts:
 
-The winning layout is a near-square **collage**: B maps arranged in a
-(Gr x Gc) grid of tiles, one big 2D array of (Gr*H, Gc*W). Because every
-map keeps its frozen boundary ring and H, W are padded even, the collage
-preserves each map's checkerboard parity (tile offsets are even) and the
-frozen seams keep maps independent — a stencil read across a seam only
-feeds a masked-out update. The whole batch then runs through the proven 2D
-temporal-blocking kernel (:mod:`epic_tpu.solver.pallas_tiled`) with wide
-bands and K sweeps per HBM round trip.
+- maps with frozen boundary rings are *independent*: arranged side by side
+  in a collage, a stencil read across a seam only feeds a masked-out
+  update, and even tile offsets preserve each map's checkerboard parity;
+- a **pallas grid over VMEM-sized blocks needs no halos** when block
+  boundaries coincide with frozen seams — so each grid step runs the
+  proven VMEM-resident K-sweep body on its own block while Mosaic
+  auto-pipelines the next block's HBM->VMEM transfer.
 
-Per-lane staggered-check deltas reduce on device between passes
-(one reshape + max over tile axes), and a lane retires (its tile's frozen
-plane set all-True) exactly per the reference protocol.
+Layout: maps are grouped (gpr x gpc) per block (default 4x4 of 128² maps =
+one 512x512 block, comfortably VMEM-resident with temporaries), blocks
+stacked vertically. Per-lane staggered-check deltas reduce on device
+between passes; lane retirement freezes the lane's tile.
 """
 
 from __future__ import annotations
@@ -30,68 +28,150 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from . import pallas_tiled
+
+_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+
+# Per-block cell budget: the kernel materializes ~8 block-sized f32
+# temporaries per sweep; 300k cells * 4 B * 8 ≈ 9.6 MB against 16 MB VMEM.
+BLOCK_CELL_BUDGET = 300_000
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _block_kernel(it_ref, u_ref, frozen_ref, u_out, delta_ref, *, num_sweeps):
+    """The VMEM multi-sweep body (pallas_sweep) applied to one collage block."""
+    t0 = it_ref[0]
+    u0 = u_ref[:]
+    h, w = u0.shape
+    not_frozen = frozen_ref[:] == 0
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    parity = (row + col) % 2
+
+    def sweep(u, k):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, h - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, w - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(s)) - _LOG2N_2D
+        update = (parity != ((t0 + k) % 2)) & not_frozen
+        return jnp.where(update, val, u)
+
+    u = sweep(u0, 0)
+    delta_ref[0] = jnp.max(jnp.abs(u - u0))
+
+    def body(k, u):
+        return sweep(u, k + 1)
+
+    u = jax.lax.fori_loop(0, num_sweeps - 1, body, u)
+    u_out[:] = u
+
+
+# No donation: the solve protocol needs the pre-check-sweep array alive for
+# the per-lane delta reduction.
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "block_rows", "interpret")
+)
+def sweep_chunk_blocks(
+    u: jax.Array,
+    frozen: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    block_rows: int,
+    interpret: bool = False,
+):
+    """K sweeps over a [n_blocks*block_rows, cols] collage whose block
+    boundaries are frozen seams. Returns (u, per-block first-sweep delta)."""
+    hp, cols = u.shape
+    assert hp % block_rows == 0
+    n_blocks = hp // block_rows
+    out_u, out_delta = pl.pallas_call(
+        functools.partial(_block_kernel, num_sweeps=num_sweeps),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, cols), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u, frozen)
+    return out_u, out_delta
+
+
 def pad_batch(
     u: np.ndarray,
     locked: np.ndarray,
-    num_sweeps: int = 16,
-    band: int = 256,
-    grid_cols: int | None = None,
+    group_shape: tuple[int, int] | None = None,
 ):
-    """Arrange a [B, H, W] batch into a collage for the tiled kernel.
+    """Arrange a [B, H, W] batch into a block collage.
 
-    ``num_sweeps`` (the guard depth) must be a multiple of 8 — Mosaic
-    requires 8-aligned DMA window heights and offsets.
-
-    Returns (u_collage, frozen_collage, meta). W pads to a lane multiple;
-    unused tiles (when Gr*Gc > B) are fully frozen.
+    Returns (u_collage, frozen_collage, meta). Each block holds a
+    (gpr x gpc) group of maps; blocks stack vertically. Unused tiles are
+    fully frozen.
     """
     b, h, w = u.shape
     if h % 2:
         raise ValueError("map height must be even for collage batching")
     wp = _round_up(w, 128)
-    if grid_cols is None:
-        # Aim for a few thousand lanes of width.
-        grid_cols = max(1, min(b, 4096 // wp if wp <= 4096 else 1))
-    gc = grid_cols
-    gr = -(-b // gc)
-    k = num_sweeps
-
-    rows = gr * h
-    hp = _round_up(rows, band) + 2 * k
-    cols = gc * wp
+    hp8 = _round_up(h, 8)
+    if group_shape is None:
+        gpc = max(1, min(b, 1024 // wp)) if wp <= 1024 else 1
+        per_col_cells = hp8 * gpc * wp
+        gpr = max(1, BLOCK_CELL_BUDGET // per_col_cells)
+        group_shape = (gpr, gpc)
+    gpr, gpc = group_shape
+    per_group = gpr * gpc
+    n_blocks = -(-b // per_group)
+    block_rows = gpr * hp8
+    cols = gpc * wp
+    hp = n_blocks * block_rows
 
     u_c = np.full((hp, cols), np.float32(C.LOG_SPACE_OBSTACLE), np.float32)
     frozen = np.ones((hp, cols), dtype=np.int32)
-    interior = np.zeros((h, w), dtype=bool)
-    interior[1:-1, 1:-1] = True
+    interior = np.zeros((hp8, wp), dtype=bool)
+    interior[1 : h - 1, 1 : w - 1] = True
     u_np = np.asarray(u, np.float32)
     l_np = np.asarray(locked).astype(np.int32)
     for lane in range(b):
-        r, c = divmod(lane, gc)
-        y0 = k + r * h
+        g, idx = divmod(lane, per_group)
+        r, c = divmod(idx, gpc)
+        y0 = g * block_rows + r * hp8
         x0 = c * wp
         u_c[y0 : y0 + h, x0 : x0 + w] = u_np[lane]
-        frozen[y0 : y0 + h, x0 : x0 + w] = np.where(interior, l_np[lane], 1)
-    meta = dict(b=b, h=h, w=w, k=k, gr=gr, gc=gc, wp=wp, hp=hp,
-                cols=cols, band=band)
+        fz = np.ones((hp8, wp), np.int32)
+        fz[:h, :w] = np.where(interior[:h, :w], l_np[lane], 1)
+        frozen[y0 : y0 + hp8, x0 : x0 + wp] = fz
+    meta = dict(b=b, h=h, w=w, hp8=hp8, wp=wp, gpr=gpr, gpc=gpc,
+                n_blocks=n_blocks, block_rows=block_rows, cols=cols)
     return jnp.asarray(u_c), jnp.asarray(frozen), meta
 
 
 def unstack(u_collage: jax.Array, meta) -> np.ndarray:
-    b, h, w, k = meta["b"], meta["h"], meta["w"], meta["k"]
-    gr, gc, wp = meta["gr"], meta["gc"], meta["wp"]
-    arr = np.asarray(u_collage)[k : k + gr * h, :].reshape(gr, h, gc, wp)
-    arr = arr.transpose(0, 2, 1, 3).reshape(gr * gc, h, wp)[:b, :, :w]
-    return arr
+    b, h, w = meta["b"], meta["h"], meta["w"]
+    hp8, wp = meta["hp8"], meta["wp"]
+    gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
+    arr = np.asarray(u_collage).reshape(nb, gpr, hp8, gpc, wp)
+    arr = arr.transpose(0, 1, 3, 2, 4).reshape(nb * gpr * gpc, hp8, wp)
+    return arr[:b, :h, :w]
 
 
 def sweep_chunk_batch(
@@ -102,20 +182,19 @@ def sweep_chunk_batch(
     meta,
     interpret: bool = False,
 ):
-    """num_sweeps sweeps over the collage (one tiled-kernel pass);
-    num_sweeps <= meta['k'] (the guard depth baked into the layout)."""
-    assert num_sweeps <= meta["k"], (num_sweeps, meta["k"])
-    return pallas_tiled.sweep_chunk_tiled(
-        u_collage, frozen, iteration, num_sweeps, meta["band"], interpret,
-        guard=meta["k"],
+    """num_sweeps sweeps over the whole batch (one grid pass)."""
+    return sweep_chunk_blocks(
+        u_collage, frozen, iteration, num_sweeps, meta["block_rows"], interpret
     )
 
 
-@functools.partial(jax.jit, static_argnames=("gr", "gc", "h", "wp", "k"))
-def _per_lane_delta(u_new, u_old, gr: int, gc: int, h: int, wp: int, k: int):
-    diff = jnp.abs(u_new - u_old)[k : k + gr * h, :]
-    per_tile = jnp.max(diff.reshape(gr, h, gc, wp), axis=(1, 3))
-    return per_tile.reshape(gr * gc)
+@functools.partial(
+    jax.jit, static_argnames=("nb", "gpr", "gpc", "hp8", "wp")
+)
+def _per_lane_delta(u_new, u_old, nb: int, gpr: int, gpc: int, hp8: int, wp: int):
+    diff = jnp.abs(u_new - u_old).reshape(nb, gpr, hp8, gpc, wp)
+    per_tile = jnp.max(diff, axis=(2, 4))  # [nb, gpr, gpc]
+    return per_tile.reshape(nb * gpr * gpc)
 
 
 def solve_batch(
@@ -124,18 +203,14 @@ def solve_batch(
     epsilon: float = C.DEFAULT_EPSILON,
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
-    chunk_depth: int = 16,
-    band: int = 256,
-    grid_cols: int | None = None,
+    group_shape: tuple[int, int] | None = None,
     interpret: bool | None = None,
 ):
-    """Lockstep solve of B scenarios through the collage tiled kernel.
+    """Lockstep solve of B scenarios through the block-collage kernel.
 
     Per-lane exactness as :func:`epic_tpu.solver.batched.solve_batch`: the
     check sweep runs as its own pass, per-lane deltas reduce on device, and
     a lane retires (tile frozen) when delta < eps and iter + 1 >= max(H, W).
-    The stagger-1 plain sweeps run as full chunk_depth passes plus one
-    remainder pass.
 
     Returns (u[B, H, W], iterations[B], deltas[B], converged[B]).
     """
@@ -146,12 +221,11 @@ def solve_batch(
     b, h, w = u.shape
     m_max = max(h, w)
 
-    u_c, frozen_c, meta = pad_batch(
-        u, locked_np, num_sweeps=chunk_depth, band=band, grid_cols=grid_cols
-    )
-    k, gr, gc, wp = meta["k"], meta["gr"], meta["gc"], meta["wp"]
+    u_c, frozen_c, meta = pad_batch(u, locked_np, group_shape)
+    gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
+    hp8, wp = meta["hp8"], meta["wp"]
 
-    n_lanes = gr * gc
+    n_lanes = nb * gpr * gpc
     iters = np.zeros(n_lanes, np.int64)
     deltas = np.full(n_lanes, epsilon + 1.0, np.float32)
     retired = np.zeros(n_lanes, bool)
@@ -159,18 +233,17 @@ def solve_batch(
     frozen_host = np.array(frozen_c)
 
     def freeze_lane(lane):
-        r, c = divmod(lane, gc)
-        frozen_host[k + r * h : k + (r + 1) * h, c * wp : (c + 1) * wp] = 1
+        g, idx = divmod(lane, gpr * gpc)
+        r, c = divmod(idx, gpc)
+        y0 = g * meta["block_rows"] + r * hp8
+        frozen_host[y0 : y0 + hp8, c * wp : (c + 1) * wp] = 1
 
     t = 0
     frozen_dev = jnp.asarray(frozen_host)
     while not retired.all() and t < max_iterations:
         u_prev = u_c
-        # The protocol's check sweep, as its own shallow pass.
-        u_c, _ = sweep_chunk_batch(
-            u_c, frozen_dev, jnp.int32(t), 1, meta, interpret
-        )
-        d = np.asarray(_per_lane_delta(u_c, u_prev, gr, gc, h, wp, k))
+        u_c, _ = sweep_chunk_batch(u_c, frozen_dev, jnp.int32(t), 1, meta, interpret)
+        d = np.asarray(_per_lane_delta(u_c, u_prev, nb, gpr, gpc, hp8, wp))
         active = ~retired
         deltas[active] = d[active]
         t += 1
@@ -183,14 +256,10 @@ def solve_batch(
             frozen_dev = jnp.asarray(frozen_host)
         if retired.all():
             break
-        rest = stagger - 1
-        while rest > 0:
-            depth = min(chunk_depth, rest)
-            u_c, _ = sweep_chunk_batch(
-                u_c, frozen_dev, jnp.int32(t), depth, meta, interpret
-            )
-            t += depth
-            rest -= depth
+        u_c, _ = sweep_chunk_batch(
+            u_c, frozen_dev, jnp.int32(t), stagger - 1, meta, interpret
+        )
+        t += stagger - 1
         active = ~retired
         iters[active] = t
 

@@ -17,9 +17,7 @@ def _batch(n_goals=3, h=24, w=32):
 def test_chunk_matches_vmapped_core():
     u, locked = _batch()
     u_host = np.asarray(u)
-    u_s, frozen, meta = pallas_batched.pad_batch(
-        u_host, np.asarray(locked), num_sweeps=8
-    )
+    u_s, frozen, meta = pallas_batched.pad_batch(u_host, np.asarray(locked))
     out, _ = pallas_batched.sweep_chunk_batch(
         u_s, frozen, jnp.int32(0), 8, meta, interpret=True
     )
@@ -35,9 +33,7 @@ def test_parity_preserved_across_stacked_maps():
     # the checkerboard: lane 2's result equals a solo run of lane 2.
     u, locked = _batch()
     u_host = np.asarray(u)
-    u_s, frozen, meta = pallas_batched.pad_batch(
-        u_host, np.asarray(locked), num_sweeps=8
-    )
+    u_s, frozen, meta = pallas_batched.pad_batch(u_host, np.asarray(locked))
     out, _ = pallas_batched.sweep_chunk_batch(
         u_s, frozen, jnp.int32(0), 8, meta, interpret=True
     )
@@ -55,7 +51,7 @@ def test_solve_batch_matches_solo():
     u_host = np.asarray(u)
     locked_host = np.asarray(locked)
     u_out, iters, deltas, conv = pallas_batched.solve_batch(
-        u_host, locked_host, epsilon=1e-2, stagger=11, chunk_depth=8,
+        u_host, locked_host, epsilon=1e-2, stagger=11,
         interpret=True,
     )
     assert conv.all()
