@@ -30,6 +30,54 @@ def _sweep_batch(u, locked, iteration):
     return jax.vmap(core.sweep, in_axes=(0, 0, None))(u, locked, iteration)
 
 
+def _frozen_batch(locked):
+    """locked | ~interior per lane, as one [B, H, W] mask."""
+    b, h, w = locked.shape
+    interior = np.zeros((h, w), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    return locked | jnp.asarray(~interior)[None]
+
+
+def _sweep_batch_rolled(u, frozen, iteration):
+    """Roll-based batched sweep (no slice/update ops, fuses cleanly in XLA).
+
+    frozen must include the boundary ring per lane (see _frozen_batch);
+    wrap-around roll values only reach frozen cells. Returns (u', delta[B]).
+    """
+    un = jnp.roll(u, 1, 1)
+    us = jnp.roll(u, -1, 1)
+    uw = jnp.roll(u, 1, 2)
+    ue = jnp.roll(u, -1, 2)
+    m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+    s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+    val = (m + jnp.log(s)) - core._LOG2N_2D
+    b, h, w = u.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    parity = ((row + col) % 2)[None]
+    update = (parity != (iteration % 2)) & ~frozen
+    u_new = jnp.where(update, val, u)
+    delta = jnp.max(jnp.abs(u_new - u), axis=(1, 2))
+    return u_new, delta
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+def update_n_batch_rolled(u, frozen, iteration, num_steps: int):
+    """Fused batched chunk on the roll formulation; delta from sweep 0.
+    ``frozen`` from :func:`_frozen_batch` (or any mask covering boundaries)."""
+
+    def body(i, carry):
+        u, delta = carry
+        u, d = _sweep_batch_rolled(u, frozen, iteration + i)
+        delta = jnp.where(i == 0, d, delta)
+        return u, delta
+
+    b = u.shape[0]
+    return jax.lax.fori_loop(
+        0, num_steps, body, (u, jnp.zeros((b,), jnp.float32))
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("stagger", "max_iterations"),

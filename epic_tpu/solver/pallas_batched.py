@@ -66,7 +66,7 @@ def _block_kernel(it_ref, u_ref, frozen_ref, u_out, delta_ref, *, num_sweeps):
         return jnp.where(update, val, u)
 
     u = sweep(u0, 0)
-    delta_ref[0] = jnp.max(jnp.abs(u - u0))
+    delta_ref[pl.program_id(0), 0] = jnp.max(jnp.abs(u - u0))
 
     def body(k, u):
         return sweep(u, k + 1)
@@ -98,7 +98,7 @@ def sweep_chunk_blocks(
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((hp, cols), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks,), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -110,11 +110,14 @@ def sweep_chunk_blocks(
         out_specs=(
             pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            # Whole delta vector visible to every (sequential) program;
+            # each writes its own row — per-block SMEM blocks of size 1
+            # violate TPU block-shape rules.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
     )(iteration.reshape(1), u, frozen)
-    return out_u, out_delta
+    return out_u, out_delta[:, 0]
 
 
 def pad_batch(
