@@ -160,15 +160,29 @@ def compute_path(
     cd_precision: float = C.DEFAULT_CD_PRECISION,
     max_length: int = C.DEFAULT_MAX_LENGTH,
     mode: str = "reference",
+    impl: str = "auto",
 ) -> np.ndarray:
     """Gradient-ascent streamline from (x, y). Returns float32 [k, 2] of
     (x, y) points (harmonic_path_cpu.cpp:154-221).
+
+    impl: "auto" uses the native C++ walker when built (identical results,
+    cross-tested; ~100x faster on long paths), else the NumPy walker;
+    "numpy"/"native" force a specific one.
 
     Raises:
       InvalidLocationError: start outside the map or inside an obstacle.
       InvalidGradientError: gradient sampling failed mid-walk.
       InvalidPathError: <= 2 points produced (field not relaxed enough).
     """
+    if impl != "numpy":
+        from . import native
+
+        if native.available():
+            return native.compute_path(
+                u, locked, x, y, step_size, cd_precision, max_length, mode
+            )
+        if impl == "native":
+            raise RuntimeError("native library unavailable")
     u = np.asarray(u, dtype=np.float32)
     locked = np.asarray(locked).astype(bool)
     xc, yc = _check_location(u, locked, x, y)

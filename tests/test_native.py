@@ -42,7 +42,7 @@ def test_native_path_matches_numpy(solved_maze, mode):
     for i in rng.choice(len(ys), 15):
         x, y = float(xs[i]), float(ys[i])
         try:
-            p1 = path.compute_path(u, locked, x, y, 0.2, 0.4, mode=mode)
+            p1 = path.compute_path(u, locked, x, y, 0.2, 0.4, mode=mode, impl="numpy")
             e1 = None
         except Exception as ex:
             p1, e1 = None, type(ex).__name__
