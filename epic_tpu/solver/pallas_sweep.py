@@ -9,8 +9,10 @@ delta reduction with a 4-byte D2H copy per staggered check
 
 - A whole *chunk* of K sweeps runs inside one kernel invocation with ``u``
   resident in VMEM: HBM traffic and kernel-dispatch overhead are both
-  amortized K-fold. For every grid the reference ships (up to ~1M cells)
-  the full grid fits VMEM (~16 MB).
+  amortized K-fold. Applies to grids up to ~450k cells (maze, umass,
+  c_space, small_maze classes) — the kernel holds ~8 grid-sized f32
+  temporaries against ~16 MB of VMEM; bigger grids use the XLA or tiled
+  paths (see fits_vmem).
 - The delta max-reduction is a VPU ``jnp.max`` over the updated cells of the
   chunk's first sweep, written to SMEM — no shared-memory tree, no D2H copy;
   the solve loop reads it device-side.
@@ -42,9 +44,10 @@ from ..grid import GridState
 
 _LOG2N_2D = np.float32(np.log(np.float64(4.0)))
 
-# Conservative VMEM budget: u (4B) live + u_new temp (4B) + frozen (1B) per
-# cell, plus headroom for Mosaic temporaries, against ~16 MB of VMEM.
-VMEM_CELL_BUDGET = 1_100_000
+# VMEM budget: the kernel materializes ~8 grid-sized f32 temporaries per
+# sweep (measured via Mosaic scoped-vmem OOMs at larger shapes), so the
+# ceiling is ~16 MB / 32 B per cell. 450k cells keeps headroom.
+VMEM_CELL_BUDGET = 450_000
 
 
 def _round_up(x: int, m: int) -> int:
@@ -193,6 +196,11 @@ def update_n(state: GridState, num_steps: int, interpret: bool | None = None) ->
     :func:`epic_tpu.solver.core.update_n` (delta from the first sweep)."""
     if interpret is None:
         interpret = _is_cpu()
+    if not interpret and not fits_vmem(state.u.shape):
+        raise ValueError(
+            f"grid {state.u.shape} exceeds the VMEM-resident budget; use "
+            "solver.core (XLA) or solver.pallas_tiled"
+        )
     padded = pad_state(state)
     u, delta = sweep_chunk(padded.u, padded.frozen, state.iteration, num_steps, interpret)
     return dataclasses.replace(
@@ -257,6 +265,11 @@ def solve(
     until it finishes."""
     if interpret is None:
         interpret = _is_cpu()
+    if not interpret and not fits_vmem(state.u.shape):
+        raise ValueError(
+            f"grid {state.u.shape} exceeds the VMEM-resident budget; use "
+            "solver.core (XLA) or solver.pallas_tiled"
+        )
     padded = pad_state(state)
     u, iteration, delta, converged = _solve_padded(
         padded.u,
