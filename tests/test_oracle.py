@@ -158,3 +158,35 @@ def test_3d_solve_converges():
     assert np.all(u_out[free] < 0.0) and np.any(u_out[free] > -1e6)
     # Potential decays with distance from the goal.
     assert u_out[6, 6, 5] > u_out[6, 6, 2]
+
+
+def test_stagger_one_checks_every_iteration():
+    # stagger=1: every sweep is a check; exit at the first iteration that
+    # satisfies both conditions (always ≡ 1 mod 1, trivially).
+    img = maps.open_room(16, 16)
+    u, locked = _ingest(img)
+    u_ref, iters_ref, _ = reference_np.solve(u, locked, epsilon=1e-2, stagger=1)
+    out = core.solve(make_state(u, locked, epsilon=1e-2), stagger=1)
+    assert int(out.iteration) == iters_ref
+    np.testing.assert_allclose(np.asarray(out.u), u_ref, rtol=2e-6, atol=1e-3)
+
+
+def test_huge_epsilon_still_respects_propagation_guard():
+    # delta < eps at the very first check, but the loop cannot exit before
+    # iteration >= max(H, W): counts land on the first check past the guard.
+    img = maps.open_room(16, 24)
+    u, locked = _ingest(img)
+    out = core.solve(make_state(u, locked, epsilon=1e9), stagger=10)
+    assert int(out.iteration) == 31  # first c*10+1 >= 24
+    assert bool(out.converged)
+
+
+def test_pallas_solve_matches_protocol():
+    from epic_tpu.solver import pallas_sweep
+
+    img = maps.random_obstacles(24, 20, density=0.15, seed=9)
+    u, locked = _ingest(img)
+    u_ref, iters_ref, _ = reference_np.solve(u, locked, epsilon=1e-2, stagger=10)
+    out = pallas_sweep.solve(make_state(u, locked, epsilon=1e-2), stagger=10)
+    assert int(out.iteration) == iters_ref
+    np.testing.assert_allclose(np.asarray(out.u), u_ref, rtol=2e-6, atol=1e-3)
