@@ -23,8 +23,6 @@ import pathlib
 
 import numpy as np
 
-from . import constants as C
-
 
 @dataclasses.dataclass(frozen=True)
 class MapMeta:

@@ -9,7 +9,7 @@ plain dataclasses carry the same fields so the service *semantics* (SURVEY
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 
 @dataclasses.dataclass

@@ -9,7 +9,6 @@ one jitted program runs on whatever backend JAX selected.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import List
 

@@ -45,7 +45,6 @@ def main():
         import jax
 
     import numpy as np
-    import jax.numpy as jnp
 
     import epic_tpu
     from epic_tpu import maps
