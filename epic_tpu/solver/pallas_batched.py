@@ -32,8 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+from .pallas_sweep import make_sweep_fn
 
 # Per-block cell budget: the kernel materializes ~8 block-sized f32
 # temporaries per sweep; 300k cells * 4 B * 8 ≈ 9.6 MB against 16 MB VMEM.
@@ -45,25 +44,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _block_kernel(it_ref, u_ref, frozen_ref, u_out, delta_ref, *, num_sweeps):
-    """The VMEM multi-sweep body (pallas_sweep) applied to one collage block."""
+    """The shared VMEM multi-sweep body applied to one collage block."""
     t0 = it_ref[0]
     u0 = u_ref[:]
-    h, w = u0.shape
-    not_frozen = frozen_ref[:] == 0
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    parity = (row + col) % 2
-
-    def sweep(u, k):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, h - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(s)) - _LOG2N_2D
-        update = (parity != ((t0 + k) % 2)) & not_frozen
-        return jnp.where(update, val, u)
+    sweep = make_sweep_fn(u0, frozen_ref[:] == 0, t0)
 
     u = sweep(u0, 0)
     delta_ref[pl.program_id(0), 0] = jnp.max(jnp.abs(u - u0))

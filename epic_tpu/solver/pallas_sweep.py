@@ -59,19 +59,17 @@ def fits_vmem(shape: tuple[int, int]) -> bool:
     return _round_up(h, 8) * _round_up(w, 128) <= VMEM_CELL_BUDGET
 
 
-def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_sweeps):
-    """K sweeps over a VMEM-resident grid; delta recorded from sweep 0.
+def make_sweep_fn(u0, not_frozen, t0):
+    """The red-black logsumexp sweep as a closure over a VMEM-resident grid.
 
     Works on the full (padded) grid with circular shifts: wrapped-around
     neighbour values at the edges are garbage, but every edge/padding cell is
     frozen (never updated), so they are masked out — mirroring how the
     reference only touches interior cells (harmonic_cpu.cpp:46-51). This
-    avoids interior slicing, which Mosaic cannot lower efficiently.
+    avoids interior slicing, which Mosaic cannot lower efficiently. Shared by
+    the single-grid and batched-collage kernels.
     """
-    t0 = it_ref[0]
-    u0 = u_ref[:]
     h, w = u0.shape
-    not_frozen = jnp.logical_not(frozen_ref[:])
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     parity = (row + col) % 2
@@ -87,6 +85,15 @@ def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_s
         val = (m + jnp.log(s)) - _LOG2N_2D
         update = (parity != ((t0 + k) % 2)) & not_frozen
         return jnp.where(update, val, u)
+
+    return sweep
+
+
+def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_sweeps):
+    """K sweeps over a VMEM-resident grid; delta recorded from sweep 0."""
+    t0 = it_ref[0]
+    u0 = u_ref[:]
+    sweep = make_sweep_fn(u0, jnp.logical_not(frozen_ref[:]), t0)
 
     # Only the first sweep carries the staggered-check delta; the remaining
     # sweeps skip the full |u'-u| max-reduction entirely.
