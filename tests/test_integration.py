@@ -1,0 +1,48 @@
+"""Cross-backend integration: the full anytime replanning workflow produces
+identical state whether sweeps run through XLA, the Pallas VMEM kernel
+(interpret), or the sharded mesh path — including warm-started edits."""
+
+import numpy as np
+import jax
+
+import epic_tpu
+from epic_tpu import constants as C
+from epic_tpu import maps
+from epic_tpu.parallel import make_mesh, sharded
+from epic_tpu.solver import core, pallas_sweep
+
+
+def _workflow(stepper):
+    """ingest -> relax -> obstacle edit -> relax -> goal move -> relax."""
+    img = maps.random_obstacles(40, 48, density=0.1, seed=11)
+    state = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    state = stepper(state, 30)
+    cells = [(x, y) for x in range(10, 14) for y in range(20, 24)]
+    state = epic_tpu.set_cells(state, cells, [C.CELL_TYPE_OBSTACLE] * len(cells))
+    state = stepper(state, 30)
+    state = epic_tpu.set_cells(state, [(40, 30)], [C.CELL_TYPE_GOAL])
+    state = stepper(state, 40)
+    return np.asarray(state.u), int(state.iteration)
+
+
+def test_workflow_identical_across_backends():
+    u_xla, it_xla = _workflow(core.update_n)
+    u_pal, it_pal = _workflow(lambda s, n: pallas_sweep.update_n(s, n))
+    mesh = make_mesh((2, 4))
+    u_shd, it_shd = _workflow(lambda s, n: sharded.update_n(s, n, mesh))
+    assert it_xla == it_pal == it_shd == 100
+    np.testing.assert_allclose(u_pal, u_xla, rtol=2e-6, atol=1e-3)
+    np.testing.assert_allclose(u_shd, u_xla, rtol=2e-6, atol=1e-3)
+
+
+def test_checkpoint_mid_workflow_roundtrip(tmp_path):
+    from epic_tpu import checkpoint
+
+    img = maps.open_room(32, 32)
+    state = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    state = core.update_n(state, 25)
+    checkpoint.save(tmp_path / "mid.npz", state)
+    resumed = checkpoint.load(tmp_path / "mid.npz")
+    a = core.update_n(state, 25)
+    b = core.update_n(resumed, 25)
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
