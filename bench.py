@@ -73,9 +73,40 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, reps, body, u)
 
-    # Warm-up / compile (the only distinct jaxpr in this process).
-    u_warm = run_all(u, frozen, jnp.int32(0))
-    _ = np.asarray(u_warm)  # full completion barrier
+    # Warm-up / compile (the only distinct jaxpr in this process). If the
+    # Pallas kernel cannot compile on this stack, fall back to the
+    # identical-semantics XLA path so the benchmark always reports.
+    kernel = "pallas"
+    try:
+        u_warm = run_all(u, frozen, jnp.int32(0))
+        _ = np.asarray(u_warm)  # full completion barrier
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# pallas path failed ({type(e).__name__}); using XLA fallback",
+              flush=True)
+        kernel = "xla"
+
+        @jax.jit
+        def run_all(u, frozen, it0):  # noqa: F811 - intentional rebind
+            def body(i, u):
+                def inner(k, u):
+                    un = jnp.roll(u, 1, 0)
+                    us = jnp.roll(u, -1, 0)
+                    uw = jnp.roll(u, 1, 1)
+                    ue = jnp.roll(u, -1, 1)
+                    m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+                    s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+                    val = (m + jnp.log(s)) - np.float32(np.log(4.0))
+                    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+                    col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+                    upd = (((row + col) % 2) != ((it0 + i * chunk + k) % 2)) & ~frozen
+                    return jnp.where(upd, val, u)
+
+                return jax.lax.fori_loop(0, chunk, inner, u)
+
+            return jax.lax.fori_loop(0, reps, body, u)
+
+        u_warm = run_all(u, frozen, jnp.int32(0))
+        _ = np.asarray(u_warm)
 
     t0 = time.perf_counter()
     u_out = run_all(u_warm, frozen, jnp.int32(reps * chunk))
@@ -99,6 +130,7 @@ def main() -> None:
                     "grid": f"{h}x{w}",
                     "sweeps_per_s": round(sweeps_per_s),
                     "backend": jax.default_backend(),
+                    "kernel": kernel,
                     "checksum": checksum,
                     "baseline": "reference umass anytime budget 3030 sweeps/s "
                     "(launch/epic_navigation_node_umass.launch:11-12)",
