@@ -71,3 +71,23 @@ def test_batched_walk_endpoints_only_mode():
     )
     assert "positions" not in out
     assert bool(jnp.all(out["reached_goal"]))
+
+
+def test_batched_walk_reference_mode_matches_host():
+    # The extrapolating "reference" corner selection on device vs host.
+    img = maps.open_room(48, 64, goal=(50, 30))
+    u, locked = _solved(img)
+    starts = np.array([[5.0, 5.0], [40.0, 12.0]], np.float32)
+    out = batched_path.walk(
+        jnp.asarray(u), jnp.asarray(locked), jnp.asarray(starts),
+        step_size=0.2, cd_precision=0.4, max_steps=1024, mode="reference",
+    )
+    for lane in range(len(starts)):
+        host = path.compute_path(
+            u, locked, float(starts[lane, 0]), float(starts[lane, 1]),
+            0.2, 0.4, mode="reference", impl="numpy",
+        )
+        n = int(out["lengths"][lane])
+        dev = np.asarray(out["positions"])[lane, :n]
+        m = min(n, len(host))
+        np.testing.assert_allclose(dev[:m], host[:m], atol=5e-2)
