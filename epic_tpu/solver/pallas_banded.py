@@ -43,8 +43,8 @@ def _banded_kernel(
     num_sweeps <= halo (the layout's strip depth)."""
     t0 = it_ref[0]
     k = halo
-    u0 = jnp.concatenate([ut_ref[0], u_ref[:], ub_ref[0]], axis=0)
-    frozen = jnp.concatenate([ft_ref[0], f_ref[:], fb_ref[0]], axis=0)
+    u0 = jnp.concatenate([ut_ref[:], u_ref[:], ub_ref[:]], axis=0)
+    frozen = jnp.concatenate([ft_ref[:], f_ref[:], fb_ref[:]], axis=0)
     ext = band + 2 * k
     w = u0.shape[1]
 
@@ -104,10 +104,12 @@ def sweep_chunk_banded(
     idx = jnp.arange(nbands)
     top_rows = idx[:, None] * band + jnp.arange(k)[None, :]          # above
     bot_rows = idx[:, None] * band + band + k + jnp.arange(k)[None, :]
-    u_top = u_pad[top_rows]      # [nbands, K, Wp]
-    u_bot = u_pad[bot_rows]
-    f_top = f_pad[top_rows]
-    f_bot = f_pad[bot_rows]
+    # Flattened to 2D [nbands*K, Wp]: 3D blocked inputs lower poorly in
+    # Mosaic; 2D (K, Wp) blocks pipeline like any other band.
+    u_top = u_pad[top_rows].reshape(nbands * k, wp)
+    u_bot = u_pad[bot_rows].reshape(nbands * k, wp)
+    f_top = f_pad[top_rows].reshape(nbands * k, wp)
+    f_bot = f_pad[bot_rows].reshape(nbands * k, wp)
 
     out_u, out_delta = pl.pallas_call(
         functools.partial(_banded_kernel, num_sweeps=num_sweeps, band=band,
@@ -121,10 +123,10 @@ def sweep_chunk_banded(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
