@@ -1,3 +1,25 @@
-from . import core, reference_np
+from . import (
+    batched,
+    batched_path,
+    core,
+    legacy,
+    pallas_banded,
+    pallas_batched,
+    pallas_packed,
+    pallas_sweep,
+    pallas_tiled,
+    reference_np,
+)
 
-__all__ = ["core", "reference_np"]
+__all__ = [
+    "batched",
+    "batched_path",
+    "core",
+    "legacy",
+    "pallas_banded",
+    "pallas_batched",
+    "pallas_packed",
+    "pallas_sweep",
+    "pallas_tiled",
+    "reference_np",
+]
