@@ -72,3 +72,19 @@ def test_odd_height_rejected():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_solve_batch_deep_chunks_relaxed_protocol():
+    # Production serving can trade check cadence for amortization: a larger
+    # stagger with deep chunk passes is the same protocol at a different
+    # cadence (still exact per-lane for that cadence).
+    u, locked = _batch()
+    u_host = np.asarray(u)
+    out, iters, deltas, conv = pallas_batched.solve_batch(
+        u_host, np.asarray(locked), epsilon=1e-2, stagger=64, interpret=True,
+    )
+    assert conv.all()
+    ref = epic_tpu.make_state(u_host[0], np.asarray(locked)[0], epsilon=1e-2)
+    solo = core.solve(ref, stagger=64)
+    assert int(iters[0]) == int(solo.iteration)
+    np.testing.assert_allclose(out[0], np.asarray(solo.u), rtol=2e-6, atol=1e-3)
