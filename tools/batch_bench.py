@@ -80,9 +80,8 @@ def run(domain: str, epsilon: float, out_path: str | None):
     st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
     t0 = time.perf_counter()
     out = core.solve(st)
-    out.u.block_until_ready()
+    iters = int(out.iteration)  # D2H readback = reliable completion barrier
     dt = time.perf_counter() - t0
-    iters = int(out.iteration)
     pv = analysis.percent_valid(np.asarray(out.u), np.asarray(out.locked), goal)
     rows.append([domain, f"log_xla_{jax.default_backend()}", epsilon, pv,
                  dt / max(iters, 1), dt, iters])
@@ -90,17 +89,14 @@ def run(domain: str, epsilon: float, out_path: str | None):
     # --- log-space solver, Pallas (VMEM-resident) ------------------------
     if pallas_sweep.fits_vmem(img.shape):
         st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
-        t0 = time.perf_counter()
         out = pallas_sweep.solve(st)
-        out.u.block_until_ready()
-        dt = time.perf_counter() - t0
+        _ = int(out.iteration)  # compile warm-up + completion
         # Warm (steady-state) timing, second run:
         st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
         t0 = time.perf_counter()
         out = pallas_sweep.solve(st)
-        out.u.block_until_ready()
+        iters = int(out.iteration)  # D2H readback barrier
         dt = time.perf_counter() - t0
-        iters = int(out.iteration)
         pv = analysis.percent_valid(np.asarray(out.u), np.asarray(out.locked), goal)
         rows.append([domain, f"log_pallas_{jax.default_backend()}", epsilon, pv,
                      dt / max(iters, 1), dt, iters])
