@@ -1,0 +1,92 @@
+"""Property/fuzz tests: random grids and edit sequences, JAX core vs the
+NumPy oracle — the exactness contract under adversarial inputs."""
+
+import numpy as np
+import pytest
+
+import epic_tpu
+from epic_tpu import constants as C
+from epic_tpu.solver import core, pallas_sweep, reference_np
+
+
+def _random_grid(rng, h, w):
+    """Random u/locked with arbitrary values (not just map-shaped)."""
+    u = (rng.normal(size=(h, w)) * rng.uniform(0.1, 100)).astype(np.float32)
+    locked = rng.random((h, w)) < rng.uniform(0.05, 0.5)
+    # A few goal-like cells.
+    for _ in range(rng.integers(0, 4)):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        u[y, x] = 0.0
+        locked[y, x] = True
+    return u, locked
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_grids_core_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(5, 40)), int(rng.integers(5, 60))
+    u, locked = _random_grid(rng, h, w)
+    start_iter = int(rng.integers(0, 7))
+    steps = int(rng.integers(1, 12))
+
+    u_ref = u.copy()
+    for it in range(start_iter, start_iter + steps):
+        u_ref, d_ref = reference_np.sweep(u_ref, locked, it)
+
+    import dataclasses
+    import jax.numpy as jnp
+
+    st = epic_tpu.make_state(u, locked)
+    st = dataclasses.replace(st, iteration=jnp.int32(start_iter))
+    out = core.update_n(st, steps)
+    np.testing.assert_allclose(np.asarray(out.u), u_ref, rtol=2e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_edit_sequences(seed):
+    rng = np.random.default_rng(100 + seed)
+    h, w = 24, 32
+    img = np.full((h, w), 128, np.uint8)
+    img[0] = img[-1] = img[:, 0] = img[:, -1] = 0
+    img[h // 2, w // 2] = 255
+    st = epic_tpu.from_occupancy_image(img)
+    u_ref = np.array(st.u)       # writable copies (np.asarray views are RO)
+    locked_ref = np.array(st.locked)
+    it = 0
+    for _ in range(5):
+        # Random batch of edits.
+        k = int(rng.integers(1, 8))
+        xy = np.stack(
+            [rng.integers(0, w, k), rng.integers(0, h, k)], axis=1
+        )
+        types = rng.integers(0, 3, k)
+        st = epic_tpu.set_cells(st, xy, types)
+        for x, y, t in zip(xy[:, 0], xy[:, 1], types):
+            if t == C.CELL_TYPE_GOAL:
+                u_ref[y, x], locked_ref[y, x] = 0.0, True
+            elif t == C.CELL_TYPE_OBSTACLE:
+                u_ref[y, x], locked_ref[y, x] = -1e6, True
+            else:
+                u_ref[y, x], locked_ref[y, x] = -1e6, False
+        steps = int(rng.integers(1, 9))
+        st = core.update_n(st, steps)
+        for s in range(steps):
+            u_ref, _ = reference_np.sweep(u_ref, locked_ref, it + s)
+        it += steps
+        np.testing.assert_allclose(
+            np.asarray(st.u), u_ref, rtol=2e-6, atol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(st.locked), locked_ref)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_grids_pallas_matches_oracle(seed):
+    rng = np.random.default_rng(200 + seed)
+    h, w = int(rng.integers(8, 48)), int(rng.integers(8, 80))
+    u, locked = _random_grid(rng, h, w)
+    steps = int(rng.integers(1, 10))
+    u_ref = u.copy()
+    for it in range(steps):
+        u_ref, _ = reference_np.sweep(u_ref, locked, it)
+    out = pallas_sweep.update_n(epic_tpu.make_state(u, locked), steps)
+    np.testing.assert_allclose(np.asarray(out.u), u_ref, rtol=2e-6, atol=1e-3)
