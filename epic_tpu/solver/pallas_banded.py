@@ -132,6 +132,12 @@ def sweep_chunk_banded(
             pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        # Bands are independent within a pass (reads from the input array,
+        # writes only their own rows): a parallel grid dimension lets Mosaic
+        # overlap band pipelines instead of flushing between steps.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(iteration.reshape(1), u, frozen, u_top, u_bot, f_top, f_bot)
     return out_u, jnp.max(out_delta)
