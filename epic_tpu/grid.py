@@ -212,11 +212,17 @@ def reset_free_cells(state: GridState) -> GridState:
 
 
 def is_cell_obstacle(state: GridState, x: int, y: int) -> bool:
-    """epic_navigation_node_harmonic.cpp:332-341: out-of-map counts as obstacle."""
+    """epic_navigation_node_harmonic.cpp:332-341: out-of-map counts as obstacle.
+
+    Fetches the arrays to host: static-index device gathers compile one
+    program per distinct index, which is pathological on remote backends.
+    """
     h, w = state.u.shape[:2]
     if not (0 <= x < w and 0 <= y < h):
         return True
-    return bool(state.locked[y, x]) and float(state.u[y, x]) == float(C.LOG_SPACE_OBSTACLE)
+    u = np.asarray(state.u)
+    locked = np.asarray(state.locked)
+    return bool(locked[y, x]) and float(u[y, x]) == float(C.LOG_SPACE_OBSTACLE)
 
 
 def is_cell_goal(state: GridState, x: int, y: int) -> bool:
@@ -224,4 +230,6 @@ def is_cell_goal(state: GridState, x: int, y: int) -> bool:
     h, w = state.u.shape[:2]
     if not (0 <= x < w and 0 <= y < h):
         return False
-    return bool(state.locked[y, x]) and float(state.u[y, x]) == float(C.LOG_SPACE_GOAL)
+    u = np.asarray(state.u)
+    locked = np.asarray(state.locked)
+    return bool(locked[y, x]) and float(u[y, x]) == float(C.LOG_SPACE_GOAL)

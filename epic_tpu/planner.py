@@ -182,13 +182,23 @@ class Planner:
         """srvAddGoals (:441-482): world coords -> cells; goals are refused
         inside obstacles; returns False if no goal could be added."""
         st = self._require_state()
+        # One host fetch for the whole batch (per-goal device reads would
+        # compile one gather program per distinct index).
+        u_np = np.asarray(st.u)
+        locked_np = np.asarray(st.locked)
+        h, w = u_np.shape
         xy = []
         for wx, wy in world_points:
             try:
                 mx, my = self.world_to_map(wx, wy)
             except InvalidLocationError:
                 continue
-            if G.is_cell_obstacle(st, int(mx + 0.5), int(my + 0.5)):
+            cx, cy = int(mx + 0.5), int(my + 0.5)
+            is_obstacle = not (0 <= cx < w and 0 <= cy < h) or (
+                bool(locked_np[cy, cx])
+                and float(u_np[cy, cx]) == float(C.LOG_SPACE_OBSTACLE)
+            )
+            if is_obstacle:
                 continue
             xy.append((int(mx), int(my)))
         if not xy:
@@ -211,12 +221,13 @@ class Planner:
         return True
 
     def get_cell(self, x: int, y: int) -> float:
-        """srvGetCell (:522-542): the cell's log hitting probability."""
+        """srvGetCell (:522-542): the cell's log hitting probability.
+        (Host fetch — see add_goals note on static-index gathers.)"""
         st = self._require_state()
         h, w = st.u.shape
         if not (0 <= x < w and 0 <= y < h):
             raise InvalidLocationError(f"cell ({x}, {y}) outside map")
-        return float(st.u[y, x])
+        return float(np.asarray(st.u)[y, x])
 
     def reset_free_cells(self) -> bool:
         """srvResetFreeCells (:582-611)."""
