@@ -17,6 +17,13 @@ reset_free_cells, compute_path, occupancy_grid, info.
 
 Run:   python -m epic_tpu.services.server --port 7171 --map maze.png
 Client: EpicClient (below) or any JSON-capable peer.
+
+Cold start: the first spin tick jit-compiles the relaxation chunk for the
+map's shape; until it finishes, connections queue (the loop services
+sockets between ticks, exactly like the reference's spinOnce/update
+interleave). On normal backends this is seconds; through remote-compile
+tunnels it can be minutes — clients should connect with retries and a
+generous first-response timeout.
 """
 
 from __future__ import annotations
