@@ -184,6 +184,15 @@ def set_cells(
     types = types[valid]
     if xy.shape[0] == 0:
         return state
+    # The reference applies edits sequentially, so duplicate coordinates in
+    # one batch resolve last-wins (harmonic_utilities_cpu.cpp:38-76). Two
+    # independent JAX scatters need not pick the same winner — deduplicate on
+    # the host keeping each cell's final entry.
+    flat = xy[:, 1] * w + xy[:, 0]
+    _, last_idx = np.unique(flat[::-1], return_index=True)
+    keep = np.sort(len(flat) - 1 - last_idx)
+    xy = xy[keep]
+    types = types[keep]
     u_vals = np.array([_TYPE_TO_U[t] for t in types], dtype=np.float32)
     l_vals = np.array([_TYPE_TO_LOCKED[t] for t in types], dtype=bool)
     ys = jnp.asarray(xy[:, 1])

@@ -103,7 +103,11 @@ inline bool gradient_at(const float* u, const uint8_t* locked, int h, int w,
   }
   float px = (v1 - v0) / (2.0f * cd);
   float py = (v3 - v2) / (2.0f * cd);
-  const float norm = std::sqrt(px * px + py * py);
+  // Norm in double then one rounding: the reference's std::pow(px, 2)
+  // promotes to f64 (harmonic_path_cpu.cpp:113); doing this in f32 walks a
+  // different (1-ulp-off) streamline.
+  const float norm = static_cast<float>(std::sqrt(
+      static_cast<double>(px) * px + static_cast<double>(py) * py));
   if (norm == 0.0f || !std::isfinite(norm)) return false;
   *gx = px / norm;
   *gy = py / norm;
@@ -120,7 +124,11 @@ inline bool is_stuck(const std::vector<float>& xs, const std::vector<float>& ys,
   for (int i = n - 2; i >= lo; --i) {
     const float dx = x - xs[i];
     const float dy = y - ys[i];
-    if (std::sqrt(dx * dx + dy * dy) < step * 0.5f) return true;
+    // f64 distance, as the reference's std::pow promotes
+    // (harmonic_path_cpu.cpp:139-143).
+    if (std::sqrt(static_cast<double>(dx) * dx + static_cast<double>(dy) * dy) <
+        step * 0.5f)
+      return true;
   }
   return false;
 }

@@ -126,7 +126,10 @@ def compute_gradient(
     cd2 = np.float32(2.0) * np.float32(cd_precision)
     px = (np.float32(v1) - np.float32(v0)) / cd2
     py = (np.float32(v3) - np.float32(v2)) / cd2
-    denom = np.float32(np.sqrt(px * px + py * py))
+    # std::pow(px, 2) promotes to double in the reference
+    # (harmonic_path_cpu.cpp:113), so the norm is computed in f64 and rounded
+    # once — required for bit-exact walks vs the prebuilt binary.
+    denom = np.float32(np.sqrt(np.float64(px) * np.float64(px) + np.float64(py) * np.float64(py)))
     if denom == 0.0 or not np.isfinite(denom):
         # The reference divides regardless and lets NaNs poison the walk
         # until a location check fails; we fail fast with the same
