@@ -22,12 +22,14 @@ class SolverConfig:
     stagger: int = C.DEFAULT_STAGGER
     max_iterations: int = 1_000_000
     # backend: "auto" = pallas on TPU when the grid fits VMEM, else XLA.
-    backend: str = "auto"            # "auto" | "xla" | "pallas" | "pallas_tiled"
-    # kernel: masked full-grid vs parity-packed half-grid planes.
-    kernel: str = "packed"           # "packed" | "masked"
-    # Tiled (beyond-VMEM) kernel parameters.
-    tile_band: int = 256
-    tile_depth: int = 8              # temporal-blocking K
+    backend: str = "auto"            # "auto" | "xla" | "pallas"
+    # kernel: masked full-grid vs parity-packed half-grid planes. "masked" is
+    # measured-best on v5e (docs/BENCH_NOTES.md: the packed layout loses more
+    # to lane shifts/selects than it saves in logsumexps).
+    kernel: str = "masked"           # "masked" | "packed"
+    # Tiled (beyond-VMEM) kernel parameters (solver.pallas_banded).
+    tile_band: int = 512
+    tile_depth: int = 16             # temporal-blocking K
 
 
 @dataclasses.dataclass
@@ -50,6 +52,10 @@ class ServiceConfig:
 
 @dataclasses.dataclass
 class EpicConfig:
+    """The full configuration tree. Consumed by :class:`epic_tpu.planner.
+    Planner` (pass it in place of a PlannerConfig), the service-server CLI
+    (``python -m epic_tpu.services.server``), and ``tools/batch_bench.py``."""
+
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     service: ServiceConfig = dataclasses.field(default_factory=ServiceConfig)

@@ -16,6 +16,7 @@ major, ``m[0] = height``, ``m[1] = width``), and cell-edit vectors ``v`` are
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Sequence
 
 import jax
@@ -220,17 +221,62 @@ def reset_free_cells(state: GridState) -> GridState:
     )
 
 
+class _MirrorCache:
+    """Host mirrors of device arrays, keyed by buffer identity.
+
+    Cell reads (GetCell, is_cell_*) cost the reference a 4-byte read
+    (epic_navigation_node_harmonic.cpp:522-542); a naive np.asarray per query
+    costs a full-grid D2H (1 GB per RPC on a 16k² grid). GridState is
+    immutable, so a device array's contents can never change — one D2H per
+    edit/solve epoch, shared by every subsequent query. Entries evict when
+    the device buffer is garbage-collected (weakref finalizer), so the cache
+    never extends buffer lifetime or blocks donation.
+    """
+
+    def __init__(self):
+        self._data: dict[int, tuple[object, np.ndarray]] = {}
+
+    def get(self, arr) -> np.ndarray:
+        if isinstance(arr, np.ndarray):
+            return arr
+        key = id(arr)
+        ent = self._data.get(key)
+        if ent is not None and ent[0]() is arr:
+            return ent[1]
+        mirror = np.asarray(arr)
+        try:
+            ref = weakref.ref(arr, lambda _, key=key: self._data.pop(key, None))
+        except TypeError:  # pragma: no cover - non-weakref-able array type
+            return mirror
+        self._data[key] = (ref, mirror)
+        return mirror
+
+
+_mirrors = _MirrorCache()
+
+
+def host_u(state: GridState) -> np.ndarray:
+    """Cached host view of state.u (do not mutate)."""
+    return _mirrors.get(state.u)
+
+
+def host_locked(state: GridState) -> np.ndarray:
+    """Cached host view of state.locked (do not mutate)."""
+    return _mirrors.get(state.locked)
+
+
 def is_cell_obstacle(state: GridState, x: int, y: int) -> bool:
     """epic_navigation_node_harmonic.cpp:332-341: out-of-map counts as obstacle.
 
-    Fetches the arrays to host: static-index device gathers compile one
-    program per distinct index, which is pathological on remote backends.
+    Reads through the host mirror cache: one D2H per state epoch, not per
+    query (static-index device gathers would compile one program per index,
+    pathological on remote backends).
     """
     h, w = state.u.shape[:2]
     if not (0 <= x < w and 0 <= y < h):
         return True
-    u = np.asarray(state.u)
-    locked = np.asarray(state.locked)
+    u = host_u(state)
+    locked = host_locked(state)
     return bool(locked[y, x]) and float(u[y, x]) == float(C.LOG_SPACE_OBSTACLE)
 
 
@@ -239,6 +285,6 @@ def is_cell_goal(state: GridState, x: int, y: int) -> bool:
     h, w = state.u.shape[:2]
     if not (0 <= x < w and 0 <= y < h):
         return False
-    u = np.asarray(state.u)
-    locked = np.asarray(state.locked)
+    u = host_u(state)
+    locked = host_locked(state)
     return bool(locked[y, x]) and float(u[y, x]) == float(C.LOG_SPACE_GOAL)

@@ -81,6 +81,15 @@ def _load():
         f64p, u8p, ct.c_int, ct.c_int, ct.c_double, ct.c_double,
         ct.c_uint, ct.POINTER(ct.c_uint),
     ]
+    # long double (x87 80-bit extended on x86-64, np.longdouble): the
+    # reference exposes all three precisions through Python
+    # (harmonic_legacy_cpu.cpp:36-141, epic_harmonic.py:111-113).
+    f80p = np.ctypeslib.ndpointer(np.longdouble, flags="C_CONTIGUOUS")
+    lib.epic_sor2d_f80.restype = ct.c_int
+    lib.epic_sor2d_f80.argtypes = [
+        f80p, u8p, ct.c_int, ct.c_int, ct.c_longdouble, ct.c_longdouble,
+        ct.c_uint, ct.POINTER(ct.c_uint),
+    ]
     _lib = lib
     return lib
 
@@ -98,6 +107,7 @@ def compute_path(
     cd_precision: float = 0.4,
     max_length: int = 1_000_000,
     mode: str = "reference",
+    _cap: int | None = None,
 ) -> np.ndarray:
     """Native streamline extraction; same contract as epic_tpu.path.compute_path."""
     lib = _load()
@@ -106,15 +116,25 @@ def compute_path(
     u = np.ascontiguousarray(u, dtype=np.float32)
     locked_u8 = np.ascontiguousarray(locked, dtype=np.uint8)
     h, w = u.shape
-    cap = min(max_length, 4_000_000)
-    out = np.empty((cap, 2), dtype=np.float32)
-    n = ct.c_int(0)
-    code = lib.epic_path2d_f32(
-        u, locked_u8, h, w,
-        float(x), float(y), float(step_size), float(cd_precision),
-        int(max_length), {"reference": 0, "bilinear": 1}[mode],
-        out.reshape(-1), cap, ct.byref(n),
-    )
+    # Start with a 4M-point buffer; if the walk legitimately exceeds it, the
+    # library reports the true count via code 100 and we retry with an
+    # exact-size buffer — the step budget is always the caller's max_length,
+    # never the buffer capacity (buffer size must not change the walk).
+    # _cap overrides the initial capacity (tests exercise the retry).
+    cap = min(max_length, 4_000_000) if _cap is None else _cap
+    while True:
+        out = np.empty((cap, 2), dtype=np.float32)
+        n = ct.c_int(0)
+        code = lib.epic_path2d_f32(
+            u, locked_u8, h, w,
+            float(x), float(y), float(step_size), float(cd_precision),
+            int(max_length), {"reference": 0, "bilinear": 1}[mode],
+            out.reshape(-1), cap, ct.byref(n),
+        )
+        if code == 100:  # truncated: n holds the full point count
+            cap = int(n.value)
+            continue
+        break
     if code != 0:
         exc = _PATH_ERRORS.get(code)
         if exc is not None:
@@ -160,6 +180,12 @@ def legacy_sor_2d(
         u = np.ascontiguousarray(u, dtype=np.float32).copy()
         code = lib.epic_sor2d_f32(
             u, locked_u8, h, w, float(epsilon), float(omega),
+            int(min_iterations), ct.byref(iters),
+        )
+    elif dtype == np.longdouble:
+        u = np.ascontiguousarray(u, dtype=np.longdouble).copy()
+        code = lib.epic_sor2d_f80(
+            u, locked_u8, h, w, np.longdouble(epsilon), np.longdouble(omega),
             int(min_iterations), ct.byref(iters),
         )
     else:

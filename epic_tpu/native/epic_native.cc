@@ -31,6 +31,10 @@ constexpr int kErrInvalidData = 2;
 constexpr int kErrInvalidLocation = 10;
 constexpr int kErrInvalidGradient = 12;
 constexpr int kErrInvalidPath = 13;
+// Not a reference code: the walk finished but out_xy could not hold it.
+// *n_out carries the true point count so the caller can retry with an
+// exact-size buffer.
+constexpr int kErrTruncated = 100;
 
 constexpr int kStuckHistory = 5;
 constexpr float kObstacleLog = -1e6f;
@@ -198,11 +202,16 @@ int epic_path2d_f32(const float* u, const uint8_t* locked, int h, int w,
   }
   if (xs.size() <= 2) return kErrInvalidPath;
 
-  int n = static_cast<int>(xs.size());
+  const int full = static_cast<int>(xs.size());
+  int n = full;
   if (n > capacity) n = capacity;
   for (int i = 0; i < n; ++i) {
     out_xy[2 * i] = xs[i];
     out_xy[2 * i + 1] = ys[i];
+  }
+  if (full > capacity) {
+    *n_out = full;  // true count — caller retries with an exact buffer
+    return kErrTruncated;
   }
   *n_out = n;
   return kOk;

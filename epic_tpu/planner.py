@@ -72,7 +72,23 @@ class Planner:
       (main loop)    -> update(num_steps)
     """
 
-    def __init__(self, config: PlannerConfig | None = None):
+    def __init__(self, config: "PlannerConfig | EpicConfig | None" = None):
+        from .config import EpicConfig, SolverConfig
+
+        if isinstance(config, EpicConfig):
+            self.solver_config = config.solver
+            config = PlannerConfig(
+                epsilon=config.solver.epsilon,
+                stagger=config.solver.stagger,
+                steps_per_update=config.service.steps_per_update,
+                backend=config.solver.backend,
+            )
+        else:
+            self.solver_config = SolverConfig(
+                epsilon=(config or PlannerConfig()).epsilon,
+                stagger=(config or PlannerConfig()).stagger,
+                backend=(config or PlannerConfig()).backend,
+            )
         self.config = config or PlannerConfig()
         self.state: G.GridState | None = None
         self.paused = False
@@ -145,9 +161,14 @@ class Planner:
             return
         n = num_steps if num_steps is not None else self.config.steps_per_update
         if self._use_pallas():
-            from .solver import pallas_sweep
+            # SolverConfig.kernel selects the VMEM kernel layout; "masked" is
+            # the measured-best default on v5e (docs/BENCH_NOTES.md).
+            if self.solver_config.kernel == "packed":
+                from .solver import pallas_packed as kernel_mod
+            else:
+                from .solver import pallas_sweep as kernel_mod
 
-            self.state = pallas_sweep.update_n(self.state, n)
+            self.state = kernel_mod.update_n(self.state, n)
         else:
             self.state = core.update_n(self.state, n)
 
@@ -184,8 +205,8 @@ class Planner:
         st = self._require_state()
         # One host fetch for the whole batch (per-goal device reads would
         # compile one gather program per distinct index).
-        u_np = np.asarray(st.u)
-        locked_np = np.asarray(st.locked)
+        u_np = G.host_u(st)
+        locked_np = G.host_locked(st)
         h, w = u_np.shape
         xy = []
         for wx, wy in world_points:
@@ -227,7 +248,7 @@ class Planner:
         h, w = st.u.shape
         if not (0 <= x < w and 0 <= y < h):
             raise InvalidLocationError(f"cell ({x}, {y}) outside map")
-        return float(np.asarray(st.u)[y, x])
+        return float(G.host_u(st)[y, x])
 
     def reset_free_cells(self) -> bool:
         """srvResetFreeCells (:582-611)."""
@@ -258,8 +279,8 @@ class Planner:
             self.config.origin_x, self.config.origin_y = map(float, origin)
 
         st = self._require_state()
-        u_np = np.asarray(st.u)
-        locked_np = np.asarray(st.locked)
+        u_np = G.host_u(st)
+        locked_np = G.host_locked(st)
         goal_mask = locked_np & (u_np == float(C.LOG_SPACE_GOAL))
 
         interior = np.zeros((h, w), dtype=bool)
@@ -292,8 +313,8 @@ class Planner:
         if max_length is None:
             max_length = int(w * h / step_size)
         mx, my = self.world_to_map(*start_world)
-        u_np = np.asarray(st.u)
-        locked_np = np.asarray(st.locked)
+        u_np = G.host_u(st)
+        locked_np = G.host_locked(st)
         pts = compute_path(
             u_np,
             locked_np,

@@ -92,7 +92,7 @@ class EpicNavCorePlugin:
         set — even if that cell was an obstacle, faithfully to the
         reference's unconditional assignment."""
         st = self.state
-        u_np = np.asarray(st.u)
+        u_np = G.host_u(st)
         h, w = u_np.shape
         interior = np.zeros((h, w), dtype=bool)
         interior[1:-1, 1:-1] = True
@@ -135,8 +135,8 @@ class EpicNavCorePlugin:
         step_size = 0.05
         cd_precision = 0.5
         max_length = int(h * w / step_size)
-        u_np = np.asarray(st.u)
-        locked_np = np.asarray(st.locked)
+        u_np = G.host_u(st)
+        locked_np = G.host_locked(st)
         try:
             pts = compute_path(
                 u_np, locked_np, sx, sy,

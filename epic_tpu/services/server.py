@@ -58,6 +58,11 @@ class EpicServiceServer:
         self.sel.register(self.listener, selectors.EVENT_READ, None)
         self.port = self.listener.getsockname()[1]
         self._buffers: dict[socket.socket, bytes] = {}
+        # Outgoing bytes per connection, flushed on EVENT_WRITE readiness:
+        # sockets are non-blocking, so a large response (multi-MB path JSON)
+        # can only be partially accepted by the kernel buffer — the tail must
+        # survive until the socket drains, never crash the loop.
+        self._out: dict[socket.socket, bytes] = {}
 
     # -- request dispatch --------------------------------------------------
 
@@ -127,23 +132,58 @@ class EpicServiceServer:
 
     # -- event loop --------------------------------------------------------
 
+    def _close_conn(self, sock: socket.socket) -> None:
+        self.sel.unregister(sock)
+        self._buffers.pop(sock, None)
+        self._out.pop(sock, None)
+        sock.close()
+
+    def _update_events(self, sock: socket.socket) -> None:
+        events = selectors.EVENT_READ
+        if self._out.get(sock):
+            events |= selectors.EVENT_WRITE
+        self.sel.modify(sock, events, None)
+
+    def _flush(self, sock: socket.socket) -> None:
+        """Write as much pending output as the kernel accepts; keep the tail."""
+        pending = self._out.get(sock, b"")
+        while pending:
+            try:
+                n = sock.send(pending)
+            except BlockingIOError:
+                break
+            except (BrokenPipeError, ConnectionResetError):
+                self._close_conn(sock)
+                return
+            pending = pending[n:]
+        self._out[sock] = pending
+        self._update_events(sock)
+
     def _service_sockets(self) -> None:
-        for key, _ in self.sel.select(timeout=0):
+        for key, mask in self.sel.select(timeout=0):
             sock = key.fileobj
             if sock is self.listener:
                 conn, _ = self.listener.accept()
                 conn.setblocking(False)
                 self.sel.register(conn, selectors.EVENT_READ, None)
                 self._buffers[conn] = b""
+                self._out[conn] = b""
+                continue
+            if mask & selectors.EVENT_WRITE:
+                self._flush(sock)
+                if sock not in self._buffers:  # closed during flush
+                    continue
+            if not (mask & selectors.EVENT_READ):
                 continue
             try:
                 data = sock.recv(1 << 20)
-            except (ConnectionResetError, BlockingIOError):
+            except BlockingIOError:
+                # Spurious wakeup — the connection is healthy, don't drop it.
+                continue
+            except ConnectionResetError:
                 data = b""
             if not data:
-                self.sel.unregister(sock)
-                self._buffers.pop(sock, None)
-                sock.close()
+                self._close_conn(sock)
                 continue
             self._buffers[sock] += data
             while b"\n" in self._buffers[sock]:
@@ -156,10 +196,9 @@ class EpicServiceServer:
                     resp = {"success": False, "error": f"bad json: {e}"}
                 else:
                     resp = self._dispatch(req)
-                try:
-                    sock.sendall(json.dumps(resp).encode() + b"\n")
-                except (BrokenPipeError, ConnectionResetError):
-                    pass
+                self._out[sock] = self._out.get(sock, b"") + json.dumps(resp).encode() + b"\n"
+            if self._out.get(sock):
+                self._flush(sock)
 
     def spin_once(self, num_steps: int | None = None) -> None:
         """One tick: service pending requests, then one relaxation chunk —
@@ -176,6 +215,7 @@ class EpicServiceServer:
             self.sel.unregister(sock)
             sock.close()
         self._buffers.clear()
+        self._out.clear()
         self.sel.unregister(self.listener)
         self.listener.close()
 
@@ -202,17 +242,29 @@ class EpicClient:
 
 
 def main() -> None:  # pragma: no cover - CLI
+    from ..config import EpicConfig, ServiceConfig, SolverConfig
+
+    defaults = EpicConfig()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7171)
+    ap.add_argument("--host", default=defaults.service.host)
+    ap.add_argument("--port", type=int, default=defaults.service.port)
     ap.add_argument("--map", default=None, help="PNG map to load at startup")
-    ap.add_argument("--epsilon", type=float, default=1e-3)
-    ap.add_argument("--steps-per-update", type=int, default=50)
+    ap.add_argument("--epsilon", type=float, default=defaults.solver.epsilon)
+    ap.add_argument("--steps-per-update", type=int,
+                    default=defaults.service.steps_per_update)
+    ap.add_argument("--backend", default=defaults.solver.backend,
+                    choices=["auto", "xla", "pallas"])
+    ap.add_argument("--kernel", default=defaults.solver.kernel,
+                    choices=["masked", "packed"])
     args = ap.parse_args()
 
-    node = EpicNavigationNodeRviz(
-        PlannerConfig(epsilon=args.epsilon, steps_per_update=args.steps_per_update)
+    cfg = EpicConfig(
+        solver=SolverConfig(epsilon=args.epsilon, backend=args.backend,
+                            kernel=args.kernel),
+        service=ServiceConfig(host=args.host, port=args.port,
+                              steps_per_update=args.steps_per_update),
     )
+    node = EpicNavigationNodeRviz(cfg)
     if args.map:
         from .. import maps
 
@@ -230,8 +282,8 @@ def main() -> None:  # pragma: no cover - CLI
                     [msg.PoseStamped(float(x), float(y)) for y, x in zip(ys, xs)]
                 )
             )
-    server = EpicServiceServer(node, args.host, args.port)
-    print(f"epic_tpu service server on {args.host}:{server.port}")
+    server = EpicServiceServer(node, cfg.service.host, cfg.service.port)
+    print(f"epic_tpu service server on {cfg.service.host}:{server.port}")
     server.run_forever()
 
 

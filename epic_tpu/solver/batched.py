@@ -177,8 +177,14 @@ def batch_from_goal_sets(
     b = len(goal_sets)
     u = np.tile(u0, (b, 1, 1))
     locked = np.tile(obstacle, (b, 1, 1))
+    h, w = img.shape
     for lane, goals in enumerate(goal_sets):
         for gx, gy in goals:
+            # Skip out-of-range goals like grid.set_cells / the reference do
+            # (harmonic_utilities_cpu.cpp:50-55); negative indices must not
+            # wrap to the opposite edge.
+            if not (0 <= gx < w and 0 <= gy < h):
+                continue
             if obstacle[gy, gx]:
                 continue
             u[lane, gy, gx] = C.LOG_SPACE_GOAL

@@ -101,3 +101,48 @@ def test_native_sor_f32_vs_f64_precision_collapse():
     pv32 = analysis.percent_valid(out32, locked, goal)
     assert pv64 > 0.85, pv64
     assert pv64 > pv32 + 0.15, (pv64, pv32)
+
+
+def test_native_path_truncation_retry(solved_maze):
+    """A walk longer than the output buffer must not silently truncate: the
+    library reports the true count (code 100) and the wrapper retries with an
+    exact-size buffer, so the result is independent of buffer capacity."""
+    img, u, locked = solved_maze
+    free_ys, free_xs = np.nonzero(~locked)
+    full = None
+    for i in range(0, len(free_ys), 17):
+        x, y = float(free_xs[i]), float(free_ys[i])
+        try:
+            cand = native.compute_path(u, locked, x, y, 0.2, 0.4, 100000)
+        except Exception:
+            continue
+        if len(cand) > 20:
+            full = cand
+            break
+    assert full is not None, "no start produced a >20-point walk" 
+    tiny = native.compute_path(u, locked, x, y, 0.2, 0.4, 100000, _cap=4)
+    np.testing.assert_array_equal(tiny, full)
+    # max_length remains the walk budget regardless of capacity.
+    budget = native.compute_path(u, locked, x, y, 0.2, 0.4, len(full) - 2, _cap=4)
+    assert len(budget) == len(full) - 2
+    np.testing.assert_array_equal(budget, full[: len(full) - 2])
+
+
+def test_native_sor_f80_long_double():
+    """The reference exposes float/double/long-double SOR through Python
+    (epic_harmonic.py:111-113); the f80 native binding must agree with the
+    NumPy long-double oracle and beat f64 on residual precision."""
+    img = maps.open_room(20, 20)
+    u, locked = legacy.from_image(img, dtype=np.longdouble)
+    assert u.dtype == np.longdouble
+    u_n, it_n = native.legacy_sor_2d(u, locked, epsilon=1e-4, omega=1.5,
+                                     min_iterations=100, dtype=np.longdouble)
+    assert u_n.dtype == np.longdouble
+    u_p, it_p = legacy.sor_numpy(u.copy(), locked, epsilon=1e-4, omega=1.5,
+                                 min_iterations=100)
+    assert it_n == it_p
+    np.testing.assert_allclose(np.float64(u_n), np.float64(u_p), rtol=0, atol=1e-15)
+    # Ladder sanity: f80 result is at least as close to f64's as f32's is.
+    u64, _ = native.legacy_sor_2d(u, locked, epsilon=1e-4, omega=1.5,
+                                  min_iterations=100, dtype=np.float64)
+    assert np.max(np.abs(np.float64(u_n) - u64)) <= 1e-10

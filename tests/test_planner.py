@@ -183,3 +183,44 @@ def test_nav_core_make_plan_end_to_end():
     assert plan2 is not None
     u = np.asarray(plugin.state.u)
     assert (u == 0.0).sum() == 1  # exactly one goal cell
+
+
+def test_host_mirror_cache_one_fetch_per_epoch():
+    """Cell reads share one D2H per state epoch (GetCell must cost a cached
+    array index, not a full-grid transfer — the reference reads 4 bytes,
+    epic_navigation_node_harmonic.cpp:522-542)."""
+    from epic_tpu import grid as G
+    import epic_tpu.constants
+    import epic_tpu
+
+    st = G.empty_state(16, 16)
+    m1 = G.host_u(st)
+    m2 = G.host_u(st)
+    assert m1 is m2  # same epoch -> same mirror object
+    assert G.host_locked(st) is G.host_locked(st)
+
+    st2 = G.set_cells(st, [(3, 4)], [epic_tpu.constants.CELL_TYPE_OBSTACLE])
+    m3 = G.host_u(st2)
+    assert m3 is not m1  # edits create a new epoch
+    assert m3[4, 3] == -1e6 and m1[4, 3] == 0.0
+    assert G.is_cell_obstacle(st2, 3, 4) and not G.is_cell_obstacle(st, 3, 4)
+
+
+def test_planner_from_epic_config():
+    """The typed EpicConfig tree constructs a Planner directly (SURVEY §5
+    config/flag system)."""
+    from epic_tpu.config import EpicConfig, ServiceConfig, SolverConfig
+    from epic_tpu.planner import Planner
+
+    cfg = EpicConfig(
+        solver=SolverConfig(epsilon=5e-3, backend="xla", kernel="masked"),
+        service=ServiceConfig(steps_per_update=77),
+    )
+    pl = Planner(cfg)
+    assert pl.config.epsilon == 5e-3
+    assert pl.config.steps_per_update == 77
+    assert pl.solver_config.kernel == "masked"
+    pl.init(32, 32)
+    pl.add_goals([(16.0, 16.0)])
+    pl.update()
+    assert int(pl.state.iteration) == 77

@@ -102,3 +102,100 @@ def test_malformed_requests_get_clean_errors(server_client):
         client._buf += client.sock.recv(1 << 20)
     line, client._buf = client._buf.split(b"\n", 1)
     assert not json.loads(line)["success"]
+
+
+def test_slow_reader_does_not_crash_server(server_client):
+    """Responses larger than the kernel send buffer must be retained and
+    flushed on EVENT_WRITE readiness, never crash the loop or corrupt
+    framing (non-blocking sockets raise BlockingIOError on full buffers)."""
+    import json
+    import socket
+    import time
+
+    server, client = server_client
+    img = maps.open_room(64, 64)
+    assert client.call("occupancy_grid", width=64, height=64,
+                       data=_occupancy(img))["success"]
+    assert client.call("add_goals", goals=[[32.0, 32.0]])["success"]
+    deadline = time.time() + 20
+    while time.time() < deadline and client.call("info")["iteration"] < 300:
+        time.sleep(0.1)
+
+    # A second client that reads nothing while pipelining many large
+    # requests; tiny receive window so the server-side send buffer fills.
+    slow = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    slow.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+    slow.connect(("127.0.0.1", server.port))
+    time.sleep(0.2)
+    # Shrink the server side's send buffer too (via server internals).
+    for sock in list(server._buffers):
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 8192)
+
+    n_req = 30
+    req = (json.dumps({"srv": "compute_path", "x": 5.0, "y": 5.0,
+                       "step_size": 0.05, "precision": 0.5}) + "\n").encode()
+    slow.sendall(req * n_req)
+
+    # Give the server time to dispatch everything while we read nothing;
+    # a sendall()-based server would crash its loop here.
+    time.sleep(1.0)
+    assert client.call("info")["success"]  # loop is still alive
+
+    # Now drain; every response must arrive, one intact JSON per line.
+    slow.settimeout(30)
+    buf = b""
+    lines = []
+    while len(lines) < n_req:
+        data = slow.recv(1 << 16)
+        assert data, "server closed before delivering all responses"
+        buf += data
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            lines.append(line)
+    for line in lines[:n_req]:
+        r = json.loads(line)
+        assert r["success"] and len(r["path"]) > 2
+    slow.close()
+
+
+def test_partial_line_framing(server_client):
+    """Requests split across packets and multiple requests per packet must
+    both frame correctly."""
+    import json
+    import socket
+    import time
+
+    server, _ = server_client
+    raw = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    payload = json.dumps({"srv": "info"}).encode() + b"\n"
+    # Drip one request byte by byte.
+    for i in range(0, len(payload), 3):
+        raw.sendall(payload[i : i + 3])
+        time.sleep(0.01)
+    # Then two requests in a single packet.
+    raw.sendall(payload + payload)
+    buf = b""
+    while buf.count(b"\n") < 3:
+        data = raw.recv(1 << 16)
+        assert data
+        buf += data
+    for line in buf.split(b"\n")[:3]:
+        assert json.loads(line)["success"]
+    raw.close()
+
+
+def test_multi_client_interleaving(server_client):
+    server, client1 = server_client
+    img = maps.open_room(32, 32)
+    assert client1.call("occupancy_grid", width=32, height=32,
+                        data=_occupancy(img))["success"]
+    client2 = EpicClient(port=server.port)
+    client3 = EpicClient(port=server.port)
+    try:
+        for _ in range(10):
+            assert client2.call("info")["success"]
+            assert client1.call("get_cell", x=5, y=5)["success"]
+            assert client3.call("info")["shape"] == [32, 32]
+    finally:
+        client2.close()
+        client3.close()

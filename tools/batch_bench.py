@@ -11,8 +11,12 @@ Domains are procedural stand-ins for the reference's PNG battery (same sizes:
 c_space 348x274, small_maze 802x242, umass 218x700, large_maze 962x962 ...),
 or the reference's own PNGs when /root/reference is mounted.
 
+``--sweep`` reproduces the reference's visual-harness battery mode
+(libepic/tests/maps/maps.py:51-52,81-91): epsilon in {1e-1, 1e-2, 1e-3}
+crossed with every available solver, wall times per row.
+
 Usage: python tools/batch_bench.py [--domain large_maze] [--epsilon 1e-3]
-       [--out results.csv]
+       [--sweep] [--kernel masked|packed] [--out results.csv]
 """
 
 import argparse
@@ -55,16 +59,12 @@ def load_domain(name: str):
     return maps.recursive_maze(h, w, seed=0, corridor=max(6, min(h, w) // 40))
 
 
-def run(domain: str, epsilon: float, out_path: str | None):
+def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
     import jax
 
     import epic_tpu
-    from epic_tpu import analysis, maps
-    from epic_tpu.solver import core, legacy, pallas_sweep
-
-    img = load_domain(domain)
-    goal = img == 255
-    rows = []
+    from epic_tpu import analysis
+    from epic_tpu.solver import core, legacy, pallas_packed, pallas_sweep
 
     # --- legacy CPU SOR (float32 and float64) ---------------------------
     for dtype, label in ((np.float32, "cpu_sor_f32"), (np.float64, "cpu_sor_f64")):
@@ -77,29 +77,44 @@ def run(domain: str, epsilon: float, out_path: str | None):
         rows.append([domain, label, epsilon, pv, dt / max(iters, 1), dt, iters])
 
     # --- log-space solver, XLA (CPU or current backend) ------------------
-    st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
-    t0 = time.perf_counter()
-    out = core.solve(st)
-    iters = int(out.iteration)  # D2H readback = reliable completion barrier
-    dt = time.perf_counter() - t0
-    pv = analysis.percent_valid(np.asarray(out.u), np.asarray(out.locked), goal)
-    rows.append([domain, f"log_xla_{jax.default_backend()}", epsilon, pv,
-                 dt / max(iters, 1), dt, iters])
+    if cfg.solver.backend in ("auto", "xla"):
+        st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
+        t0 = time.perf_counter()
+        out = core.solve(st, stagger=cfg.solver.stagger,
+                         max_iterations=cfg.solver.max_iterations)
+        iters = int(out.iteration)  # D2H readback = reliable completion barrier
+        dt = time.perf_counter() - t0
+        pv = analysis.percent_valid(np.asarray(out.u), np.asarray(out.locked), goal)
+        rows.append([domain, f"log_xla_{jax.default_backend()}", epsilon, pv,
+                     dt / max(iters, 1), dt, iters])
 
     # --- log-space solver, Pallas (VMEM-resident) ------------------------
-    if pallas_sweep.fits_vmem(img.shape):
+    if cfg.solver.backend in ("auto", "pallas") and pallas_sweep.fits_vmem(img.shape):
+        solve_mod = pallas_sweep
+        label = "log_pallas"
+        if cfg.solver.kernel == "packed" and hasattr(pallas_packed, "solve"):
+            solve_mod = pallas_packed
+            label = "log_pallas_packed"
         st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
-        out = pallas_sweep.solve(st)
+        out = solve_mod.solve(st, stagger=cfg.solver.stagger)
         _ = int(out.iteration)  # compile warm-up + completion
         # Warm (steady-state) timing, second run:
         st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
         t0 = time.perf_counter()
-        out = pallas_sweep.solve(st)
+        out = solve_mod.solve(st, stagger=cfg.solver.stagger)
         iters = int(out.iteration)  # D2H readback barrier
         dt = time.perf_counter() - t0
         pv = analysis.percent_valid(np.asarray(out.u), np.asarray(out.locked), goal)
-        rows.append([domain, f"log_pallas_{jax.default_backend()}", epsilon, pv,
+        rows.append([domain, f"{label}_{jax.default_backend()}", epsilon, pv,
                      dt / max(iters, 1), dt, iters])
+
+
+def run(domain: str, cfg, out_path: str | None, epsilons=None):
+    img = load_domain(domain)
+    goal = img == 255
+    rows = []
+    for epsilon in epsilons or [cfg.solver.epsilon]:
+        _bench_epsilon(domain, img, goal, epsilon, cfg, rows)
 
     header = ["Domain", "Solver", "Epsilon", "Percent Valid",
               "Time per Update", "Time to Converge", "Iterations"]
@@ -110,9 +125,20 @@ def run(domain: str, epsilon: float, out_path: str | None):
 
 
 if __name__ == "__main__":
+    from epic_tpu.config import EpicConfig, SolverConfig
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--domain", default="maze", choices=sorted(DOMAINS))
     ap.add_argument("--epsilon", type=float, default=1e-3)
+    ap.add_argument("--sweep", action="store_true",
+                    help="epsilon battery {1e-1,1e-2,1e-3} x solvers "
+                    "(reference maps.py batch mode)")
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--kernel", default="masked", choices=["masked", "packed"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    run(args.domain, args.epsilon, args.out)
+    cfg = EpicConfig(solver=SolverConfig(epsilon=args.epsilon,
+                                         backend=args.backend,
+                                         kernel=args.kernel))
+    run(args.domain, cfg, args.out,
+        epsilons=[1e-1, 1e-2, 1e-3] if args.sweep else None)
