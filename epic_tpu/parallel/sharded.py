@@ -54,50 +54,80 @@ def _neighbor_perm(n: int, direction: int):
     return [(j, j - 1) for j in range(1, n)]
 
 
-def _exchange_halos(u: jax.Array, mesh: Mesh):
-    """Fetch the 4 one-cell halos for a local block via ppermute.
+def _exchange_halos_k(u: jax.Array, mesh: Mesh, k: int):
+    """Fetch K-deep halos (including corners) via a two-phase exchange.
 
-    Returns u_ext: f32[h+2, w+2]; corners and out-of-mesh halos are zeros
-    (never read by an updated cell: the global boundary ring is frozen).
+    Phase 1 extends vertically with the K boundary rows of the my-neighbours;
+    phase 2 exchanges K-column strips of the *already row-extended* arrays,
+    so the mx-neighbours' strips carry the diagonal (corner) blocks a K-sweep
+    dependency cone needs. One ppermute pair per axis per K sweeps — the
+    ICI-latency fix over the round-1 per-sweep 1-cell exchange (ROADMAP #5).
+
+    Out-of-mesh halos arrive as zeros; callers mask them via the frozen
+    exchange (inverted convention, see _exchange_frozen_k) so they are never
+    written, and the global frozen boundary ring stops any read of them.
     """
     nmy = mesh.shape["my"]
     nmx = mesh.shape["mx"]
-    # North halo = the shard above's bottom row (shift down, j -> j+1).
-    north = jax.lax.ppermute(u[-1:, :], "my", _neighbor_perm(nmy, +1))
-    south = jax.lax.ppermute(u[:1, :], "my", _neighbor_perm(nmy, -1))
-    west = jax.lax.ppermute(u[:, -1:], "mx", _neighbor_perm(nmx, +1))
-    east = jax.lax.ppermute(u[:, :1], "mx", _neighbor_perm(nmx, -1))
+    north = jax.lax.ppermute(u[-k:, :], "my", _neighbor_perm(nmy, +1))
+    south = jax.lax.ppermute(u[:k, :], "my", _neighbor_perm(nmy, -1))
     rows = jnp.concatenate([north, u, south], axis=0)
-    zc = jnp.zeros((1, 1), u.dtype)
-    west_ext = jnp.concatenate([zc, west, zc], axis=0)
-    east_ext = jnp.concatenate([zc, east, zc], axis=0)
-    return jnp.concatenate([west_ext, rows, east_ext], axis=1)
+    west = jax.lax.ppermute(rows[:, -k:], "mx", _neighbor_perm(nmx, +1))
+    east = jax.lax.ppermute(rows[:, :k], "mx", _neighbor_perm(nmx, -1))
+    return jnp.concatenate([west, rows, east], axis=1)
 
 
-def _local_sweep(u, frozen, parity, iteration, mesh):
-    """One sweep of the local block with fresh halos. Every local cell is
-    treated as stencil-interior; frozen masks out the global boundary."""
-    u_ext = _exchange_halos(u, mesh)
-    un = u_ext[:-2, 1:-1]
-    us = u_ext[2:, 1:-1]
-    uw = u_ext[1:-1, :-2]
-    ue = u_ext[1:-1, 2:]
-    m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-    s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-    val = (m + jnp.log(s)) - _LOG2N_2D
-    update = (parity != (iteration % 2)) & ~frozen
-    u_new = jnp.where(update, val, u)
-    delta = jnp.max(jnp.abs(u_new - u))
-    return u_new, delta
+def _exchange_frozen_k(frozen: jax.Array, mesh: Mesh, k: int):
+    """Extended frozen mask: exchanged as 'unfrozen' int32 so ppermute's
+    zero-fill marks out-of-mesh cells frozen."""
+    unfrozen = (~frozen).astype(jnp.int32)
+    ext = _exchange_halos_k(unfrozen, mesh, k)
+    return ext == 0
 
 
-def _local_parity(shape_local, mesh):
-    """Global (y + x) % 2 for this shard's block, from the mesh coordinates."""
+def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps, k):
+    """num_sweeps (<= k) sweeps on the K-extended local block.
+
+    The valid region shrinks one cell per side per sweep (temporal-blocking
+    trapezoid); the center block is exact after num_sweeps sweeps. Delta is
+    recorded from sweep 0 over that sweep's valid updated cells — halo-band
+    updates duplicate the owning shard's own arithmetic, so the cross-shard
+    pmax equals the global staggered-check delta exactly.
+    """
+    he, we = u_ext.shape
+    lr = jax.lax.broadcasted_iota(jnp.int32, (he, we), 0)
+    lc = jax.lax.broadcasted_iota(jnp.int32, (he, we), 1)
+    not_frozen = ~frozen_ext
+
+    def sweep(s, u):
+        un = jnp.roll(u, 1, 0)
+        us = jnp.roll(u, -1, 0)
+        uw = jnp.roll(u, 1, 1)
+        ue = jnp.roll(u, -1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (lr >= s + 1) & (lr < he - 1 - s) & (lc >= s + 1) & (lc < we - 1 - s)
+        # Wait-free edge case: with k == num_sweeps the first sweep's valid
+        # ring starts one cell inside the extension, so roll wrap-around
+        # values are never read by a valid updated cell.
+        update = (parity_ext != ((it0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u_ext)
+    delta = jnp.max(jnp.abs(u1 - u_ext))
+    u_out = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+    return u_out, delta
+
+
+def _local_parity_ext(shape_local, mesh, k):
+    """Global (y + x) % 2 for this shard's K-extended block; the extension
+    shifts local coordinates by -k on both axes ((-k) ≡ k mod 2)."""
     h, w = shape_local
     iy = jax.lax.axis_index("my") * h
     ix = jax.lax.axis_index("mx") * w
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + iy
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + ix
+    row = jax.lax.broadcasted_iota(jnp.int32, (h + 2 * k, w + 2 * k), 0) + iy + k
+    col = jax.lax.broadcasted_iota(jnp.int32, (h + 2 * k, w + 2 * k), 1) + ix + k
     return (row + col) % 2
 
 
@@ -124,13 +154,22 @@ def _pad_for_mesh(state: GridState, mesh: Mesh):
     return u, frozen
 
 
+# Default K: sweeps per halo exchange. Amortizes ICI latency 16x over the
+# per-sweep exchange; halo redundancy is 2K cells per axis per shard.
+DEFAULT_CHUNK_DEPTH = 16
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "num_steps"),
+    static_argnames=("mesh", "num_steps", "chunk_depth"),
     donate_argnums=(0,),
 )
-def _update_n_sharded(u, frozen, iteration, mesh: Mesh, num_steps: int):
-    """num_steps sweeps; delta (pmax-reduced) from the first sweep."""
+def _update_n_sharded(
+    u, frozen, iteration, mesh: Mesh, num_steps: int,
+    chunk_depth: int = DEFAULT_CHUNK_DEPTH,
+):
+    """num_steps sweeps as ceil(num_steps / chunk_depth) halo-exchange
+    rounds; delta (pmax-reduced) from the overall first sweep."""
 
     @functools.partial(
         jax.shard_map,
@@ -139,17 +178,26 @@ def _update_n_sharded(u, frozen, iteration, mesh: Mesh, num_steps: int):
         out_specs=(P("my", "mx"), P()),
     )
     def run(u_loc, frozen_loc, it0):
-        parity = _local_parity(u_loc.shape, mesh)
-
-        def body(k, carry):
-            u, delta = carry
-            u, d = _local_sweep(u, frozen_loc, parity, it0 + k, mesh)
-            return u, jnp.where(k == 0, d, delta)
-
+        # Halo depth cannot exceed the local block extent.
+        depth = min(chunk_depth, u_loc.shape[0], u_loc.shape[1])
         # The initial delta must carry the same varying-axes type as the body
         # output under shard_map's manual-axes typing.
-        delta0 = jax.lax.pvary(jnp.float32(0.0), ("my", "mx"))
-        u_loc, delta = jax.lax.fori_loop(0, num_steps, body, (u_loc, delta0))
+        delta = jax.lax.pvary(jnp.float32(0.0), ("my", "mx"))
+        done = 0
+        first = True
+        while done < num_steps:
+            k = min(depth, num_steps - done)
+            u_ext = _exchange_halos_k(u_loc, mesh, k)
+            frozen_ext = _exchange_frozen_k(frozen_loc, mesh, k)
+            parity_ext = _local_parity_ext(u_loc.shape, mesh, k)
+            u_ext, d = _sweep_k_local(
+                u_ext, frozen_ext, parity_ext, it0 + done, k, k
+            )
+            u_loc = u_ext[k:-k, k:-k]
+            if first:
+                delta = d
+                first = False
+            done += k
         delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
         return u_loc, delta.reshape(1)
 

@@ -184,6 +184,211 @@ def _per_lane_delta(u_new, u_old, nb: int, gpr: int, gpc: int, hp8: int, wp: int
     return per_tile.reshape(nb * gpr * gpc)
 
 
+def _block_kernel_gated(it_ref, active_ref, u_ref, frozen_ref, u_out,
+                        *, num_sweeps):
+    """Block body with per-block gating: blocks whose lanes have all retired
+    skip the sweeps entirely (their tiles pass through unchanged), the
+    device-side analog of the reference retiring a finished solve."""
+    i = pl.program_id(0)
+
+    @pl.when(active_ref[i] != 0)
+    def _():
+        t0 = it_ref[0]
+        u0 = u_ref[:]
+        sweep = make_sweep_fn(u0, frozen_ref[:] == 0, t0)
+        u_out[:] = jax.lax.fori_loop(
+            0, num_sweeps, lambda k, u: sweep(u, k), u0
+        )
+
+    @pl.when(active_ref[i] == 0)
+    def _():
+        u_out[:] = u_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "block_rows", "interpret")
+)
+def _sweep_chunk_gated(
+    u: jax.Array,
+    frozen: jax.Array,
+    active_blocks: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    block_rows: int,
+    interpret: bool = False,
+):
+    hp, cols = u.shape
+    n_blocks = hp // block_rows
+    return pl.pallas_call(
+        functools.partial(_block_kernel_gated, num_sweeps=num_sweeps),
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((hp, cols), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(iteration.reshape(1), active_blocks, u, frozen)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stagger", "max_iterations", "m_max", "nb", "gpr", "gpc", "hp8",
+        "wp", "block_rows", "interpret",
+    ),
+)
+def _solve_collage_device(
+    u_c,
+    frozen_c,
+    retired0,
+    epsilon,
+    stagger: int,
+    max_iterations: int,
+    m_max: int,
+    nb: int,
+    gpr: int,
+    gpc: int,
+    hp8: int,
+    wp: int,
+    block_rows: int,
+    interpret: bool,
+):
+    """The whole lockstep solve protocol as ONE device program.
+
+    Equivalent to the reference's per-solve loop (harmonic_gpu.cu:226-305)
+    run for every lane at once: check sweep -> per-lane delta -> retirement
+    -> stagger-1 plain sweeps, repeated until all lanes exit. No host
+    readbacks, no re-uploads: lane retirement is a device-side mask update.
+    """
+    n_lanes = nb * gpr * gpc
+
+    def expand(retired):
+        # [n_lanes] -> per-cell retirement mask [hp, cols] in collage layout.
+        r = retired.reshape(nb, gpr, 1, gpc, 1)
+        r = jnp.broadcast_to(r, (nb, gpr, hp8, gpc, wp))
+        return r.reshape(nb * gpr * hp8, gpc * wp)
+
+    def block_active(retired):
+        return jnp.any(
+            ~retired.reshape(nb, gpr * gpc), axis=1
+        ).astype(jnp.int32)
+
+    def per_lane_delta(u_new, u_old):
+        diff = jnp.abs(u_new - u_old).reshape(nb, gpr, hp8, gpc, wp)
+        return jnp.max(diff, axis=(2, 4)).reshape(n_lanes)
+
+    def cond(carry):
+        _, retired, _, _, t = carry
+        return (~jnp.all(retired)) & (t < max_iterations)
+
+    def body(carry):
+        u, retired, iters, deltas, t = carry
+        frozen_eff = jnp.maximum(frozen_c, expand(retired).astype(jnp.int32))
+        u_prev = u
+        u = _sweep_chunk_gated.__wrapped__(
+            u, frozen_eff, block_active(retired), t, 1, block_rows, interpret
+        )
+        d = per_lane_delta(u, u_prev)
+        active = ~retired
+        deltas = jnp.where(active, d, deltas)
+        t = t + 1
+        iters = jnp.where(active, t, iters)
+        just_done = active & (d < epsilon) & (t >= m_max)
+        retired = retired | just_done
+
+        def rest(u):
+            frozen_eff = jnp.maximum(
+                frozen_c, expand(retired).astype(jnp.int32)
+            )
+            return _sweep_chunk_gated.__wrapped__(
+                u, frozen_eff, block_active(retired), t, stagger - 1,
+                block_rows, interpret,
+            )
+
+        all_done = jnp.all(retired)
+        u = jax.lax.cond(all_done, lambda u: u, rest, u)
+        t = jnp.where(all_done, t, t + (stagger - 1))
+        iters = jnp.where(~retired, t, iters)
+        return u, retired, iters, deltas, t
+
+    return jax.lax.while_loop(
+        cond,
+        body,
+        (
+            u_c,
+            retired0,
+            jnp.zeros((n_lanes,), jnp.int32),
+            jnp.full((n_lanes,), epsilon + 1.0, jnp.float32),
+            jnp.int32(0),
+        ),
+    )
+
+
+def solve_batch_device(
+    u: np.ndarray | jax.Array,
+    locked: np.ndarray | jax.Array,
+    epsilon: float = C.DEFAULT_EPSILON,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    group_shape: tuple[int, int] | None = None,
+    interpret: bool | None = None,
+):
+    """Lockstep solve of B scenarios entirely on device (one dispatch).
+
+    Protocol identical to :func:`solve_batch` (per-lane reference-exact), but
+    the check/retire/freeze loop is compiled: per-lane deltas reduce on
+    device, retirement is a mask update, fully-retired blocks skip their
+    sweeps. Replaces the host-driven loop's per-check readbacks and
+    full-collage re-uploads (round-1 bottleneck).
+
+    Returns (u[B, H, W], iterations[B], deltas[B], converged[B]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    u = np.asarray(u, np.float32)
+    locked_np = np.asarray(locked).astype(bool)
+    b, h, w = u.shape
+    m_max = max(h, w)
+
+    u_c, frozen_c, meta = pad_batch(u, locked_np, group_shape)
+    gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
+    hp8, wp = meta["hp8"], meta["wp"]
+    n_lanes = nb * gpr * gpc
+
+    retired0 = np.zeros(n_lanes, bool)
+    retired0[b:] = True  # padding lanes never run
+
+    u_out, retired, iters, deltas, _ = _solve_collage_device(
+        u_c,
+        frozen_c,
+        jnp.asarray(retired0),
+        jnp.float32(epsilon),
+        stagger,
+        max_iterations,
+        m_max,
+        nb,
+        gpr,
+        gpc,
+        hp8,
+        wp,
+        meta["block_rows"],
+        interpret,
+    )
+    return (
+        unstack(u_out, meta),
+        np.asarray(iters)[:b],
+        np.asarray(deltas)[:b],
+        np.asarray(retired)[:b],
+    )
+
+
 def solve_batch(
     u: np.ndarray | jax.Array,
     locked: np.ndarray | jax.Array,

@@ -91,3 +91,44 @@ def test_batched_walk_reference_mode_matches_host():
         dev = np.asarray(out["positions"])[lane, :n]
         m = min(n, len(host))
         np.testing.assert_allclose(dev[:m], host[:m], atol=5e-2)
+
+
+def test_batched_walk_reference_mode_fuzz_grids():
+    """Reference-mode (extrapolating) corner selection on random grids:
+    device lanes must track the host reference walker step for step until
+    f32-vs-f64 norm rounding legitimately diverges near walls (ROADMAP #8)."""
+    rng = np.random.default_rng(5)
+    for seed in (0, 1, 2):
+        img = maps.random_obstacles(40, 56, density=0.12, seed=seed)
+        u, locked = _solved(img, eps=1e-3)
+        free_ys, free_xs = np.nonzero(~locked)
+        idx = rng.choice(len(free_ys), 12, replace=False)
+        starts = np.stack([free_xs[idx], free_ys[idx]], -1).astype(np.float32)
+        out = batched_path.walk(
+            jnp.asarray(u), jnp.asarray(locked), jnp.asarray(starts),
+            step_size=0.2, cd_precision=0.4, max_steps=2048, mode="reference",
+        )
+        agree = 0
+        compared = 0
+        for lane in range(len(starts)):
+            try:
+                host = path.compute_path(
+                    u, locked, float(starts[lane, 0]), float(starts[lane, 1]),
+                    0.2, 0.4, mode="reference", impl="numpy",
+                )
+            except Exception:
+                continue
+            n = int(out["lengths"][lane])
+            dev = np.asarray(out["positions"])[lane, :n]
+            m = min(n, len(host), 48)
+            if m >= 3:
+                np.testing.assert_allclose(
+                    dev[:m], host[:m], atol=5e-2,
+                    err_msg=f"seed {seed} lane {lane}",
+                )
+                compared += 1
+            host_reached = path.path_reaches_goal(u, locked, host)
+            if bool(out["reached_goal"][lane]) == bool(host_reached):
+                agree += 1
+        assert compared >= 6, f"seed {seed}: too few comparable lanes"
+        assert agree >= 0.75 * len(starts), f"seed {seed}: reach-flag agreement"

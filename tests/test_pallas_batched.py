@@ -88,3 +88,58 @@ def test_solve_batch_deep_chunks_relaxed_protocol():
     solo = core.solve(ref, stagger=64)
     assert int(iters[0]) == int(solo.iteration)
     np.testing.assert_allclose(out[0], np.asarray(solo.u), rtol=2e-6, atol=1e-3)
+
+
+def test_solve_batch_device_matches_host_protocol():
+    """The one-dispatch device solve must reproduce the host-driven lockstep
+    protocol lane for lane: same fields, iteration counts, deltas."""
+    u, locked = _batch()
+    u_host = np.asarray(u)
+    locked_host = np.asarray(locked)
+    d_u, d_it, d_dl, d_cv = pallas_batched.solve_batch_device(
+        u_host, locked_host, epsilon=1e-2, stagger=11, interpret=True
+    )
+    h_u, h_it, h_dl, h_cv = pallas_batched.solve_batch(
+        u_host, locked_host, epsilon=1e-2, stagger=11, interpret=True
+    )
+    assert d_cv.all() and h_cv.all()
+    np.testing.assert_array_equal(d_it, h_it)
+    np.testing.assert_allclose(d_dl, h_dl, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d_u, h_u, rtol=0, atol=1e-5)
+
+
+def test_solve_batch_device_matches_solo_solves():
+    u, locked = _batch()
+    u_host = np.asarray(u)
+    locked_host = np.asarray(locked)
+    u_out, iters, deltas, conv = pallas_batched.solve_batch_device(
+        u_host, locked_host, epsilon=1e-2, stagger=11, interpret=True
+    )
+    assert conv.all()
+    for lane in range(u_host.shape[0]):
+        st = epic_tpu.make_state(u_host[lane], locked_host[lane], epsilon=1e-2)
+        solo = core.solve(st, stagger=11)
+        assert int(solo.iteration) == iters[lane]
+        np.testing.assert_allclose(
+            u_out[lane], np.asarray(solo.u), rtol=2e-6, atol=1e-4
+        )
+
+
+def test_solve_batch_device_uneven_retirement():
+    """Lanes with very different difficulty retire at different iterations;
+    early retirees' fields must stay frozen while others keep relaxing."""
+    base = maps.open_room(24, 24)
+    goal_sets = [[(12, 12)], [(2, 2)], [(12, 12), (2, 2), (20, 20)]]
+    u, locked = batched.batch_from_goal_sets(base, goal_sets)
+    u_host, locked_host = np.asarray(u), np.asarray(locked)
+    u_out, iters, deltas, conv = pallas_batched.solve_batch_device(
+        u_host, locked_host, epsilon=1e-2, stagger=7, interpret=True
+    )
+    assert conv.all()
+    for lane in range(3):
+        st = epic_tpu.make_state(u_host[lane], locked_host[lane], epsilon=1e-2)
+        solo = core.solve(st, stagger=7)
+        assert int(solo.iteration) == iters[lane], lane
+        np.testing.assert_allclose(
+            u_out[lane], np.asarray(solo.u), rtol=2e-6, atol=1e-4
+        )

@@ -74,3 +74,35 @@ def test_sharded_1d_mesh():
     np.testing.assert_allclose(
         np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-4
     )
+
+
+def test_chunk_depths_equivalent(mesh8):
+    """K-deep halo chunks (one exchange per K sweeps) must be exactly
+    equivalent to per-sweep exchange: the trapezoid guard makes each chunk
+    identical to K global sweeps."""
+    img = maps.recursive_maze(64, 64, seed=9)
+    st0 = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+    ref = None
+    for depth in (1, 4, 16, 64):
+        u, frozen = sharded._pad_for_mesh(st0, mesh8)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh8, P("my", "mx"))
+        u = jax.device_put(u, sh)
+        frozen = jax.device_put(frozen, sh)
+        out, delta = sharded._update_n_sharded(
+            u, frozen, st0.iteration, mesh8, 37, depth
+        )
+        out = np.asarray(out)
+        if ref is None:
+            ref = (out, float(delta))
+        else:
+            np.testing.assert_array_equal(out, ref[0], err_msg=f"depth {depth}")
+            assert float(delta) == ref[1]
+    # And the chunked result equals the single-device path bit-for-bit on CPU.
+    solo = core.update_n(st0, 37)
+    h, w = st0.u.shape
+    np.testing.assert_allclose(
+        ref[0][:h, :w], np.asarray(solo.u), rtol=0, atol=2e-6
+    )
