@@ -73,40 +73,58 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, reps, body, u)
 
-    # Warm-up / compile (the only distinct jaxpr in this process). If the
-    # Pallas kernel cannot compile on this stack, fall back to the
-    # identical-semantics XLA path so the benchmark always reports.
+    # Identical-semantics XLA twin: the fallback when Pallas cannot compile,
+    # and the on-chip exactness gate for the Pallas result (VERDICT r1 #5 —
+    # the reported number must be validated in the same process, not an
+    # unchecked checksum).
+    @jax.jit
+    def run_all_xla(u, frozen, it0):
+        def body(i, u):
+            def inner(k, u):
+                un = jnp.roll(u, 1, 0)
+                us = jnp.roll(u, -1, 0)
+                uw = jnp.roll(u, 1, 1)
+                ue = jnp.roll(u, -1, 1)
+                m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+                s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+                val = (m + jnp.log(s)) - np.float32(np.log(4.0))
+                row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+                upd = (((row + col) % 2) != ((it0 + i * chunk + k) % 2)) & ~frozen
+                return jnp.where(upd, val, u)
+
+            return jax.lax.fori_loop(0, chunk, inner, u)
+
+        return jax.lax.fori_loop(0, reps, body, u)
+
+    # Warm-up / compile. If the Pallas kernel cannot compile on this stack,
+    # fall back to the XLA path so the benchmark always reports.
     kernel = "pallas"
+    exactness = {}
     try:
         u_warm = run_all(u, frozen, jnp.int32(0))
-        _ = np.asarray(u_warm)  # full completion barrier
+        pallas_np = np.asarray(u_warm)  # full completion barrier
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# pallas path failed ({type(e).__name__}); using XLA fallback",
               flush=True)
         kernel = "xla"
-
-        @jax.jit
-        def run_all(u, frozen, it0):  # noqa: F811 - intentional rebind
-            def body(i, u):
-                def inner(k, u):
-                    un = jnp.roll(u, 1, 0)
-                    us = jnp.roll(u, -1, 0)
-                    uw = jnp.roll(u, 1, 1)
-                    ue = jnp.roll(u, -1, 1)
-                    m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-                    s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-                    val = (m + jnp.log(s)) - np.float32(np.log(4.0))
-                    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-                    col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-                    upd = (((row + col) % 2) != ((it0 + i * chunk + k) % 2)) & ~frozen
-                    return jnp.where(upd, val, u)
-
-                return jax.lax.fori_loop(0, chunk, inner, u)
-
-            return jax.lax.fori_loop(0, reps, body, u)
-
+        run_all = run_all_xla
         u_warm = run_all(u, frozen, jnp.int32(0))
-        _ = np.asarray(u_warm)
+        pallas_np = np.asarray(u_warm)
+
+    if kernel == "pallas":
+        # Exactness gate: the XLA twin of the same `reps*chunk` sweeps must
+        # agree elementwise before the Pallas number is reported.
+        xla_np = np.asarray(run_all_xla(u, frozen, jnp.int32(0)))
+        max_diff = float(np.max(np.abs(pallas_np - xla_np)))
+        exactness = {
+            "checksum_pallas": float(pallas_np.sum(dtype=np.float64)),
+            "checksum_xla": float(xla_np.sum(dtype=np.float64)),
+            "max_abs_diff_vs_xla": max_diff,
+        }
+        assert max_diff <= 1e-4, (
+            f"pallas kernel diverges from the XLA twin on-chip: {max_diff}"
+        )
 
     t0 = time.perf_counter()
     u_out = run_all(u_warm, frozen, jnp.int32(reps * chunk))
@@ -132,6 +150,7 @@ def main() -> None:
                     "backend": jax.default_backend(),
                     "kernel": kernel,
                     "checksum": checksum,
+                    **exactness,
                     "baseline": "reference umass anytime budget 3030 sweeps/s "
                     "(launch/epic_navigation_node_umass.launch:11-12)",
                 },

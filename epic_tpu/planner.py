@@ -137,22 +137,38 @@ class Planner:
 
     # -- the anytime loop --------------------------------------------------
 
-    def _use_pallas(self) -> bool:
+    def _kernel_module(self):
+        """Solver-path selection (the functional analog of the reference's
+        gpu->cpu fallback, harmonic.py:76-102):
+
+          "xla"    -> solver.core always;
+          "pallas" -> forced Pallas (VMEM kernel if the grid fits, else the
+                      banded big-grid kernel);
+          "auto"   -> on TPU: VMEM kernel for grids that fit, banded kernel
+                      for bigger 2D grids; elsewhere solver.core.
+
+        Returns a module exposing update_n/solve, or None for the XLA path.
+        """
         backend = self.config.backend
         if backend == "xla":
-            return False
+            return None
         st = self._require_state()
         if st.u.ndim != 2:
-            return False
-        from .solver import pallas_sweep
-
-        if backend == "pallas":
-            return True
+            return None
         import jax
 
-        return jax.default_backend() == "tpu" and pallas_sweep.fits_vmem(
-            st.u.shape
-        )
+        if backend != "pallas" and jax.default_backend() != "tpu":
+            return None
+        from .solver import pallas_biggrid, pallas_packed, pallas_sweep
+
+        if pallas_sweep.fits_vmem(st.u.shape):
+            if self.solver_config.kernel == "packed":
+                return pallas_packed
+            return pallas_sweep
+        return pallas_biggrid
+
+    def _use_pallas(self) -> bool:
+        return self._kernel_module() is not None
 
     def update(self, num_steps: int | None = None) -> None:
         """Run a chunk of relaxation sweeps (no-op when paused / uninit),
@@ -160,31 +176,21 @@ class Planner:
         if self.state is None or self.paused:
             return
         n = num_steps if num_steps is not None else self.config.steps_per_update
-        if self._use_pallas():
-            # SolverConfig.kernel selects the VMEM kernel layout; "masked" is
-            # the measured-best default on v5e (docs/BENCH_NOTES.md).
-            if self.solver_config.kernel == "packed":
-                from .solver import pallas_packed as kernel_mod
-            else:
-                from .solver import pallas_sweep as kernel_mod
-
-            self.state = kernel_mod.update_n(self.state, n)
+        mod = self._kernel_module()
+        if mod is not None:
+            self.state = mod.update_n(self.state, n)
         else:
             self.state = core.update_n(self.state, n)
 
     def solve(self) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as
         the nav_core plugin does per makePlan (epic_nav_core_plugin.cpp:256)."""
-        if self._use_pallas():
-            from .solver import pallas_sweep
-
-            self.state = pallas_sweep.solve(
-                self._require_state(), stagger=self.config.stagger
-            )
-        else:
-            self.state = core.solve(
-                self._require_state(), stagger=self.config.stagger
-            )
+        mod = self._kernel_module()
+        solve_fn = getattr(mod, "solve", None) if mod is not None else None
+        if solve_fn is None:
+            # XLA path, or a kernel module without a solve loop (packed).
+            solve_fn = core.solve
+        self.state = solve_fn(self._require_state(), stagger=self.config.stagger)
 
     # -- service verbs -----------------------------------------------------
 

@@ -5,6 +5,7 @@ from . import (
     legacy,
     pallas_banded,
     pallas_batched,
+    pallas_biggrid,
     pallas_packed,
     pallas_sweep,
     pallas_tiled,
@@ -18,6 +19,7 @@ __all__ = [
     "legacy",
     "pallas_banded",
     "pallas_batched",
+    "pallas_biggrid",
     "pallas_packed",
     "pallas_sweep",
     "pallas_tiled",

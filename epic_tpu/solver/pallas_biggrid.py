@@ -1,0 +1,307 @@
+"""Big-grid Pallas kernel v2: stacked overlapping row-bands, K sweeps/chunk.
+
+Replaces the round-1 big-grid attempts (pallas_tiled's manual DMA and
+pallas_banded's in-kernel halo concatenation — the latter fails to compile at
+wide shapes on current Mosaic and both carried structural overheads). The
+probe batteries (tools/tpu_probe*.py, docs/BENCH_NOTES.md round 2) showed the
+fast structure is the plain band-grid kernel: BlockSpec row bands, VMEM
+blocks, fori sweeps inside — ~110 G cell-visits/s with no per-grid-step
+fixed cost. This module feeds that structure overlapping inputs:
+
+- the grid is padded with K frozen guard rows top/bottom and stacked into
+  ``nb`` overlapping extended bands of ``band + 2K`` rows via ONE XLA row
+  gather per chunk (HBM cost ~(1 + 2K/band) grid reads, amortized over K
+  sweeps);
+- a Pallas grid over the stacked array runs K red-black sweeps per band with
+  a shrinking row-validity guard (temporal-blocking trapezoid), writing back
+  only the ``band`` center rows — which concatenate to the original row
+  order, so no reassembly transpose exists;
+- the staggered-check delta comes from sweep 0 of the chunk: every band
+  writes its max to an SMEM vector, reduced with the chunk result. Halo-row
+  updates duplicate the owning band's arithmetic exactly, so including them
+  changes nothing (same argument as the sharded trapezoid,
+  epic_tpu/parallel/sharded.py).
+
+Exactness: a chunk of K sweeps is bit-identical to K global sweeps of the
+oracle (tested vs reference_np and solver.core in interpret mode).
+
+Replaces the CUDA per-sweep stencil + two-stage delta reduction
+(/root/reference/libepic/src/harmonic/harmonic_gpu.cu:39-153): one kernel
+call per K sweeps instead of one per sweep, delta never leaves the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..grid import GridState
+
+_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+
+# Extended-band VMEM budget in f32 cells. The kernel holds the extended
+# block plus a handful of live temporaries; 512k cells (2 MB) keeps the
+# pipeline double-buffered well under 16 MB.
+EXT_BAND_CELL_BUDGET = 512 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
+    """Pick (band, k) for a grid: the deepest K <= chunk_depth whose extended
+    band fits the VMEM budget with redundancy 2K/band <= 1."""
+    h, w = shape
+    wp = _round_up(w, 128)
+    ext_max = max(16, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
+    k = min(chunk_depth, ext_max // 4)  # at most half the band is halo
+    k = max(8, k // 8 * 8)
+    band = min(ext_max - 2 * k, _round_up(h, 8))
+    band = max(8, band // 8 * 8)
+    return band, k
+
+
+def _band_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
+                 *, num_sweeps, band, k, w):
+    """K guarded sweeps on one extended band of the stacked layout."""
+    i = pl.program_id(0)
+    ext = band + 2 * k
+    t0 = it_ref[0]
+    u0 = u_ref[:]
+    not_frozen = f_ref[:] == 0
+    # Global row of extended-local row r is i*band - k + r (guard rows make
+    # every index valid in the padded array). Parity needs the global row.
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
+    parity = (local_row + i * band - k + col) % 2
+
+    def sweep(s, u):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, ext - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, w - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (local_row > s) & (local_row < ext - 1 - s)
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[i, 0] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+    u_out[:] = u[k : k + band, :]
+
+
+def _stack_rows(hp: int, band: int, k: int) -> np.ndarray:
+    nb = (hp - 2 * k) // band
+    starts = np.arange(nb) * band
+    return (starts[:, None] + np.arange(band + 2 * k)[None, :]).reshape(-1)
+
+
+def stack_frozen(frozen_pad: jax.Array, band: int, k: int) -> jax.Array:
+    """Pre-stack the (static per solve) frozen mask into the overlapping
+    band layout so chunks don't rebuild it."""
+    return frozen_pad[jnp.asarray(_stack_rows(frozen_pad.shape[0], band, k))]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "band", "k", "interpret")
+)
+def sweep_chunk_bands(
+    u_pad: jax.Array,
+    frozen_ext: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    band: int,
+    k: int,
+    interpret: bool = False,
+):
+    """num_sweeps (<= k) sweeps over the guard-padded grid.
+
+    u_pad: f32[k + nb*band + k, Wp]; frozen_ext: int32[nb*(band+2k), Wp],
+    the pre-stacked mask from :func:`stack_frozen` (guard rows, boundary
+    ring, and alignment padding frozen).
+
+    Returns (u_pad', delta of the chunk's first sweep). Guard rows pass
+    through untouched (they are never written).
+    """
+    hp, wp = u_pad.shape
+    nb = (hp - 2 * k) // band
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert num_sweeps <= k
+    ext = band + 2 * k
+
+    # Stack overlapping extended bands: one gather, [nb*ext, Wp].
+    u_ext = u_pad[jnp.asarray(_stack_rows(hp, band, k))]
+    f_ext = frozen_ext
+
+    out_u, out_delta = pl.pallas_call(
+        functools.partial(_band_kernel, num_sweeps=num_sweeps,
+                          band=band, k=k, w=wp),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ext, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ext, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_ext, f_ext)
+
+    u_new = jax.lax.dynamic_update_slice(u_pad, out_u, (k, 0))
+    return u_new, jnp.max(out_delta)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedGrid:
+    u: jax.Array          # f32[k + nb*band + k, Wp]
+    frozen: jax.Array     # int32 same shape
+    height: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+    band: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+
+
+def pad_state(state: GridState, chunk_depth: int = 16,
+              band: int | None = None, k: int | None = None) -> BandedGrid:
+    h, w = state.u.shape
+    if band is None or k is None:
+        band, k = choose_layout((h, w), chunk_depth)
+    wp = _round_up(w, 128)
+    nb = -(-h // band)
+    hp = nb * band + 2 * k
+    u = jnp.full((hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
+    u = u.at[k : k + h, :w].set(state.u)
+    interior = np.zeros((hp, wp), dtype=bool)
+    interior[k + 1 : k + h - 1, 1 : w - 1] = True
+    frozen = jnp.ones((hp, wp), dtype=jnp.int32)
+    frozen = frozen.at[k : k + h, :w].set(state.locked.astype(jnp.int32))
+    frozen = jnp.where(jnp.asarray(interior), frozen, 1)
+    return BandedGrid(u=u, frozen=frozen, height=h, width=w, band=band, k=k)
+
+
+def unpad(g: BandedGrid) -> jax.Array:
+    return g.u[g.k : g.k + g.height, : g.width]
+
+
+def update_n(state: GridState, num_steps: int,
+             chunk_depth: int = 16, interpret: bool | None = None) -> GridState:
+    """Anytime chunk stepper; semantics identical to core.update_n (delta
+    from the overall first sweep)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = pad_state(state, chunk_depth)
+    u = g.u
+    frozen_ext = stack_frozen(g.frozen, g.band, g.k)
+    t = 0
+    delta = None
+    while t < num_steps:
+        d = min(g.k, num_steps - t)
+        u, dd = sweep_chunk_bands(
+            u, frozen_ext, state.iteration + t, d, g.band, g.k, interpret
+        )
+        if delta is None:
+            delta = dd
+        t += d
+    return dataclasses.replace(
+        state,
+        u=u[g.k : g.k + g.height, : g.width],
+        iteration=state.iteration + num_steps,
+        delta=delta,
+        converged=(delta < state.epsilon) if num_steps == 1 else jnp.asarray(False),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stagger", "max_iterations", "band", "k", "interpret",
+                     "height", "width"),
+    donate_argnums=(0,),
+)
+def _solve_banded(
+    u, frozen_ext, epsilon, stagger: int, max_iterations: int, band: int,
+    k: int, interpret: bool, height: int, width: int,
+):
+    """Full solve protocol on the banded path, one device program.
+
+    Check sweep = a 1-sweep chunk (its delta is the staggered check); the
+    remaining stagger-1 sweeps run as K-deep chunks.
+    """
+    m_max = max(height, width)
+
+    def cond(carry):
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
+
+    def body(carry):
+        u, iteration, _, _ = carry
+        u, delta = sweep_chunk_bands.__wrapped__(
+            u, frozen_ext, iteration, 1, band, k, interpret
+        )
+        iteration = iteration + 1
+        done = (delta < epsilon) & (iteration >= m_max)
+
+        def run_rest(args):
+            u, iteration = args
+            rest = stagger - 1
+            t = 0
+            while t < rest:
+                d = min(k, rest - t)
+                u, _ = sweep_chunk_bands.__wrapped__(
+                    u, frozen_ext, iteration + t, d, band, k, interpret
+                )
+                t += d
+            return u, iteration + rest
+
+        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
+        return u, iteration, delta, done
+
+    return jax.lax.while_loop(
+        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+    )
+
+
+def solve(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    chunk_depth: int = 16,
+    interpret: bool | None = None,
+) -> GridState:
+    """Relax to convergence; protocol identical to core.solve
+    (harmonic_complete_cpu), big-grid banded kernel, one device program."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = pad_state(state, chunk_depth)
+    frozen_ext = stack_frozen(g.frozen, g.band, g.k)
+    u, iteration, delta, converged = _solve_banded(
+        g.u, frozen_ext, state.epsilon, stagger, max_iterations, g.band,
+        g.k, interpret, g.height, g.width,
+    )
+    return dataclasses.replace(
+        state,
+        u=u[g.k : g.k + g.height, : g.width],
+        iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
