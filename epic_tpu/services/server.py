@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import selectors
 import socket
 
@@ -39,6 +40,8 @@ from ..errors import EpicError
 from ..planner import PlannerConfig
 from . import messages as msg
 from .navigation_node import EpicNavigationNodeRviz
+
+logger = logging.getLogger("epic_tpu.server")
 
 
 class EpicServiceServer:
@@ -133,6 +136,7 @@ class EpicServiceServer:
     # -- event loop --------------------------------------------------------
 
     def _close_conn(self, sock: socket.socket) -> None:
+        logger.info("client disconnected")
         self.sel.unregister(sock)
         self._buffers.pop(sock, None)
         self._out.pop(sock, None)
@@ -163,11 +167,12 @@ class EpicServiceServer:
         for key, mask in self.sel.select(timeout=0):
             sock = key.fileobj
             if sock is self.listener:
-                conn, _ = self.listener.accept()
+                conn, addr = self.listener.accept()
                 conn.setblocking(False)
                 self.sel.register(conn, selectors.EVENT_READ, None)
                 self._buffers[conn] = b""
                 self._out[conn] = b""
+                logger.info("client connected: %s", addr)
                 continue
             if mask & selectors.EVENT_WRITE:
                 self._flush(sock)

@@ -224,3 +224,33 @@ def test_planner_from_epic_config():
     pl.add_goals([(16.0, 16.0)])
     pl.update()
     assert int(pl.state.iteration) == 77
+
+
+def test_planner_pad_cache_reuse_and_invalidation():
+    """Consecutive update() ticks reuse the padded buffers; any verb that
+    replaces the state invalidates the cache; results equal the XLA path."""
+    pl = Planner(PlannerConfig(epsilon=1e-2, backend="pallas"))
+    ref = Planner(PlannerConfig(epsilon=1e-2, backend="xla"))
+    for p in (pl, ref):
+        p.init(40, 40)
+        p.add_goals([(20.0, 20.0)])
+    pl.update(10)
+    ref.update(10)
+    c1 = pl._pad_cache
+    assert c1 is not None and c1[0] is pl.state
+    pl.update(10)
+    ref.update(10)
+    assert pl._pad_cache[0] is pl.state and pl._pad_cache is not c1
+    np.testing.assert_allclose(
+        np.asarray(pl.state.u), np.asarray(ref.state.u), rtol=0, atol=1e-5
+    )
+    # Edits invalidate; the next tick rebuilds and stays correct.
+    pl.set_cells([(5, 5)], [C.CELL_TYPE_OBSTACLE])
+    ref.set_cells([(5, 5)], [C.CELL_TYPE_OBSTACLE])
+    assert pl._pad_cache[0] is not pl.state
+    pl.update(11)
+    ref.update(11)
+    np.testing.assert_allclose(
+        np.asarray(pl.state.u), np.asarray(ref.state.u), rtol=0, atol=1e-5
+    )
+    assert int(pl.state.iteration) == int(ref.state.iteration)
