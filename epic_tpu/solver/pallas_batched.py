@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from .pallas_sweep import make_sweep_fn
+from .pallas_sweep import _VMEM_LIMIT, make_sweep_fn
 
 # Per-block cell budget: the kernel materializes ~8 block-sized f32
 # temporaries per sweep; 300k cells * 4 B * 8 ≈ 9.6 MB against 16 MB VMEM.
@@ -99,6 +99,7 @@ def sweep_chunk_blocks(
             # violate TPU block-shape rules.
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(iteration.reshape(1), u, frozen)
     return out_u, out_delta[:, 0]
@@ -233,6 +234,7 @@ def _sweep_chunk_gated(
         ],
         out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(iteration.reshape(1), active_blocks, u, frozen)
 

@@ -46,10 +46,14 @@ from ..grid import GridState
 
 _LOG2N_2D = np.float32(np.log(np.float64(4.0)))
 
-# Extended-band VMEM budget in f32 cells. The kernel holds the extended
-# block plus a handful of live temporaries; 512k cells (2 MB) keeps the
-# pipeline double-buffered well under 16 MB.
-EXT_BAND_CELL_BUDGET = 512 * 1024
+# Extended-band VMEM budget in f32 cells. Mosaic's scoped-VMEM footprint is
+# ~3.5x the extended block; the 16 MB default limit rejects wide bands, but
+# v5e's physical VMEM is far larger — the kernel raises vmem_limit_bytes to
+# _VMEM_LIMIT, and measured-best layouts use ~1 M-cell extended blocks with
+# 224-row bands (tools/tpu_probe5.py: 37-39 G cell-updates/s at
+# 4096^2-8192^2, 31 G at 16384^2, vs 4.3 G for round-1's XLA path).
+EXT_BAND_CELL_BUDGET = 2 * 1024 * 1024
+_VMEM_LIMIT = 128 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,15 +62,17 @@ def _round_up(x: int, m: int) -> int:
 
 def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
     """Pick (band, k) for a grid: the deepest K <= chunk_depth whose extended
-    band fits the VMEM budget with redundancy 2K/band <= 1."""
+    band fits the VMEM budget, with rows spread evenly over the bands so
+    padding waste stays below one sublane tile per band."""
     h, w = shape
     wp = _round_up(w, 128)
-    ext_max = max(16, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
+    ext_max = max(32, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
     k = min(chunk_depth, ext_max // 4)  # at most half the band is halo
     k = max(8, k // 8 * 8)
-    band = min(ext_max - 2 * k, _round_up(h, 8))
-    band = max(8, band // 8 * 8)
-    return band, k
+    band_max = ext_max - 2 * k
+    nb = -(-h // band_max)
+    band = _round_up(-(-h // nb), 8)
+    return max(8, band), k
 
 
 def _band_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
@@ -162,7 +168,8 @@ def sweep_chunk_bands(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(iteration.reshape(1), u_ext, f_ext)

@@ -44,10 +44,14 @@ from ..grid import GridState
 
 _LOG2N_2D = np.float32(np.log(np.float64(4.0)))
 
-# VMEM budget: the kernel materializes ~8 grid-sized f32 temporaries per
-# sweep (measured via Mosaic scoped-vmem OOMs at larger shapes), so the
-# ceiling is ~16 MB / 32 B per cell. 450k cells keeps headroom.
-VMEM_CELL_BUDGET = 450_000
+# VMEM budget: Mosaic's scoped-VMEM footprint for the whole-array kernel is
+# ~20 MB per 1M cells (measured via scoped-vmem OOM sizes, round-2 probes).
+# The kernel raises vmem_limit_bytes past the 16 MB default (v5e's physical
+# VMEM is far larger), so grids up to ~2M cells stay on the fastest
+# VMEM-resident path (~50 G cell-updates/s, tools/tpu_probe5.py); bigger
+# grids use solver.pallas_biggrid.
+VMEM_CELL_BUDGET = 2_000_000
+_VMEM_LIMIT = 128 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -147,6 +151,7 @@ def sweep_chunk(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(iteration.reshape(1), u, frozen)
     return out_u, out_delta[0]

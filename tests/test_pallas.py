@@ -83,6 +83,8 @@ def test_nonaligned_shapes_are_exact():
 def test_fits_vmem_classifier():
     assert pallas_sweep.fits_vmem((482, 482))     # maze
     assert pallas_sweep.fits_vmem((700, 218))     # umass
-    # ~8 grid-sized temporaries per sweep cap the budget well below 1M cells:
-    assert not pallas_sweep.fits_vmem((962, 962))     # large_maze -> XLA/tiled
-    assert not pallas_sweep.fits_vmem((1735, 1419))   # large_mine -> XLA/tiled
+    assert pallas_sweep.fits_vmem((962, 962))     # large_maze (round-2 budget)
+    assert pallas_sweep.fits_vmem((1397, 1213))   # willow_garage
+    # ~20 MB scoped VMEM per 1M cells caps the budget at ~2M cells:
+    assert not pallas_sweep.fits_vmem((1735, 1419))   # large_mine -> biggrid
+    assert not pallas_sweep.fits_vmem((4096, 4096))   # -> biggrid

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Batched-scenario solve benchmark on the real chip (BASELINE config 3).
+
+Workload: B random scenarios (random obstacles + one random goal each) of
+HxW cells, solved to epsilon with the reference-exact lockstep protocol,
+entirely on device (pallas_batched.solve_batch_device — one dispatch, lane
+retirement in the compiled program).
+
+Reports solves/s end-to-end (second run, program cached) plus per-lane
+iteration stats, and cross-checks a sample of lanes against solo XLA solves
+in the same process (exactness gate).
+
+Usage: python tools/batched_bench_tpu.py [--lanes 4096] [--size 128]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def make_batch(b, h, w, seed=0):
+    from epic_tpu import constants as C
+
+    rng = np.random.default_rng(seed)
+    u = np.full((b, h, w), C.LOG_SPACE_FREE, np.float32)
+    locked = np.zeros((b, h, w), bool)
+    locked[:, 0, :] = locked[:, -1, :] = True
+    locked[:, :, 0] = locked[:, :, -1] = True
+    u[locked] = C.LOG_SPACE_OBSTACLE
+    for lane in range(b):
+        n_obs = int(0.10 * h * w)
+        ys = rng.integers(1, h - 1, n_obs)
+        xs = rng.integers(1, w - 1, n_obs)
+        u[lane, ys, xs] = C.LOG_SPACE_OBSTACLE
+        locked[lane, ys, xs] = True
+        while True:
+            gy, gx = rng.integers(1, h - 1), rng.integers(1, w - 1)
+            if not locked[lane, gy, gx]:
+                break
+        u[lane, gy, gx] = C.LOG_SPACE_GOAL
+        locked[lane, gy, gx] = True
+    return u, locked
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=4096)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--epsilon", type=float, default=1e-2)
+    ap.add_argument("--check-lanes", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    from epic_tpu import grid
+    from epic_tpu.solver import core, pallas_batched
+
+    b, h, w = args.lanes, args.size, args.size
+    u, locked = make_batch(b, h, w)
+
+    # Compile + first run.
+    t0 = time.perf_counter()
+    out = pallas_batched.solve_batch_device(u, locked, epsilon=args.epsilon)
+    u_out, iters, deltas, conv = out
+    compile_run_s = time.perf_counter() - t0
+
+    # Timed run: fresh inputs (different goal layout, same shapes) so the
+    # cached program does the full solve again.
+    u2, locked2 = make_batch(b, h, w, seed=1)
+    t0 = time.perf_counter()
+    u_out2, iters2, deltas2, conv2 = pallas_batched.solve_batch_device(
+        u2, locked2, epsilon=args.epsilon
+    )
+    dt = time.perf_counter() - t0
+
+    assert conv2.all(), f"{(~conv2).sum()} lanes failed to converge"
+    solves_per_s = b / dt
+    total_sweeps = int(iters2.max())
+    lane_sweeps = float(iters2.mean())
+
+    # Exactness gate: sample lanes vs solo XLA solves (same process).
+    rng = np.random.default_rng(2)
+    max_field_diff = 0.0
+    for lane in rng.choice(b, args.check_lanes, replace=False):
+        st = grid.make_state(u2[lane], locked2[lane], epsilon=args.epsilon)
+        solo = core.solve(st)
+        assert int(solo.iteration) == int(iters2[lane]), (
+            lane, int(solo.iteration), int(iters2[lane]))
+        d = float(np.max(np.abs(np.asarray(solo.u) - u_out2[lane])))
+        max_field_diff = max(max_field_diff, d)
+    assert max_field_diff <= 1e-4, max_field_diff
+
+    print(json.dumps({
+        "metric": "batched_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "detail": {
+            "lanes": b,
+            "grid": f"{h}x{w}",
+            "epsilon": args.epsilon,
+            "wall_s": round(dt, 2),
+            "compile_plus_first_run_s": round(compile_run_s, 1),
+            "mean_iterations": round(lane_sweeps, 1),
+            "max_iterations": total_sweeps,
+            "exactness_max_field_diff_vs_solo_xla": max_field_diff,
+            "backend": jax.default_backend(),
+        },
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
