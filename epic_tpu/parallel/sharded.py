@@ -85,6 +85,79 @@ def _exchange_frozen_k(frozen: jax.Array, mesh: Mesh, k: int):
     return ext == 0
 
 
+def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
+                          *, num_sweeps, he, we):
+    """Pallas twin of :func:`_sweep_k_local`: K guarded sweeps on one
+    shard's K-extended block, VMEM-resident (the per-shard compute of the
+    shard_map + Pallas composition; scal = [t0, row0, col0])."""
+    import functools as _ft  # noqa: F401 - keep signature parity
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    t0 = scal_ref[0]
+    row0 = scal_ref[1]
+    col0 = scal_ref[2]
+    u0 = u_ref[:]
+    not_frozen = f_ref[:] == 0
+    lr = jax.lax.broadcasted_iota(jnp.int32, (he, we), 0)
+    lc = jax.lax.broadcasted_iota(jnp.int32, (he, we), 1)
+    parity = (lr + row0 + lc + col0) % 2
+
+    def sweep(s, u):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, he - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, we - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (lr >= s + 1) & (lr < he - 1 - s) & (lc >= s + 1) & (lc < we - 1 - s)
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[0] = jnp.max(jnp.abs(u1 - u0))
+    u_out[:] = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+
+
+def _sweep_k_local_pallas(u_ext, frozen_ext, it0, row0, col0, num_sweeps,
+                          interpret):
+    """Run the per-shard K-sweep block through the Pallas kernel (VMEM
+    resident, single whole-array call per shard per chunk)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    he, we = u_ext.shape
+    scal = jnp.stack([it0, row0, col0]).astype(jnp.int32)
+    # Inside shard_map every output varies across both mesh axes (vma is
+    # required by the manual-axes type system for pallas_call outputs).
+    vma = frozenset({"my", "mx"})
+    out_u, out_delta = pl.pallas_call(
+        _ft.partial(_sweep_k_local_kernel, num_sweeps=num_sweeps,
+                    he=he, we=we),
+        out_shape=(
+            jax.ShapeDtypeStruct((he, we), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1,), jnp.float32, vma=vma),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scal, u_ext, frozen_ext.astype(jnp.int32))
+    return out_u, out_delta[0]
+
+
 def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps, k):
     """num_sweeps (<= k) sweeps on the K-extended local block.
 
@@ -161,21 +234,34 @@ DEFAULT_CHUNK_DEPTH = 16
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "num_steps", "chunk_depth"),
+    static_argnames=("mesh", "num_steps", "chunk_depth", "kernel"),
     donate_argnums=(0,),
 )
 def _update_n_sharded(
     u, frozen, iteration, mesh: Mesh, num_steps: int,
     chunk_depth: int = DEFAULT_CHUNK_DEPTH,
+    kernel: str = "auto",
 ):
     """num_steps sweeps as ceil(num_steps / chunk_depth) halo-exchange
-    rounds; delta (pmax-reduced) from the overall first sweep."""
+    rounds; delta (pmax-reduced) from the overall first sweep.
+
+    kernel: per-shard compute path — "auto" uses the VMEM Pallas kernel on
+    TPU and XLA elsewhere; "pallas"/"pallas_interpret"/"xla" force one.
+    """
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = kernel == "pallas_interpret"
+    use_pallas = kernel in ("pallas", "pallas_interpret")
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("my", "mx"), P("my", "mx"), P()),
         out_specs=(P("my", "mx"), P()),
+        # The Pallas interpreter's internal dynamic_slice mixes varying and
+        # invariant values, which the manual-axes type checker rejects; the
+        # compiled path type-checks fine.
+        check_vma=not interpret,
     )
     def run(u_loc, frozen_loc, it0):
         # Halo depth cannot exceed the local block extent.
@@ -189,10 +275,18 @@ def _update_n_sharded(
             k = min(depth, num_steps - done)
             u_ext = _exchange_halos_k(u_loc, mesh, k)
             frozen_ext = _exchange_frozen_k(frozen_loc, mesh, k)
-            parity_ext = _local_parity_ext(u_loc.shape, mesh, k)
-            u_ext, d = _sweep_k_local(
-                u_ext, frozen_ext, parity_ext, it0 + done, k, k
-            )
+            if use_pallas:
+                # Parity offsets for the extended block ((-k) ≡ (+k) mod 2).
+                row0 = jax.lax.axis_index("my") * u_loc.shape[0] + k
+                col0 = jax.lax.axis_index("mx") * u_loc.shape[1] + k
+                u_ext, d = _sweep_k_local_pallas(
+                    u_ext, frozen_ext, it0 + done, row0, col0, k, interpret
+                )
+            else:
+                parity_ext = _local_parity_ext(u_loc.shape, mesh, k)
+                u_ext, d = _sweep_k_local(
+                    u_ext, frozen_ext, parity_ext, it0 + done, k, k
+                )
             u_loc = u_ext[k:-k, k:-k]
             if first:
                 delta = d

@@ -106,3 +106,25 @@ def test_chunk_depths_equivalent(mesh8):
     np.testing.assert_allclose(
         ref[0][:h, :w], np.asarray(solo.u), rtol=0, atol=2e-6
     )
+
+
+def test_pallas_composition_matches_xla(mesh8):
+    """shard_map + per-shard Pallas VMEM kernel (interpret mode on the CPU
+    mesh) must equal the XLA per-shard path bit-for-bit."""
+    img = maps.random_obstacles(48, 64, density=0.15, seed=11)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh8, P("my", "mx"))
+    u, frozen = sharded._pad_for_mesh(st, mesh8)
+    u1 = jax.device_put(u, sh)
+    u2 = jax.device_put(u, sh)
+    frozen = jax.device_put(frozen, sh)
+    out_x, d_x = sharded._update_n_sharded(
+        u1, frozen, st.iteration, mesh8, 21, 8, "xla"
+    )
+    out_p, d_p = sharded._update_n_sharded(
+        u2, frozen, st.iteration, mesh8, 21, 8, "pallas_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_p))
+    assert float(d_x) == float(d_p)
