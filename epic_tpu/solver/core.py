@@ -105,6 +105,10 @@ def update_n(state: GridState, num_steps: int) -> GridState:
     by ``num_steps - 1`` plain updates. The whole chunk is one XLA program —
     the reference's one-kernel-launch-per-iteration pattern
     (harmonic_gpu.cu:266-290) becomes a single fused device loop.
+
+    NOTE: the input state's buffers are DONATED (the anytime loop is
+    zero-copy); the passed-in state must not be used after the call — keep
+    only the returned state. Same for :func:`solve`.
     """
     u0, delta = sweep(state.u, state.locked, state.iteration)
     converged = delta < state.epsilon

@@ -133,24 +133,37 @@ def pad_batch(
     cols = gpc * wp
     hp = n_blocks * block_rows
 
-    u_c = np.full((hp, cols), np.float32(C.LOG_SPACE_OBSTACLE), np.float32)
-    frozen = np.ones((hp, cols), dtype=np.int32)
-    interior = np.zeros((hp8, wp), dtype=bool)
-    interior[1 : h - 1, 1 : w - 1] = True
+    n_lanes = n_blocks * per_group
+
+    # Vectorized tile layout (a python per-lane loop costs seconds at 4096
+    # lanes): pad each lane to (hp8, wp), pad the lane axis with fully
+    # frozen tiles, then [n_lanes, hp8, wp] -> [nb, gpr, gpc, hp8, wp]
+    # -> transpose -> the collage (exact inverse of unstack).
     u_np = np.asarray(u, np.float32)
     l_np = np.asarray(locked).astype(np.int32)
-    for lane in range(b):
-        g, idx = divmod(lane, per_group)
-        r, c = divmod(idx, gpc)
-        y0 = g * block_rows + r * hp8
-        x0 = c * wp
-        u_c[y0 : y0 + h, x0 : x0 + w] = u_np[lane]
-        fz = np.ones((hp8, wp), np.int32)
-        fz[:h, :w] = np.where(interior[:h, :w], l_np[lane], 1)
-        frozen[y0 : y0 + hp8, x0 : x0 + wp] = fz
+    u_t = np.pad(
+        u_np,
+        ((0, n_lanes - b), (0, hp8 - h), (0, wp - w)),
+        constant_values=np.float32(C.LOG_SPACE_OBSTACLE),
+    )
+    interior = np.zeros((hp8, wp), dtype=np.int32)
+    interior[1 : h - 1, 1 : w - 1] = 1
+    f_t = np.pad(l_np, ((0, n_lanes - b), (0, hp8 - h), (0, wp - w)),
+                 constant_values=1)
+    f_t = np.where(interior[None], f_t, 1)
+    u_c = (
+        u_t.reshape(n_blocks, gpr, gpc, hp8, wp)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_blocks * gpr * hp8, gpc * wp)
+    )
+    frozen = (
+        f_t.reshape(n_blocks, gpr, gpc, hp8, wp)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_blocks * gpr * hp8, gpc * wp)
+    )
     meta = dict(b=b, h=h, w=w, hp8=hp8, wp=wp, gpr=gpr, gpc=gpc,
                 n_blocks=n_blocks, block_rows=block_rows, cols=cols)
-    return jnp.asarray(u_c), jnp.asarray(frozen), meta
+    return jnp.asarray(u_c), jnp.asarray(np.ascontiguousarray(frozen)), meta
 
 
 def unstack(u_collage: jax.Array, meta) -> np.ndarray:

@@ -57,34 +57,64 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from epic_tpu import grid
     from epic_tpu.solver import core, pallas_batched
 
     b, h, w = args.lanes, args.size, args.size
-    u, locked = make_batch(b, h, w)
+    m_max = max(h, w)
 
-    # Compile + first run.
+    # Two scenario batches, pre-staged as device-resident collages: the
+    # production deployment keeps scenarios on device, and through a
+    # remote-execution tunnel the H2D/D2H of a multi-hundred-MB collage
+    # otherwise dominates the wall clock and measures the tunnel, not the
+    # chip (docs/BENCH_NOTES.md measurement discipline).
+    staged = []
     t0 = time.perf_counter()
-    out = pallas_batched.solve_batch_device(u, locked, epsilon=args.epsilon)
-    u_out, iters, deltas, conv = out
+    for seed in (0, 1):
+        u, locked = make_batch(b, h, w, seed=seed)
+        u_c, frozen_c, meta = pallas_batched.pad_batch(
+            np.asarray(u, np.float32), np.asarray(locked).astype(bool)
+        )
+        u_c = jax.device_put(u_c)
+        frozen_c = jax.device_put(frozen_c)
+        u_c.block_until_ready()
+        staged.append((u, locked, u_c, frozen_c, meta))
+    staging_s = time.perf_counter() - t0
+
+    def run(u_c, frozen_c, meta):
+        gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
+        n_lanes = nb * gpr * gpc
+        retired0 = np.zeros(n_lanes, bool)
+        retired0[b:] = True
+        out = pallas_batched._solve_collage_device(
+            u_c, frozen_c, jnp.asarray(retired0), jnp.float32(args.epsilon),
+            100, 1_000_000, m_max, nb, gpr, gpc, meta["hp8"], meta["wp"],
+            meta["block_rows"], False,
+        )
+        u_out, retired, iters, deltas, _ = out
+        # Completion barrier on the small outputs only.
+        return u_out, np.asarray(iters), np.asarray(retired)
+
+    # Compile + first run (batch 0).
+    t0 = time.perf_counter()
+    _, iters, conv = run(*staged[0][2:])
     compile_run_s = time.perf_counter() - t0
 
-    # Timed run: fresh inputs (different goal layout, same shapes) so the
-    # cached program does the full solve again.
-    u2, locked2 = make_batch(b, h, w, seed=1)
+    # Timed device-resident run (batch 1).
     t0 = time.perf_counter()
-    u_out2, iters2, deltas2, conv2 = pallas_batched.solve_batch_device(
-        u2, locked2, epsilon=args.epsilon
-    )
+    u_out2_dev, iters2, conv2 = run(*staged[1][2:])
     dt = time.perf_counter() - t0
 
-    assert conv2.all(), f"{(~conv2).sum()} lanes failed to converge"
+    assert conv2[:b].all(), f"{(~conv2[:b]).sum()} lanes failed to converge"
     solves_per_s = b / dt
-    total_sweeps = int(iters2.max())
-    lane_sweeps = float(iters2.mean())
+    total_sweeps = int(iters2[:b].max())
+    lane_sweeps = float(iters2[:b].mean())
 
     # Exactness gate: sample lanes vs solo XLA solves (same process).
+    u2, locked2, _, _, meta = staged[1]
+    u_out2 = pallas_batched.unstack(u_out2_dev, meta)
     rng = np.random.default_rng(2)
     max_field_diff = 0.0
     for lane in rng.choice(b, args.check_lanes, replace=False):
@@ -104,7 +134,8 @@ def main():
             "lanes": b,
             "grid": f"{h}x{w}",
             "epsilon": args.epsilon,
-            "wall_s": round(dt, 2),
+            "device_wall_s": round(dt, 2),
+            "staging_s_two_batches": round(staging_s, 1),
             "compile_plus_first_run_s": round(compile_run_s, 1),
             "mean_iterations": round(lane_sweeps, 1),
             "max_iterations": total_sweeps,
