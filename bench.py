@@ -58,7 +58,11 @@ def main() -> None:
     u = jax.device_put(jnp.asarray(u_np))
     frozen = jax.device_put(jnp.asarray(frozen_np))
 
-    reps = 3 if interpret else 30
+    # The kernel runs ~400k sweeps/s: the timed region needs ~2 s of device
+    # work to swamp dispatch (~30 ms) and the readback barrier (D2H through
+    # remote tunnels can be ~14 MB/s) — see docs/BENCH_NOTES.md measurement
+    # discipline.
+    reps = 3 if interpret else 8000
 
     # One device program for the whole measurement: `reps` chunks of `chunk`
     # sweeps each, single dispatch — measures device capability, not

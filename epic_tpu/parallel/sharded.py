@@ -299,6 +299,112 @@ def _update_n_sharded(
     return u, delta[0]
 
 
+# ---------------------------------------------------------------------------
+# Sharded anytime state: keep the padded arrays resident on the mesh across
+# warm-started update/edit cycles (SURVEY "warm-start under sharding"):
+# edits are scatters into the sharded arrays, never a full re-layout.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedGrid:
+    """Mesh-resident padded grid state for the sharded anytime loop."""
+
+    u: jax.Array          # f32[Hp, Wp], sharded P('my','mx')
+    frozen: jax.Array     # bool[Hp, Wp], sharded
+    iteration: jax.Array
+    delta: jax.Array
+    epsilon: jax.Array
+    height: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+
+
+def shard_state(state: GridState, mesh: Mesh) -> ShardedGrid:
+    """Pad + place a GridState on the mesh once; later updates and edits
+    keep the buffers resident."""
+    h, w = state.u.shape
+    u, frozen = _pad_for_mesh(state, mesh)
+    sharding = NamedSharding(mesh, P("my", "mx"))
+    return ShardedGrid(
+        u=jax.device_put(u, sharding),
+        frozen=jax.device_put(frozen, sharding),
+        iteration=state.iteration,
+        delta=state.delta,
+        epsilon=state.epsilon,
+        height=h,
+        width=w,
+    )
+
+
+def unshard(sh: ShardedGrid) -> GridState:
+    """Gather back to a host-side GridState (e.g. for path extraction).
+
+    The boundary ring comes back locked (the sharded representation folds
+    ``locked | ~interior`` into one mask, and the service plane forces
+    boundary walls anyway — setBoundariesAsObstacles,
+    epic_navigation_node_harmonic.cpp:282-307)."""
+    import numpy as _np
+
+    u = _np.asarray(sh.u)[: sh.height, : sh.width]
+    locked = _np.asarray(sh.frozen)[: sh.height, : sh.width]
+    return GridState(
+        u=jnp.asarray(u),
+        locked=jnp.asarray(locked),
+        iteration=sh.iteration,
+        delta=sh.delta,
+        converged=jnp.asarray(False),
+        epsilon=sh.epsilon,
+    )
+
+
+def update_n_resident(
+    sh: ShardedGrid, num_steps: int, mesh: Mesh,
+    chunk_depth: int = DEFAULT_CHUNK_DEPTH, kernel: str = "auto",
+) -> ShardedGrid:
+    """Anytime chunk on a mesh-resident state: no re-pad, no re-upload;
+    the sharded buffers are donated across ticks."""
+    u, delta = _update_n_sharded(
+        sh.u, sh.frozen, sh.iteration, mesh, num_steps, chunk_depth, kernel
+    )
+    return dataclasses.replace(
+        sh, u=u, iteration=sh.iteration + num_steps, delta=delta
+    )
+
+
+def set_cells_resident(sh: ShardedGrid, xy, types) -> ShardedGrid:
+    """SetCells on the sharded arrays (harmonic_utilities semantics: skip
+    invalid, last-wins on duplicates): a scatter into the resident buffers —
+    XLA routes the updates to the owning shards, no re-layout."""
+    from .. import grid as G
+
+    xy = np.atleast_2d(np.asarray(xy, dtype=np.int64))
+    types = np.asarray(types, dtype=np.int64).reshape(-1)
+    valid = (
+        (xy[:, 0] >= 1) & (xy[:, 0] < sh.width - 1)
+        & (xy[:, 1] >= 1) & (xy[:, 1] < sh.height - 1)
+        & np.isin(types, list(G._TYPE_TO_U))
+    )
+    xy = xy[valid]
+    types = types[valid]
+    if xy.shape[0] == 0:
+        return sh
+    flat = xy[:, 1] * sh.width + xy[:, 0]
+    _, last_idx = np.unique(flat[::-1], return_index=True)
+    keep = np.sort(len(flat) - 1 - last_idx)
+    xy = xy[keep]
+    types = types[keep]
+    u_vals = np.array([G._TYPE_TO_U[t] for t in types], dtype=np.float32)
+    f_vals = np.array([G._TYPE_TO_LOCKED[t] for t in types], dtype=bool)
+    ys = jnp.asarray(xy[:, 1])
+    xs = jnp.asarray(xy[:, 0])
+    return dataclasses.replace(
+        sh,
+        u=sh.u.at[ys, xs].set(jnp.asarray(u_vals)),
+        frozen=sh.frozen.at[ys, xs].set(jnp.asarray(f_vals)),
+    )
+
+
 def update_n(state: GridState, num_steps: int, mesh: Mesh) -> GridState:
     """Sharded anytime chunk; semantics of core.update_n on a device mesh."""
     h, w = state.u.shape

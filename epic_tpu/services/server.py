@@ -13,7 +13,9 @@ Protocol: one JSON object per line.
   response: {"success": bool, ...payload}
 
 Verbs: set_status, add_goals, remove_goals, get_cell, set_cells,
-reset_free_cells, compute_path, occupancy_grid, info.
+reset_free_cells, compute_path, occupancy_grid, info; epic_tpu extensions
+get_field (potential-field window) and get_map (cell-type window) for
+remote UIs.
 
 Run:   python -m epic_tpu.services.server --port 7171 --map maze.png
 Client: EpicClient (below) or any JSON-capable peer.
@@ -117,6 +119,52 @@ class EpicServiceServer:
                     )
                 )
                 return {"success": True}
+            if srv == "get_field":
+                # epic_tpu extension: fetch a window of the potential field
+                # (the reference only exposes per-cell GetCell; remote UIs
+                # need the array). Window args are clamped to the map.
+                st = node.planner.state
+                if st is None:
+                    return {"success": False, "error": "planner not initialized"}
+                from .. import grid as G
+
+                h, w = st.u.shape
+                x0 = max(0, int(req.get("x0", 0)))
+                y0 = max(0, int(req.get("y0", 0)))
+                x1 = min(w, int(req.get("x1", w)))
+                y1 = min(h, int(req.get("y1", h)))
+                u = G.host_u(st)[y0:y1, x0:x1]
+                return {
+                    "success": True,
+                    "x0": x0, "y0": y0,
+                    "width": int(u.shape[1]), "height": int(u.shape[0]),
+                    "u": np.round(u.astype(np.float64), 6).tolist(),
+                }
+            if srv == "get_map":
+                # Cell-type view (0 obstacle / 128 free / 255 goal), same
+                # window semantics — enough to redraw the occupancy layer.
+                st = node.planner.state
+                if st is None:
+                    return {"success": False, "error": "planner not initialized"}
+                from .. import constants as C
+                from .. import grid as G
+
+                h, w = st.u.shape
+                x0 = max(0, int(req.get("x0", 0)))
+                y0 = max(0, int(req.get("y0", 0)))
+                x1 = min(w, int(req.get("x1", w)))
+                y1 = min(h, int(req.get("y1", h)))
+                u = G.host_u(st)[y0:y1, x0:x1]
+                locked = G.host_locked(st)[y0:y1, x0:x1]
+                img = np.full(u.shape, 128, np.int32)
+                img[locked & (u == float(C.LOG_SPACE_OBSTACLE))] = 0
+                img[locked & (u == float(C.LOG_SPACE_GOAL))] = 255
+                return {
+                    "success": True,
+                    "x0": x0, "y0": y0,
+                    "width": int(img.shape[1]), "height": int(img.shape[0]),
+                    "cells": img.tolist(),
+                }
             if srv == "info":
                 st = node.planner.state
                 return {

@@ -199,3 +199,23 @@ def test_multi_client_interleaving(server_client):
     finally:
         client2.close()
         client3.close()
+
+
+def test_get_field_and_get_map_windows(server_client):
+    server, client = server_client
+    img = maps.open_room(24, 24)
+    assert client.call("occupancy_grid", width=24, height=24,
+                       data=_occupancy(img))["success"]
+    assert client.call("add_goals", goals=[[12.0, 12.0]])["success"]
+    r = client.call("get_field", x0=10, y0=11, x1=14, y1=13)
+    assert r["success"] and r["width"] == 4 and r["height"] == 2
+    u = np.asarray(r["u"])
+    assert u.shape == (2, 4)
+    assert u[1, 2] == 0.0  # the goal cell (12, 12)
+    m = client.call("get_map")
+    assert m["success"] and m["width"] == 24 and m["height"] == 24
+    cells = np.asarray(m["cells"])
+    assert cells[12, 12] == 255 and cells[0, 0] == 0 and cells[5, 5] == 128
+    # Clamping
+    r = client.call("get_field", x0=-5, y0=20, x1=999, y1=999)
+    assert r["success"] and r["x0"] == 0 and r["height"] == 4

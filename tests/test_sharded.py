@@ -128,3 +128,39 @@ def test_pallas_composition_matches_xla(mesh8):
     )
     np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_p))
     assert float(d_x) == float(d_p)
+
+
+def test_resident_warm_loop_with_edits(mesh8):
+    """Mesh-resident anytime loop: shard once, interleave update chunks and
+    SetCells edits without re-padding; equals the single-chip warm loop."""
+    from epic_tpu import grid as G
+    from epic_tpu import constants as C
+
+    img = maps.random_obstacles(40, 56, density=0.15, seed=4)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    sh = sharded.shard_state(st, mesh8)
+    ref = st
+
+    edits = ([(10, 11), (20, 7), (10, 11)],
+             [C.CELL_TYPE_OBSTACLE, C.CELL_TYPE_GOAL, C.CELL_TYPE_FREE])
+
+    sh = sharded.update_n_resident(sh, 9, mesh8, chunk_depth=4)
+    ref = core.update_n(ref, 9)
+    sh = sharded.set_cells_resident(sh, *edits)
+    ref = G.set_cells(ref, *edits)
+    sh = sharded.update_n_resident(sh, 13, mesh8, chunk_depth=8)
+    ref = core.update_n(ref, 13)
+
+    back = sharded.unshard(sh)
+    assert int(back.iteration) == int(ref.iteration)
+    np.testing.assert_allclose(
+        np.asarray(back.u), np.asarray(ref.u), rtol=0, atol=1e-5
+    )
+    # Interior locked flags agree exactly (ring comes back locked).
+    np.testing.assert_array_equal(
+        np.asarray(back.locked)[1:-1, 1:-1],
+        np.asarray(ref.locked)[1:-1, 1:-1],
+    )
+    # Out-of-bounds / unknown-type edits are skipped like grid.set_cells.
+    sh2 = sharded.set_cells_resident(sh, [(999, 2), (3, -1)], [1, 1])
+    np.testing.assert_array_equal(np.asarray(sh2.u), np.asarray(sh.u))
