@@ -430,3 +430,61 @@ class Planner:
             wx, wy = self.map_to_world(x, y)
             poses.append(PathPose(wx, wy, yaw))
         return poses
+
+    def compute_paths_batch(
+        self,
+        starts_world,
+        step_size: float = 0.05,
+        cd_precision: float = 0.5,
+        max_steps: int = 4096,
+        mode: str = "bilinear",
+    ) -> list[list[PathPose] | None]:
+        """Many streamlines at once through the device walker (epic_tpu
+        extension — multi-robot / rollout workloads; the reference extracts
+        one scalar path per ComputePath call). Lanes in lockstep on the
+        accelerator (:mod:`epic_tpu.solver.batched_path`); entries are None
+        for invalid starts or <= 2-point walks (the reference's
+        EPIC_ERROR_INVALID_PATH contract per lane)."""
+        import jax.numpy as jnp
+
+        from .solver import batched_path
+
+        st = self._require_state()
+        starts_map = []
+        valid_idx = []
+        for i, (wx, wy) in enumerate(starts_world):
+            try:
+                starts_map.append(self.world_to_map(wx, wy))
+                valid_idx.append(i)
+            except InvalidLocationError:
+                continue
+        results: list[list[PathPose] | None] = [None] * len(list(starts_world))
+        if not starts_map:
+            return results
+        out = batched_path.walk(
+            st.u,
+            st.locked,
+            jnp.asarray(np.asarray(starts_map, np.float32)),
+            step_size=step_size,
+            cd_precision=cd_precision,
+            max_steps=max_steps,
+            mode=mode,
+        )
+        positions = np.asarray(out["positions"])
+        lengths = np.asarray(out["lengths"])
+        for lane, i in enumerate(valid_idx):
+            n = int(lengths[lane])
+            if n <= 2:
+                continue
+            pts = positions[lane, :n]
+            poses: list[PathPose] = []
+            sx, sy = self.map_to_world(float(pts[0, 0]), float(pts[0, 1]))
+            poses.append(PathPose(sx, sy, 0.0))
+            for j in range(1, n):
+                x, y = float(pts[j, 0]), float(pts[j, 1])
+                yaw = math.atan2(y - float(pts[j - 1, 1]),
+                                 x - float(pts[j - 1, 0]))
+                wx, wy = self.map_to_world(x, y)
+                poses.append(PathPose(wx, wy, yaw))
+            results[i] = poses
+        return results

@@ -119,6 +119,25 @@ class EpicServiceServer:
                     )
                 )
                 return {"success": True}
+            if srv == "compute_paths":
+                # epic_tpu extension: batched multi-start path extraction
+                # through the device walker (multi-robot replanning).
+                starts = [(float(x), float(y)) for x, y in req["starts"]]
+                results = node.planner.compute_paths_batch(
+                    starts,
+                    step_size=float(req.get("step_size", 0.05)),
+                    cd_precision=float(req.get("precision", 0.5)),
+                    max_steps=int(req.get("max_steps", 4096)),
+                    mode=req.get("mode", "bilinear"),
+                )
+                return {
+                    "success": True,
+                    "paths": [
+                        None if poses is None
+                        else [[p.x, p.y, p.yaw] for p in poses]
+                        for poses in results
+                    ],
+                }
             if srv == "get_field":
                 # epic_tpu extension: fetch a window of the potential field
                 # (the reference only exposes per-cell GetCell; remote UIs

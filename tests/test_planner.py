@@ -254,3 +254,24 @@ def test_planner_pad_cache_reuse_and_invalidation():
         np.asarray(pl.state.u), np.asarray(ref.state.u), rtol=0, atol=1e-5
     )
     assert int(pl.state.iteration) == int(ref.state.iteration)
+
+
+def test_compute_paths_batch_matches_scalar_walks():
+    """The batched multi-start extension tracks the scalar verb per lane
+    (bilinear mode, tolerance-level: device walker is f32)."""
+    pl = Planner(PlannerConfig(epsilon=1e-2, interpolation="bilinear"))
+    pl.init(48, 48)
+    pl.add_goals([(24.0, 24.0)])
+    pl.update(301)
+    starts = [(5.0, 5.0), (40.0, 10.0), (-3.0, 2.0), (10.0, 40.0)]
+    batch = pl.compute_paths_batch(starts, step_size=0.2, cd_precision=0.4)
+    assert batch[2] is None  # invalid start
+    n_ok = 0
+    for i in (0, 1, 3):
+        assert batch[i] is not None
+        solo = pl.compute_path(starts[i], step_size=0.2, cd_precision=0.4)
+        end_b = batch[i][-1]
+        end_s = solo[-1]
+        assert abs(end_b.x - end_s.x) < 1.5 and abs(end_b.y - end_s.y) < 1.5
+        n_ok += 1
+    assert n_ok == 3

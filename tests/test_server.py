@@ -219,3 +219,25 @@ def test_get_field_and_get_map_windows(server_client):
     # Clamping
     r = client.call("get_field", x0=-5, y0=20, x1=999, y1=999)
     assert r["success"] and r["x0"] == 0 and r["height"] == 4
+
+
+def test_compute_paths_batch_verb(server_client):
+    import time
+
+    server, client = server_client
+    img = maps.open_room(40, 40)
+    assert client.call("occupancy_grid", width=40, height=40,
+                       data=_occupancy(img))["success"]
+    assert client.call("add_goals", goals=[[20.0, 20.0]])["success"]
+    deadline = time.time() + 20
+    while time.time() < deadline and client.call("info")["iteration"] < 300:
+        time.sleep(0.1)
+    r = client.call("compute_paths",
+                    starts=[[5.0, 5.0], [-9.0, 1.0], [30.0, 30.0]],
+                    step_size=0.2, precision=0.4)
+    assert r["success"]
+    assert r["paths"][1] is None
+    for idx in (0, 2):
+        p = np.asarray(r["paths"][idx])
+        assert len(p) > 2
+        assert abs(p[-1][0] - 20) < 2.5 and abs(p[-1][1] - 20) < 2.5
