@@ -134,9 +134,11 @@ def sweep_chunk_banded(
         ),
         # Bands are independent within a pass (reads from the input array,
         # writes only their own rows): a parallel grid dimension lets Mosaic
-        # overlap band pipelines instead of flushing between steps.
+        # overlap band pipelines instead of flushing between steps. The
+        # vmem limit is raised past the 16 MB default (see pallas_biggrid).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(iteration.reshape(1), u, frozen, u_top, u_bot, f_top, f_bot)
