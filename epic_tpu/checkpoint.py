@@ -45,3 +45,52 @@ def load(path: str | pathlib.Path) -> GridState:
             delta=jnp.float32(float(z["delta"])),
             converged=jnp.asarray(bool(z["converged"])),
         )
+
+
+def save_planner(path: str | pathlib.Path, planner) -> None:
+    """Persist a whole planner session: grid state + service-plane config
+    (world transforms, epsilon, pause flag), so an anytime node survives a
+    process restart mid-relaxation and resumes warm."""
+    st = planner.state
+    if st is None:
+        raise ValueError("planner not initialized")
+    cfg = planner.config
+    np.savez_compressed(
+        path,
+        u=np.asarray(st.u),
+        locked=np.asarray(st.locked),
+        iteration=np.asarray(st.iteration),
+        delta=np.asarray(st.delta),
+        converged=np.asarray(st.converged),
+        epsilon=np.asarray(st.epsilon),
+        planner_meta=np.asarray([
+            cfg.resolution, cfg.origin_x, cfg.origin_y,
+            float(cfg.steps_per_update), float(planner.paused),
+        ]),
+        interpolation=np.asarray(cfg.interpolation),
+    )
+
+
+def load_planner(path: str | pathlib.Path, config=None):
+    """Restore a planner session saved by :func:`save_planner`.
+
+    ``config`` optionally overrides the solver/backend settings; transforms
+    and pause state always come from the snapshot.
+    """
+    from .planner import Planner, PlannerConfig
+
+    state = load(path)
+    with np.load(path) as z:
+        meta = z["planner_meta"]
+        interpolation = str(z["interpolation"])
+    cfg = config or PlannerConfig()
+    planner = Planner(cfg)
+    planner.config.resolution = float(meta[0])
+    planner.config.origin_x = float(meta[1])
+    planner.config.origin_y = float(meta[2])
+    planner.config.steps_per_update = int(meta[3])
+    planner.config.interpolation = interpolation
+    planner.config.epsilon = float(state.epsilon)
+    planner.state = state
+    planner.paused = bool(meta[4])
+    return planner

@@ -54,3 +54,36 @@ def test_checkpoint_resume_equals_continuous(tmp_path):
     b = core.update_n(resumed, 5)
     np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
     assert float(a.delta) == float(b.delta)
+
+
+def test_planner_session_checkpoint_roundtrip(tmp_path):
+    """A planner survives save -> process restart -> load and resumes warm:
+    same fields, transforms, pause flag, and identical further relaxation."""
+    from epic_tpu import checkpoint
+    from epic_tpu.planner import Planner, PlannerConfig
+
+    pl = Planner(PlannerConfig(epsilon=1e-2, resolution=0.5,
+                               origin_x=-2.0, origin_y=3.0))
+    pl.init(32, 32)
+    pl.add_goals([(6.0, 11.0)])  # world coords through the transform
+    pl.update(101)
+    pl.set_status(True)
+
+    p = tmp_path / "session.npz"
+    checkpoint.save_planner(p, pl)
+    restored = checkpoint.load_planner(p)
+
+    assert restored.paused is True
+    assert restored.config.resolution == 0.5
+    assert restored.config.origin_x == -2.0
+    np.testing.assert_array_equal(
+        np.asarray(restored.state.u), np.asarray(pl.state.u))
+    assert int(restored.state.iteration) == int(pl.state.iteration)
+
+    # Warm continuation is identical on both sides.
+    restored.set_status(False)
+    pl.set_status(False)
+    restored.update(50)
+    pl.update(50)
+    np.testing.assert_array_equal(
+        np.asarray(restored.state.u), np.asarray(pl.state.u))
