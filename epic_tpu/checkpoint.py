@@ -74,23 +74,38 @@ def save_planner(path: str | pathlib.Path, planner) -> None:
 def load_planner(path: str | pathlib.Path, config=None):
     """Restore a planner session saved by :func:`save_planner`.
 
-    ``config`` optionally overrides the solver/backend settings; transforms
-    and pause state always come from the snapshot.
+    ``config`` optionally overrides solver settings — its epsilon (when it
+    differs from the default) replaces the snapshot's, and its
+    backend/kernel selection applies. Transforms, interpolation mode,
+    steps_per_update, and the pause flag always come from the snapshot.
+    The caller's config object is never mutated (a copy is taken).
     """
+    import dataclasses
+    import jax.numpy as jnp
+
     from .planner import Planner, PlannerConfig
 
     state = load(path)
     with np.load(path) as z:
         meta = z["planner_meta"]
         interpolation = str(z["interpolation"])
-    cfg = config or PlannerConfig()
+    if config is not None:
+        cfg = dataclasses.replace(config)
+        if cfg.epsilon != PlannerConfig().epsilon:
+            # Explicit override: re-target the resumed relaxation.
+            state = dataclasses.replace(
+                state, epsilon=jnp.float32(cfg.epsilon)
+            )
+        else:
+            cfg.epsilon = float(state.epsilon)
+    else:
+        cfg = PlannerConfig(epsilon=float(state.epsilon))
+    cfg.resolution = float(meta[0])
+    cfg.origin_x = float(meta[1])
+    cfg.origin_y = float(meta[2])
+    cfg.steps_per_update = int(meta[3])
+    cfg.interpolation = interpolation
     planner = Planner(cfg)
-    planner.config.resolution = float(meta[0])
-    planner.config.origin_x = float(meta[1])
-    planner.config.origin_y = float(meta[2])
-    planner.config.steps_per_update = int(meta[3])
-    planner.config.interpolation = interpolation
-    planner.config.epsilon = float(state.epsilon)
     planner.state = state
     planner.paused = bool(meta[4])
     return planner

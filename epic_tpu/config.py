@@ -27,9 +27,13 @@ class SolverConfig:
     # measured-best on v5e (docs/BENCH_NOTES.md: the packed layout loses more
     # to lane shifts/selects than it saves in logsumexps).
     kernel: str = "masked"           # "masked" | "packed"
-    # Tiled (beyond-VMEM) kernel parameters (solver.pallas_banded).
-    tile_band: int = 512
-    tile_depth: int = 16             # temporal-blocking K
+    # Big-grid (beyond-VMEM) kernel parameters (solver.pallas_biggrid):
+    # tile_depth is the temporal-blocking K (sweeps per HBM round trip;
+    # K=16 measured best, docs/BENCH_NOTES.md); tile_band overrides the
+    # auto row-band height (None = choose_layout picks from the VMEM
+    # budget). Consumed by Planner's big-grid update path.
+    tile_band: int | None = None
+    tile_depth: int = 16
 
 
 @dataclasses.dataclass

@@ -153,6 +153,39 @@ _TYPE_TO_LOCKED = {
 }
 
 
+def sanitize_cell_edits(xy, types, width: int, height: int):
+    """Shared SetCells preprocessing (harmonic_utilities_cpu.cpp:38-76):
+    drop out-of-bounds / unknown-type entries (the reference warns and
+    continues) and resolve duplicate coordinates last-wins (the reference
+    applies edits sequentially; two independent JAX scatters need not pick
+    the same winner).
+
+    Returns (xy[int64, N, 2], u_vals f32[N], locked_vals bool[N]); N may be 0.
+    """
+    xy = np.atleast_2d(np.asarray(xy, dtype=np.int64))
+    types = np.asarray(types, dtype=np.int64).reshape(-1)
+    if xy.shape[0] != types.shape[0]:
+        raise ValueError("xy and types length mismatch")
+    valid = (
+        (xy[:, 0] >= 0)
+        & (xy[:, 0] < width)
+        & (xy[:, 1] >= 0)
+        & (xy[:, 1] < height)
+        & np.isin(types, list(_TYPE_TO_U))
+    )
+    xy = xy[valid]
+    types = types[valid]
+    if xy.shape[0]:
+        flat = xy[:, 1] * width + xy[:, 0]
+        _, last_idx = np.unique(flat[::-1], return_index=True)
+        keep = np.sort(len(flat) - 1 - last_idx)
+        xy = xy[keep]
+        types = types[keep]
+    u_vals = np.array([_TYPE_TO_U[t] for t in types], dtype=np.float32)
+    l_vals = np.array([_TYPE_TO_LOCKED[t] for t in types], dtype=bool)
+    return xy, u_vals, l_vals
+
+
 def set_cells(
     state: GridState,
     xy: np.ndarray | Sequence[tuple[int, int]],
@@ -163,39 +196,16 @@ def set_cells(
     Functional equivalent of ``harmonic_utilities_set_cells_2d_cpu``
     (harmonic_utilities_cpu.cpp:38-76) and its GPU twin — one code path, no
     host/device mirroring. Out-of-bounds or unknown-type entries are skipped
-    (the reference warns and continues).
+    (the reference warns and continues); duplicates resolve last-wins.
 
     Resets ``converged`` — an edit perturbs the field, so the previous
     convergence verdict no longer holds (the reference node keeps relaxing
     regardless; see SURVEY §3.2).
     """
-    xy = np.atleast_2d(np.asarray(xy, dtype=np.int64))
-    types = np.asarray(types, dtype=np.int64).reshape(-1)
-    if xy.shape[0] != types.shape[0]:
-        raise ValueError("xy and types length mismatch")
     h, w = state.u.shape[:2]
-    valid = (
-        (xy[:, 0] >= 0)
-        & (xy[:, 0] < w)
-        & (xy[:, 1] >= 0)
-        & (xy[:, 1] < h)
-        & np.isin(types, list(_TYPE_TO_U))
-    )
-    xy = xy[valid]
-    types = types[valid]
+    xy, u_vals, l_vals = sanitize_cell_edits(xy, types, w, h)
     if xy.shape[0] == 0:
         return state
-    # The reference applies edits sequentially, so duplicate coordinates in
-    # one batch resolve last-wins (harmonic_utilities_cpu.cpp:38-76). Two
-    # independent JAX scatters need not pick the same winner — deduplicate on
-    # the host keeping each cell's final entry.
-    flat = xy[:, 1] * w + xy[:, 0]
-    _, last_idx = np.unique(flat[::-1], return_index=True)
-    keep = np.sort(len(flat) - 1 - last_idx)
-    xy = xy[keep]
-    types = types[keep]
-    u_vals = np.array([_TYPE_TO_U[t] for t in types], dtype=np.float32)
-    l_vals = np.array([_TYPE_TO_LOCKED[t] for t in types], dtype=bool)
     ys = jnp.asarray(xy[:, 1])
     xs = jnp.asarray(xy[:, 0])
     u = state.u.at[ys, xs].set(jnp.asarray(u_vals))

@@ -266,6 +266,11 @@ def _update_n_sharded(
     def run(u_loc, frozen_loc, it0):
         # Halo depth cannot exceed the local block extent.
         depth = min(chunk_depth, u_loc.shape[0], u_loc.shape[1])
+        # The frozen mask is static within the call: exchange its halos ONCE
+        # at full depth and slice for shallower remainder chunks, instead of
+        # paying a ppermute pair per chunk.
+        h_loc, w_loc = u_loc.shape
+        frozen_full = _exchange_frozen_k(frozen_loc, mesh, depth)
         # The initial delta must carry the same varying-axes type as the body
         # output under shard_map's manual-axes typing.
         delta = jax.lax.pvary(jnp.float32(0.0), ("my", "mx"))
@@ -274,7 +279,9 @@ def _update_n_sharded(
         while done < num_steps:
             k = min(depth, num_steps - done)
             u_ext = _exchange_halos_k(u_loc, mesh, k)
-            frozen_ext = _exchange_frozen_k(frozen_loc, mesh, k)
+            d0 = depth - k
+            frozen_ext = frozen_full[d0 : d0 + h_loc + 2 * k,
+                                     d0 : d0 + w_loc + 2 * k]
             if use_pallas:
                 # Parity offsets for the extended block ((-k) ≡ (+k) mod 2).
                 row0 = jax.lax.axis_index("my") * u_loc.shape[0] + k
@@ -374,28 +381,27 @@ def update_n_resident(
 
 def set_cells_resident(sh: ShardedGrid, xy, types) -> ShardedGrid:
     """SetCells on the sharded arrays (harmonic_utilities semantics: skip
-    invalid, last-wins on duplicates): a scatter into the resident buffers —
-    XLA routes the updates to the owning shards, no re-layout."""
+    invalid, last-wins on duplicates — shared preprocessing with
+    grid.set_cells): a scatter into the resident buffers — XLA routes the
+    updates to the owning shards, no re-layout.
+
+    Values on the boundary ring are written like the reference's (a GOAL on
+    the ring influences interior neighbors), but ring cells stay frozen in
+    the sharded mask: no solver path ever updates ring cells (the reference
+    loops x=1..m-2, harmonic_cpu.cpp:46-51), and an unfrozen ring cell would
+    read out-of-mesh halo fill."""
     from .. import grid as G
 
-    xy = np.atleast_2d(np.asarray(xy, dtype=np.int64))
-    types = np.asarray(types, dtype=np.int64).reshape(-1)
-    valid = (
-        (xy[:, 0] >= 1) & (xy[:, 0] < sh.width - 1)
-        & (xy[:, 1] >= 1) & (xy[:, 1] < sh.height - 1)
-        & np.isin(types, list(G._TYPE_TO_U))
+    xy, u_vals, locked_vals = G.sanitize_cell_edits(
+        xy, types, sh.width, sh.height
     )
-    xy = xy[valid]
-    types = types[valid]
     if xy.shape[0] == 0:
         return sh
-    flat = xy[:, 1] * sh.width + xy[:, 0]
-    _, last_idx = np.unique(flat[::-1], return_index=True)
-    keep = np.sort(len(flat) - 1 - last_idx)
-    xy = xy[keep]
-    types = types[keep]
-    u_vals = np.array([G._TYPE_TO_U[t] for t in types], dtype=np.float32)
-    f_vals = np.array([G._TYPE_TO_LOCKED[t] for t in types], dtype=bool)
+    on_ring = (
+        (xy[:, 0] == 0) | (xy[:, 0] == sh.width - 1)
+        | (xy[:, 1] == 0) | (xy[:, 1] == sh.height - 1)
+    )
+    f_vals = locked_vals | on_ring
     ys = jnp.asarray(xy[:, 1])
     xs = jnp.asarray(xy[:, 0])
     return dataclasses.replace(

@@ -112,11 +112,15 @@ class Planner:
         """initAlg equivalent (epic_navigation_node_harmonic.cpp:207-244):
         u = 0 everywhere, unlocked, boundary ring forced obstacle."""
         self.state = G.empty_state(height, width, epsilon=self.config.epsilon)
+        self._pad_cache = None  # previous session's padded buffers
         logger.info("planner init %dx%d eps=%g backend=%s", width, height,
                     self.config.epsilon, self.config.backend)
 
     def uninit(self) -> None:
         self.state = None
+        # Drop the padded-buffer cache too: on a mega-grid session it pins
+        # ~1.33x the grid in device memory otherwise.
+        self._pad_cache = None
 
     def _require_state(self) -> G.GridState:
         if self.state is None:
@@ -242,7 +246,11 @@ class Planner:
         if self._pad_cache is not None and self._pad_cache[0] is st:
             g, frozen_ext = self._pad_cache[1]
         else:
-            g = pallas_biggrid.pad_state(st)
+            sc = self.solver_config
+            g = pallas_biggrid.pad_state(
+                st, chunk_depth=sc.tile_depth,
+                band=sc.tile_band, k=sc.tile_depth if sc.tile_band else None,
+            )
             frozen_ext = pallas_biggrid.stack_frozen(g.frozen, g.band, g.k)
         import jax
 
@@ -437,19 +445,25 @@ class Planner:
         step_size: float = 0.05,
         cd_precision: float = 0.5,
         max_steps: int = 4096,
-        mode: str = "bilinear",
+        mode: str | None = None,
     ) -> list[list[PathPose] | None]:
         """Many streamlines at once through the device walker (epic_tpu
         extension — multi-robot / rollout workloads; the reference extracts
         one scalar path per ComputePath call). Lanes in lockstep on the
         accelerator (:mod:`epic_tpu.solver.batched_path`); entries are None
         for invalid starts or <= 2-point walks (the reference's
-        EPIC_ERROR_INVALID_PATH contract per lane)."""
+        EPIC_ERROR_INVALID_PATH contract per lane).
+
+        ``mode`` defaults to ``config.interpolation`` — the same streamlines
+        the scalar ComputePath verb walks."""
         import jax.numpy as jnp
 
         from .solver import batched_path
 
         st = self._require_state()
+        starts_world = list(starts_world)
+        if mode is None:
+            mode = self.config.interpolation
         starts_map = []
         valid_idx = []
         for i, (wx, wy) in enumerate(starts_world):
@@ -458,13 +472,19 @@ class Planner:
                 valid_idx.append(i)
             except InvalidLocationError:
                 continue
-        results: list[list[PathPose] | None] = [None] * len(list(starts_world))
+        results: list[list[PathPose] | None] = [None] * len(starts_world)
         if not starts_map:
             return results
+        # Pad the lane count to a power of two (min 8) so distinct request
+        # sizes reuse a handful of compiled programs — a fresh jaxpr per B
+        # costs minutes through remote-compile services. Padding lanes use
+        # an out-of-map start; the walker marks them invalid at step 0.
+        n_lanes = max(8, 1 << (len(starts_map) - 1).bit_length())
+        padded = starts_map + [(-1.0, -1.0)] * (n_lanes - len(starts_map))
         out = batched_path.walk(
             st.u,
             st.locked,
-            jnp.asarray(np.asarray(starts_map, np.float32)),
+            jnp.asarray(np.asarray(padded, np.float32)),
             step_size=step_size,
             cd_precision=cd_precision,
             max_steps=max_steps,

@@ -128,7 +128,8 @@ class EpicServiceServer:
                     step_size=float(req.get("step_size", 0.05)),
                     cd_precision=float(req.get("precision", 0.5)),
                     max_steps=int(req.get("max_steps", 4096)),
-                    mode=req.get("mode", "bilinear"),
+                    # None -> the session's configured interpolation mode.
+                    mode=req.get("mode"),
                 )
                 return {
                     "success": True,

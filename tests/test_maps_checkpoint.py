@@ -87,3 +87,26 @@ def test_planner_session_checkpoint_roundtrip(tmp_path):
     pl.update(50)
     np.testing.assert_array_equal(
         np.asarray(restored.state.u), np.asarray(pl.state.u))
+
+
+def test_load_planner_config_override_not_mutated():
+    from epic_tpu import checkpoint
+    from epic_tpu.planner import Planner, PlannerConfig
+
+    pl = Planner(PlannerConfig(epsilon=1e-2))
+    pl.init(16, 16)
+    pl.add_goals([(8.0, 8.0)])
+    p = tmp = None
+    import tempfile, pathlib
+    tmp = pathlib.Path(tempfile.mkdtemp()) / "s.npz"
+    checkpoint.save_planner(tmp, pl)
+
+    mine = PlannerConfig(epsilon=5e-4, backend="xla")
+    restored = checkpoint.load_planner(tmp, config=mine)
+    # Caller's object untouched; override applied to the resumed state.
+    assert mine.epsilon == 5e-4 and mine.resolution == 1.0
+    assert restored.config.epsilon == 5e-4
+    assert float(restored.state.epsilon) == np.float32(5e-4)
+    # Without an override the snapshot's epsilon rules.
+    restored2 = checkpoint.load_planner(tmp)
+    assert restored2.config.epsilon == np.float32(1e-2)

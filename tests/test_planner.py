@@ -275,3 +275,26 @@ def test_compute_paths_batch_matches_scalar_walks():
         assert abs(end_b.x - end_s.x) < 1.5 and abs(end_b.y - end_s.y) < 1.5
         n_ok += 1
     assert n_ok == 3
+
+
+def test_biggrid_tile_config_wiring():
+    """SolverConfig.tile_band/tile_depth reach the big-grid layout."""
+    from epic_tpu.config import EpicConfig, SolverConfig
+
+    pl = Planner(EpicConfig(solver=SolverConfig(
+        backend="pallas", tile_band=24, tile_depth=8)))
+    # Force a grid past the VMEM budget classifier? Not needed — call the
+    # cached big-grid path directly to check the layout parameters.
+    pl.init(64, 64)
+    pl.add_goals([(32.0, 32.0)])
+    pl._update_biggrid_cached(8)
+    g = pl._pad_cache[1][0]
+    assert (g.band, g.k) == (24, 8)
+    # And the result still matches the XLA path exactly.
+    ref = Planner(PlannerConfig(epsilon=pl.config.epsilon, backend="xla"))
+    ref.init(64, 64)
+    ref.add_goals([(32.0, 32.0)])
+    ref.update(8)
+    np.testing.assert_allclose(
+        np.asarray(pl.state.u), np.asarray(ref.state.u), rtol=0, atol=1e-5
+    )
