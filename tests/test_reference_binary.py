@@ -337,8 +337,11 @@ def test_set_cells_parity_with_duplicates():
     ref = RefHarmonic(u0, locked, 1e-2)
     state = grid.make_state(u0, locked, 1e-2)
 
+    # Includes boundary-ring cells: the reference accepts any in-map cell
+    # (harmonic_utilities_cpu.cpp:50-55 only rejects out-of-bounds).
     xy = np.array(
-        [[5, 6], [7, 8], [5, 6], [9, 10], [7, 8], [5, 6]], np.int64
+        [[5, 6], [7, 8], [5, 6], [9, 10], [7, 8], [5, 6], [0, 4], [12, 31]],
+        np.int64,
     )
     types = np.array(
         [
@@ -348,6 +351,8 @@ def test_set_cells_parity_with_duplicates():
             C.CELL_TYPE_OBSTACLE,
             C.CELL_TYPE_FREE,
             C.CELL_TYPE_FREE,  # final verdict for (5, 6)
+            C.CELL_TYPE_GOAL,  # on the left edge (x = 0)
+            C.CELL_TYPE_FREE,  # on the bottom edge (y = h-1)
         ],
         np.int64,
     )
