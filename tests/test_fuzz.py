@@ -90,3 +90,35 @@ def test_random_grids_pallas_matches_oracle(seed):
         u_ref, _ = reference_np.sweep(u_ref, locked, it)
     out = pallas_sweep.update_n(epic_tpu.make_state(u, locked), steps)
     np.testing.assert_allclose(np.asarray(out.u), u_ref, rtol=2e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_grids_biggrid_matches_oracle(seed):
+    """The stacked-band big-grid kernel on random shapes/edit-free grids
+    (random band/k layouts, ragged heights, shallow remainder chunks)."""
+    from epic_tpu.solver import pallas_biggrid
+
+    rng = np.random.default_rng(300 + seed)
+    h, w = int(rng.integers(24, 90)), int(rng.integers(16, 120))
+    u, locked = _random_grid(rng, h, w)
+    steps = int(rng.integers(3, 40))
+    band = int(rng.integers(1, 4)) * 8
+    k = 8
+    u_ref = u.copy()
+    for it in range(steps):
+        u_ref, _ = reference_np.sweep(u_ref, locked, it)
+    st = epic_tpu.make_state(u, locked)
+    g = pallas_biggrid.pad_state(st, band=band, k=k)
+    fext = pallas_biggrid.stack_frozen(g.frozen, band, k)
+    import jax.numpy as jnp
+
+    u_pad = g.u
+    t = 0
+    while t < steps:
+        d = min(k, steps - t)
+        u_pad, _ = pallas_biggrid.sweep_chunk_bands(
+            u_pad, fext, jnp.int32(t), d, band, k, True
+        )
+        t += d
+    got = np.asarray(u_pad[k : k + h, :w])
+    np.testing.assert_allclose(got, u_ref, rtol=2e-6, atol=1e-3)
