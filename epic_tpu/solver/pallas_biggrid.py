@@ -269,16 +269,30 @@ def _solve_banded(
         done = (delta < epsilon) & (iteration >= m_max)
 
         def run_rest(args):
+            # stagger-1 plain sweeps as equal K-chunks + one remainder chunk:
+            # a fori over ONE call site keeps the compiled program small
+            # (unrolling ceil(stagger/K) pallas calls per body made cold
+            # compiles through remote services pathologically slow).
             u, iteration = args
             rest = stagger - 1
-            t = 0
-            while t < rest:
-                d = min(k, rest - t)
+            n_full, rem = divmod(rest, k)
+
+            def chunk_body(i, carry):
+                u, it = carry
                 u, _ = sweep_chunk_bands.__wrapped__(
-                    u, frozen_ext, iteration + t, d, band, k, interpret
+                    u, frozen_ext, it, k, band, k, interpret
                 )
-                t += d
-            return u, iteration + rest
+                return u, it + k
+
+            u, iteration = jax.lax.fori_loop(
+                0, n_full, chunk_body, (u, iteration)
+            )
+            if rem:
+                u, _ = sweep_chunk_bands.__wrapped__(
+                    u, frozen_ext, iteration, rem, band, k, interpret
+                )
+                iteration = iteration + rem
+            return u, iteration
 
         u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
         return u, iteration, delta, done
