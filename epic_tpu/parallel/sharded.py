@@ -271,34 +271,42 @@ def _update_n_sharded(
         # paying a ppermute pair per chunk.
         h_loc, w_loc = u_loc.shape
         frozen_full = _exchange_frozen_k(frozen_loc, mesh, depth)
-        # The initial delta must carry the same varying-axes type as the body
-        # output under shard_map's manual-axes typing.
-        delta = jax.lax.pvary(jnp.float32(0.0), ("my", "mx"))
-        done = 0
-        first = True
-        while done < num_steps:
-            k = min(depth, num_steps - done)
+        def chunk(u_loc, it, k):
+            """One exchange + K local sweeps (k static)."""
             u_ext = _exchange_halos_k(u_loc, mesh, k)
             d0 = depth - k
             frozen_ext = frozen_full[d0 : d0 + h_loc + 2 * k,
                                      d0 : d0 + w_loc + 2 * k]
             if use_pallas:
                 # Parity offsets for the extended block ((-k) ≡ (+k) mod 2).
-                row0 = jax.lax.axis_index("my") * u_loc.shape[0] + k
-                col0 = jax.lax.axis_index("mx") * u_loc.shape[1] + k
+                row0 = jax.lax.axis_index("my") * h_loc + k
+                col0 = jax.lax.axis_index("mx") * w_loc + k
                 u_ext, d = _sweep_k_local_pallas(
-                    u_ext, frozen_ext, it0 + done, row0, col0, k, interpret
+                    u_ext, frozen_ext, it, row0, col0, k, interpret
                 )
             else:
                 parity_ext = _local_parity_ext(u_loc.shape, mesh, k)
                 u_ext, d = _sweep_k_local(
-                    u_ext, frozen_ext, parity_ext, it0 + done, k, k
+                    u_ext, frozen_ext, parity_ext, it, k, k
                 )
-            u_loc = u_ext[k:-k, k:-k]
-            if first:
-                delta = d
-                first = False
-            done += k
+            return u_ext[k:-k, k:-k], d
+
+        # First chunk carries the staggered-check delta; remaining full
+        # chunks run through a fori over ONE call site (unrolling
+        # ceil(num_steps/depth) chunk bodies made cold compiles through
+        # remote services pathologically slow), plus one remainder chunk.
+        d1 = min(depth, num_steps)
+        u_loc, delta = chunk(u_loc, it0, d1)
+        n_full, rem = divmod(num_steps - d1, depth)
+
+        def body(i, carry):
+            u_loc, it = carry
+            u_loc, _ = chunk(u_loc, it, depth)
+            return u_loc, it + depth
+
+        u_loc, it = jax.lax.fori_loop(0, n_full, body, (u_loc, it0 + d1))
+        if rem:
+            u_loc, _ = chunk(u_loc, it, rem)
         delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
         return u_loc, delta.reshape(1)
 
