@@ -49,9 +49,9 @@ _LOG2N_2D = np.float32(np.log(np.float64(4.0)))
 # Extended-band VMEM budget in f32 cells. Mosaic's scoped-VMEM footprint is
 # ~3.5x the extended block; the 16 MB default limit rejects wide bands, but
 # v5e's physical VMEM is far larger — the kernel raises vmem_limit_bytes to
-# _VMEM_LIMIT, and measured-best layouts use ~1 M-cell extended blocks with
-# 224-row bands (tools/tpu_probe5.py: 37-39 G cell-updates/s at
-# 4096^2-8192^2, 31 G at 16384^2, vs 4.3 G for round-1's XLA path).
+# _VMEM_LIMIT; 2 M-cell extended blocks with 96-688-row bands measure
+# 38-40 G cell-updates/s at 2048^2-8192^2 and 34 G at 16384^2
+# (tools/tpu_probe5/6/10, vs 4.3 G for round-1's XLA path).
 EXT_BAND_CELL_BUDGET = 2 * 1024 * 1024
 _VMEM_LIMIT = 128 * 1024 * 1024
 
