@@ -363,3 +363,120 @@ def test_set_cells_parity_with_duplicates():
     np.testing.assert_array_equal(
         np.asarray(state.locked).astype(np.uint32), ref.locked
     )
+
+
+# ---------------------------------------------------------------------------
+# Legacy (non-log SOR) subsystem vs the binary.
+# ---------------------------------------------------------------------------
+
+_epic.harmonic_legacy_sor_2d_float_cpu.argtypes = (
+    ct.c_uint, ct.c_uint, ct.c_float, ct.c_float,
+    ct.POINTER(ct.c_uint), ct.POINTER(ct.c_float), ct.POINTER(ct.c_uint),
+)
+_epic.harmonic_legacy_sor_2d_double_cpu.argtypes = (
+    ct.c_uint, ct.c_uint, ct.c_double, ct.c_double,
+    ct.POINTER(ct.c_uint), ct.POINTER(ct.c_double), ct.POINTER(ct.c_uint),
+)
+_epic.harmonic_legacy_compute_path_2d_cpu.argtypes = (
+    ct.c_uint, ct.c_uint, ct.POINTER(ct.c_uint), ct.POINTER(ct.c_double),
+    ct.c_double, ct.c_double, ct.c_double, ct.c_double, ct.c_uint, ct.c_int,
+    ct.POINTER(ct.c_uint), ct.POINTER(ct.POINTER(ct.c_double)),
+)
+_epic.harmonic_legacy_free_path_cpu.argtypes = (
+    ct.POINTER(ct.POINTER(ct.c_double)),
+)
+
+
+def _legacy_fixture(h=28, w=36):
+    from epic_tpu import maps
+    from epic_tpu.solver import legacy
+
+    img = maps.open_room(h, w, goal=(w // 2, h // 2))
+    u, locked = legacy.from_image(img, dtype=np.float64)
+    return img, u, locked
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_legacy_sor_matches_binary(dtype):
+    """harmonic_legacy_sor_2d_{float,double}_cpu vs our SOR (native + numpy):
+    identical iteration counts and fields to tight tolerance (same scalar
+    recurrence; only libm/compiler ulps differ)."""
+    from epic_tpu.solver import legacy
+
+    _, u0, locked = _legacy_fixture()
+    eps, omega, min_iters = 1e-4, 1.5, 120
+
+    u_ref = np.ascontiguousarray(u0, dtype=dtype)
+    locked_u = np.ascontiguousarray(locked, dtype=np.uint32)
+    iters = ct.c_uint(0)
+    if dtype == np.float32:
+        r = _epic.harmonic_legacy_sor_2d_float_cpu(
+            u_ref.shape[1], u_ref.shape[0], eps, omega,
+            locked_u.ctypes.data_as(ct.POINTER(ct.c_uint)),
+            u_ref.ctypes.data_as(ct.POINTER(ct.c_float)),
+            ct.byref(iters),
+        )
+    else:
+        r = _epic.harmonic_legacy_sor_2d_double_cpu(
+            u_ref.shape[1], u_ref.shape[0], eps, omega,
+            locked_u.ctypes.data_as(ct.POINTER(ct.c_uint)),
+            u_ref.ctypes.data_as(ct.POINTER(ct.c_double)),
+            ct.byref(iters),
+        )
+    assert r == 0
+
+    # NOTE: the reference floors at 10000 iterations
+    # (harmonic_legacy_cpu.cpp:34,42) — pass min_iterations=10000 equivalents.
+    ours, it_ours = legacy.sor_numpy(
+        np.array(u0, dtype=dtype), locked, epsilon=eps, omega=omega,
+        min_iterations=10000,
+    )
+    assert it_ours == int(iters.value)
+    atol = 2e-4 if dtype == np.float32 else 1e-10
+    np.testing.assert_allclose(ours, u_ref, rtol=0, atol=atol)
+
+
+def test_legacy_path_matches_binary():
+    """harmonic_legacy_compute_path_2d_cpu vs solver.legacy.compute_path on
+    the binary's own solved field (both double precision)."""
+    from epic_tpu.solver import legacy
+
+    _, u0, locked = _legacy_fixture()
+    u_ref = np.ascontiguousarray(u0, dtype=np.float64)
+    locked_u = np.ascontiguousarray(locked, dtype=np.uint32)
+    iters = ct.c_uint(0)
+    assert _epic.harmonic_legacy_sor_2d_double_cpu(
+        u_ref.shape[1], u_ref.shape[0], 1e-4, 1.5,
+        locked_u.ctypes.data_as(ct.POINTER(ct.c_uint)),
+        u_ref.ctypes.data_as(ct.POINTER(ct.c_double)),
+        ct.byref(iters),
+    ) == 0
+
+    h, w = u_ref.shape
+    starts = [(4.0, 4.0), (w - 5.0, 6.0), (5.0, h - 5.0)]
+    compared = 0
+    for x, y in starts:
+        k = ct.c_uint(0)
+        raw = ct.POINTER(ct.c_double)()
+        r = _epic.harmonic_legacy_compute_path_2d_cpu(
+            w, h,
+            locked_u.ctypes.data_as(ct.POINTER(ct.c_uint)),
+            u_ref.ctypes.data_as(ct.POINTER(ct.c_double)),
+            float(x), float(y), 0.2, 0.4, 100000, 0,
+            ct.byref(k), ct.byref(raw),
+        )
+        if r != 0:
+            continue
+        n = int(k.value)
+        ref_path = np.array(
+            [(raw[2 * i], raw[2 * i + 1]) for i in range(n)], np.float64
+        )
+        _epic.harmonic_legacy_free_path_cpu(ct.byref(raw))
+        ours = legacy.compute_path(u_ref, locked, x, y, step_size=0.2,
+                                   cd_precision=0.4, max_length=100000,
+                                   flipped=False)
+        m = min(len(ours), len(ref_path))
+        assert m > 2
+        np.testing.assert_allclose(ours[:m], ref_path[:m], rtol=0, atol=1e-9)
+        compared += 1
+    assert compared >= 2
