@@ -164,3 +164,33 @@ def test_resident_warm_loop_with_edits(mesh8):
     # Out-of-bounds / unknown-type edits are skipped like grid.set_cells.
     sh2 = sharded.set_cells_resident(sh, [(999, 2), (3, -1)], [1, 1])
     np.testing.assert_array_equal(np.asarray(sh2.u), np.asarray(sh.u))
+
+
+def test_multihost_wrapper_single_process():
+    """multihost.initialize is a safe no-op single-process, and passes
+    explicit coordinator args through to jax.distributed.initialize."""
+    from epic_tpu.parallel import multihost
+
+    # Single-process: must not raise.
+    multihost.initialize()
+    assert multihost.is_multi_process() is False
+
+    # Args pass through verbatim (monkeypatch the jax entry point).
+    import jax
+
+    captured = {}
+
+    orig = jax.distributed.initialize
+
+    def fake(coordinator_address=None, num_processes=None, process_id=None,
+             **kw):
+        captured.update(addr=coordinator_address, n=num_processes,
+                        pid=process_id)
+        raise RuntimeError("backend already initialized")  # exercised branch
+
+    jax.distributed.initialize = fake
+    try:
+        multihost.initialize("10.0.0.1:1234", 4, 2)
+    finally:
+        jax.distributed.initialize = orig
+    assert captured == dict(addr="10.0.0.1:1234", n=4, pid=2)
