@@ -23,7 +23,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     except Exception:  # config name drift across jax versions — best effort
         pass
 
-from . import analysis, checkpoint, config, constants, errors, maps, path, profiling, viz
+from . import analysis, checkpoint, config, constants, errors, maps, path, path3d, profiling, viz
 from .grid import (
     GridState,
     empty_state,
@@ -52,6 +52,7 @@ __all__ = [
     "make_state",
     "maps",
     "path",
+    "path3d",
     "profiling",
     "reset_free_cells",
     "set_cells",

@@ -8,6 +8,7 @@ from . import (
     pallas_biggrid,
     pallas_packed,
     pallas_sweep,
+    pallas_sweep3d,
     pallas_tiled,
     reference_np,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "pallas_biggrid",
     "pallas_packed",
     "pallas_sweep",
+    "pallas_sweep3d",
     "pallas_tiled",
     "reference_np",
 ]
