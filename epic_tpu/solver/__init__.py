@@ -6,6 +6,7 @@ from . import (
     pallas_banded,
     pallas_batched,
     pallas_biggrid,
+    pallas_biggrid3d,
     pallas_packed,
     pallas_sweep,
     pallas_sweep3d,
@@ -21,9 +22,45 @@ __all__ = [
     "pallas_banded",
     "pallas_batched",
     "pallas_biggrid",
+    "pallas_biggrid3d",
     "pallas_packed",
     "pallas_sweep",
     "pallas_sweep3d",
     "pallas_tiled",
     "reference_np",
 ]
+
+
+def solve_volume(state, stagger=None, **kw):
+    """Auto-dispatching 3D solve (the 3D analogue of PlannerConfig
+    backend="auto"): XLA on CPU hosts, the VMEM-resident Pallas kernel when
+    the volume fits (~2M cells), the banded big-volume kernel otherwise.
+    Protocol identical across all three (harmonic_complete_cpu)."""
+    import jax as _jax
+
+    from .. import constants as _C
+
+    if state.u.ndim != 3:
+        raise ValueError(f"solve_volume requires a 3D grid, got {state.u.ndim}D")
+    stagger = _C.DEFAULT_STAGGER if stagger is None else stagger
+    if _jax.default_backend() == "cpu":
+        return core.solve(state, stagger, **kw)
+    if pallas_sweep3d.fits_vmem(state.u.shape):
+        return pallas_sweep3d.solve(state, stagger, **kw)
+    return pallas_biggrid3d.solve(state, stagger, **kw)
+
+
+def update_volume(state, num_steps, **kw):
+    """Auto-dispatching 3D anytime stepper; see :func:`solve_volume`."""
+    import jax as _jax
+
+    if state.u.ndim != 3:
+        raise ValueError(f"update_volume requires a 3D grid, got {state.u.ndim}D")
+    if _jax.default_backend() == "cpu":
+        return core.update_n(state, num_steps)
+    if pallas_sweep3d.fits_vmem(state.u.shape):
+        return pallas_sweep3d.update_n(state, num_steps, **kw)
+    return pallas_biggrid3d.update_n(state, num_steps, **kw)
+
+
+__all__ += ["solve_volume", "update_volume"]
