@@ -27,12 +27,16 @@ from . import analysis, checkpoint, config, constants, errors, maps, path, path3
 from .grid import (
     GridState,
     empty_state,
+    empty_volume,
     from_occupancy_image,
+    from_occupancy_volume,
     make_state,
     reset_free_cells,
     set_cells,
+    set_cells_3d,
 )
 from .planner import Planner, PlannerConfig
+from .planner3d import VolumePlanner, VolumePlannerConfig
 from .solver import core as solver_core
 from .solver import reference_np as solver_oracle
 
@@ -42,13 +46,17 @@ __all__ = [
     "GridState",
     "Planner",
     "PlannerConfig",
+    "VolumePlanner",
+    "VolumePlannerConfig",
     "analysis",
     "checkpoint",
     "config",
     "constants",
     "errors",
     "empty_state",
+    "empty_volume",
     "from_occupancy_image",
+    "from_occupancy_volume",
     "make_state",
     "maps",
     "path",
@@ -56,6 +64,7 @@ __all__ = [
     "profiling",
     "reset_free_cells",
     "set_cells",
+    "set_cells_3d",
     "solver_core",
     "solver_oracle",
     "viz",

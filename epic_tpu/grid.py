@@ -119,6 +119,41 @@ def empty_state(height: int, width: int, epsilon: float = C.DEFAULT_EPSILON) -> 
     return make_state(u, locked, epsilon)
 
 
+def empty_volume(
+    depth: int, height: int, width: int, epsilon: float = C.DEFAULT_EPSILON
+) -> GridState:
+    """3D analogue of :func:`empty_state`: all-free volume with u = 0 and the
+    boundary *shell* (all six faces) forced to locked obstacles. The
+    reference's node layer is 2D-only; this extends its initAlg semantics
+    (epic_navigation_node_harmonic.cpp:216-226, :282-307) to the 3D solver
+    it never wired up."""
+    u = np.zeros((depth, height, width), dtype=np.float32)
+    locked = np.zeros((depth, height, width), dtype=bool)
+    shell = np.ones((depth, height, width), dtype=bool)
+    shell[1:-1, 1:-1, 1:-1] = False
+    u[shell] = C.LOG_SPACE_OBSTACLE
+    locked[shell] = True
+    return make_state(u, locked, epsilon)
+
+
+def from_occupancy_volume(vol: np.ndarray, epsilon: float = C.DEFAULT_EPSILON) -> GridState:
+    """Ingest a 3D occupancy volume with HarmonicMap.load's pixel semantics
+    (libepic/python/epic/harmonic_map.py:54-100) applied per voxel:
+
+      voxel == 255 -> GOAL (locked, u = 0.0)
+      voxel == 0   -> OBSTACLE (locked, u = -1e6)
+      otherwise    -> FREE (unlocked, u = -1e6)
+    """
+    vol = np.asarray(vol)
+    if vol.ndim != 3:
+        raise ValueError("expected a 3D occupancy volume")
+    goal = vol == 255
+    obstacle = vol == 0
+    u = np.where(goal, C.LOG_SPACE_GOAL, C.LOG_SPACE_FREE).astype(np.float32)
+    locked = goal | obstacle
+    return make_state(u, locked, epsilon)
+
+
 def from_occupancy_image(img: np.ndarray, epsilon: float = C.DEFAULT_EPSILON) -> GridState:
     """Ingest a grayscale occupancy image, HarmonicMap.load semantics
     (libepic/python/epic/harmonic_map.py:54-100):
@@ -213,13 +248,69 @@ def set_cells(
     return dataclasses.replace(state, u=u, locked=locked, converged=jnp.asarray(False))
 
 
+def sanitize_cell_edits_3d(xyz, types, width: int, height: int, depth: int):
+    """3D twin of :func:`sanitize_cell_edits` for (x, y, z) voxel edits:
+    drop out-of-bounds / unknown-type entries, resolve duplicates last-wins.
+
+    Returns (xyz[int64, N, 3], u_vals f32[N], locked_vals bool[N]); N may be 0.
+    """
+    xyz = np.atleast_2d(np.asarray(xyz, dtype=np.int64))
+    types = np.asarray(types, dtype=np.int64).reshape(-1)
+    if xyz.shape[0] != types.shape[0]:
+        raise ValueError("xyz and types length mismatch")
+    valid = (
+        (xyz[:, 0] >= 0)
+        & (xyz[:, 0] < width)
+        & (xyz[:, 1] >= 0)
+        & (xyz[:, 1] < height)
+        & (xyz[:, 2] >= 0)
+        & (xyz[:, 2] < depth)
+        & np.isin(types, list(_TYPE_TO_U))
+    )
+    xyz = xyz[valid]
+    types = types[valid]
+    if xyz.shape[0]:
+        flat = (xyz[:, 2] * height + xyz[:, 1]) * width + xyz[:, 0]
+        _, last_idx = np.unique(flat[::-1], return_index=True)
+        keep = np.sort(len(flat) - 1 - last_idx)
+        xyz = xyz[keep]
+        types = types[keep]
+    u_vals = np.array([_TYPE_TO_U[t] for t in types], dtype=np.float32)
+    l_vals = np.array([_TYPE_TO_LOCKED[t] for t in types], dtype=bool)
+    return xyz, u_vals, l_vals
+
+
+def set_cells_3d(
+    state: GridState,
+    xyz: np.ndarray | Sequence[tuple[int, int, int]],
+    types: np.ndarray | Sequence[int],
+) -> GridState:
+    """Point edits on a 3D volume: (x, y, z, type) -> (u, locked) writes.
+
+    Same contract as :func:`set_cells` (skip-invalid, duplicate last-wins,
+    resets ``converged``) applied to ``u[z, y, x]`` volumes — the 3D SetCells
+    the reference never shipped (harmonic_utilities_cpu.cpp is 2D-only)."""
+    if state.u.ndim != 3:
+        raise ValueError(f"set_cells_3d requires a 3D grid, got {state.u.ndim}D")
+    d, h, w = state.u.shape
+    xyz, u_vals, l_vals = sanitize_cell_edits_3d(xyz, types, w, h, d)
+    if xyz.shape[0] == 0:
+        return state
+    zs = jnp.asarray(xyz[:, 2])
+    ys = jnp.asarray(xyz[:, 1])
+    xs = jnp.asarray(xyz[:, 0])
+    u = state.u.at[zs, ys, xs].set(jnp.asarray(u_vals))
+    locked = state.locked.at[zs, ys, xs].set(jnp.asarray(l_vals))
+    return dataclasses.replace(state, u=u, locked=locked, converged=jnp.asarray(False))
+
+
 def reset_free_cells(state: GridState) -> GridState:
     """Rewrite every unlocked interior cell to the FREE value -1e6, clearing
     stale potentials (srvResetFreeCells,
-    epic_navigation_node_harmonic.cpp:582-611). The explicit cold restart."""
-    h, w = state.u.shape[:2]
-    interior = np.zeros((h, w), dtype=bool)
-    interior[1:-1, 1:-1] = True
+    epic_navigation_node_harmonic.cpp:582-611). The explicit cold restart.
+    On 3D volumes "interior" excludes all six faces."""
+    interior = np.zeros(state.u.shape, dtype=bool)
+    interior[(slice(1, -1),) * state.u.ndim] = True
     mask = jnp.asarray(interior) & ~state.locked
     u = jnp.where(mask, jnp.float32(C.LOG_SPACE_FREE), state.u)
     return dataclasses.replace(
