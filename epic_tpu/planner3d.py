@@ -206,8 +206,8 @@ class VolumePlanner:
         self._pad_cache = (self.state, new_padded)
 
     def _update_biggrid_cached(self, n: int) -> None:
-        """Banded big-volume tick reusing the guard-padded u and the
-        pre-stacked frozen mask."""
+        """Banded big-volume tick (manual-DMA chunks) reusing the
+        guard-padded u/frozen buffers across ticks."""
         import jax
         import jax.numpy as jnp
 
@@ -215,20 +215,17 @@ class VolumePlanner:
 
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
-            g, frozen_ext = self._pad_cache[1]
+            g = self._pad_cache[1]
         else:
             g = pallas_biggrid3d.pad_state(st)
-            frozen_ext = pallas_biggrid3d.stack_frozen(
-                g.frozen, g.hp, g.band, g.k
-            )
         interpret = jax.default_backend() == "cpu"
         u = g.u
         t = 0
         delta = None
         while t < n:
             d_sw = min(g.k, n - t)
-            u, dd = pallas_biggrid3d.sweep_chunk_bands(
-                u, frozen_ext, st.iteration + t, d_sw, g.band, g.k, g.hp,
+            u, dd = pallas_biggrid3d.sweep_chunk_dma(
+                u, g.frozen, st.iteration + t, d_sw, g.band, g.k, g.hp,
                 interpret,
             )
             if delta is None:
@@ -244,7 +241,7 @@ class VolumePlanner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, (new_g, frozen_ext))
+        self._pad_cache = (self.state, new_g)
 
     def solve(self) -> None:
         """Blocking solve-to-convergence through the auto-dispatching 3D

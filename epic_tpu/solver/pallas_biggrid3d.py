@@ -30,11 +30,19 @@ row, z = ±Hp rows, x = ±1 lane). Banding happens at **plane granularity**:
 Exactness: a chunk of K sweeps is bit-identical to K global sweeps of the
 oracle (tested vs reference_np.sweep_3d and solver.core in interpret mode).
 
-Halo economics differ from 2D: a halo is 2K whole planes, so K and the
-plane size trade off inside the extended-band VMEM budget —
-:func:`choose_layout` picks the deepest K that keeps halo redundancy under
-half the band. At 256^3 that lands ~25-30 G updates/s (probe16) vs ~4 G
-for the XLA fallback.
+Halo economics differ from 2D: a halo is 2K whole planes (a 32-plane
+extended band at 256^2 planes is 2x-redundant at K=8), so the stacking
+gather that is negligible in 2D (~3% overlap) would materialize ~2x the
+volume through XLA per chunk. The production chunk is therefore
+:func:`sweep_chunk_dma`: because bands overlap in CONTIGUOUS plane ranges,
+each grid step manually DMAs its extended slice of the guard-padded volume
+(and of the un-stacked frozen mask) from HBM into VMEM scratch — no
+stacked array exists. The gather chunk (:func:`sweep_chunk_bands`) is kept
+as a bit-identical cross-check. Measured at 256^3 (tools/tpu_probe18.py,
+4800-sweep timed regions, checksums cross-validated): DMA 38.0 / 34.2 /
+32.6 G visits/s at k=4/8/2 vs gather 26.3 / 26.1 / 19.6 — so k=4 (1.33x
+redundancy) is the default layout, 19 G cell-updates/s vs ~4 G for the
+XLA fallback and 28.5 G for the VMEM-resident 3D kernel.
 """
 
 from __future__ import annotations
@@ -61,10 +69,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 8):
+def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 4):
     """Pick (band, k) in PLANES for a volume: the deepest K <= chunk_depth
     whose extended band fits the VMEM budget with halo <= half the extended
-    band, planes spread evenly over the bands."""
+    band, planes spread evenly over the bands.
+
+    Default chunk_depth = 4 (halo redundancy 1.33x at 32-plane extended
+    bands): with the manual-DMA chunk the layout scan measured 38 G
+    visits/s at 256^3 for k=4 vs 34.2 (k=8, 2x redundancy) and 32.6 (k=2,
+    HBM round trip every other sweep) — tools/tpu_probe18.py."""
     d, h, w = shape
     plane = _round_up(h, 8) * _round_up(w, 128)
     ext_max = max(3, EXT_BAND_CELL_BUDGET // plane)
@@ -195,6 +208,128 @@ def sweep_chunk_bands(
     return u_new, jnp.max(out_delta)
 
 
+def _band3d_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
+                       u_vmem, f_vmem, sems,
+                       *, num_sweeps, band, k, hp, w):
+    """DMA variant of :func:`_band3d_kernel`: the extended band is a
+    CONTIGUOUS row range of the guard-padded volume (bands overlap by 2K
+    whole planes), so each grid step copies its slice straight from HBM
+    into VMEM scratch — no XLA row-gather materializing a 2x-volume stacked
+    array per chunk, and no pre-stacked frozen mask. At ext/band = 2 the
+    gather was the dominant HBM cost of the chunk (tools/tpu_probe18.py)."""
+    i = pl.program_id(0)
+    ext = band + 2 * k
+    rows = ext * hp
+    start = i * band * hp
+    cp_u = pltpu.make_async_copy(
+        u_hbm.at[pl.ds(start, rows), :], u_vmem, sems.at[0]
+    )
+    cp_f = pltpu.make_async_copy(
+        f_hbm.at[pl.ds(start, rows), :], f_vmem, sems.at[1]
+    )
+    cp_u.start()
+    cp_f.start()
+    cp_u.wait()
+    cp_f.wait()
+
+    t0 = it_ref[0]
+    u0 = u_vmem[:]
+    not_frozen = f_vmem[:] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    local_plane = local_row // hp
+    y = local_row - local_plane * hp
+    parity = (local_plane + i * band - k + y + col) % 2
+
+    def sweep(s, u):
+        uzm = pltpu.roll(u, hp, 0)
+        uzp = pltpu.roll(u, rows - hp, 0)
+        uym = pltpu.roll(u, 1, 0)
+        uyp = pltpu.roll(u, rows - 1, 0)
+        uxm = pltpu.roll(u, 1, 1)
+        uxp = pltpu.roll(u, w - 1, 1)
+        m = jnp.maximum(uzm, uzp)
+        m = jnp.maximum(m, uym)
+        m = jnp.maximum(m, uyp)
+        m = jnp.maximum(m, uxm)
+        m = jnp.maximum(m, uxp)
+        ssum = jnp.exp(uzm - m)
+        ssum = ssum + jnp.exp(uzp - m)
+        ssum = ssum + jnp.exp(uym - m)
+        ssum = ssum + jnp.exp(uyp - m)
+        ssum = ssum + jnp.exp(uxm - m)
+        ssum = ssum + jnp.exp(uxp - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_3D
+        valid = (local_plane > s) & (local_plane < ext - 1 - s)
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[i, 0] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+    u_out[:] = u[k * hp : (k + band) * hp, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "band", "k", "hp", "interpret")
+)
+def sweep_chunk_dma(
+    u_pad: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    band: int,
+    k: int,
+    hp: int,
+    interpret: bool = False,
+):
+    """num_sweeps (<= k) 3D sweeps via the manual-DMA banded kernel.
+
+    Unlike :func:`sweep_chunk_bands` this takes the UN-stacked frozen mask
+    (``frozen_pad``, same shape as ``u_pad``) — each band DMAs its own
+    contiguous slice of both arrays. Semantics and results are bit-identical
+    to the gather path (cross-tested in tests/test_pallas_biggrid3d.py).
+    """
+    rp, wp = u_pad.shape
+    dp = rp // hp
+    nb = (dp - 2 * k) // band
+    assert nb * band + 2 * k == dp, (dp, band, k)
+    assert num_sweeps <= k
+    ext = band + 2 * k
+
+    out_u, out_delta = pl.pallas_call(
+        functools.partial(_band3d_kernel_dma, num_sweeps=num_sweeps,
+                          band=band, k=k, hp=hp, w=wp),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band * hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((band * hp, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ext * hp, wp), jnp.float32),
+            pltpu.VMEM((ext * hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_pad, frozen_pad)
+
+    u_new = jax.lax.dynamic_update_slice(u_pad, out_u, (k * hp, 0))
+    return u_new, jnp.max(out_delta)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BandedVolume:
@@ -242,22 +377,22 @@ def unpad(g: BandedVolume) -> jax.Array:
 
 
 def update_n(state: GridState, num_steps: int,
-             chunk_depth: int = 8, interpret: bool | None = None) -> GridState:
+             chunk_depth: int = 4, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
-    from the overall first sweep)."""
+    from the overall first sweep). Production path is the manual-DMA chunk
+    (:func:`sweep_chunk_dma`); the gather chunk is kept for cross-tests."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if state.u.ndim != 3:
         raise ValueError(f"pallas_biggrid3d requires a 3D grid, got {state.u.ndim}D")
     g = pad_state(state, chunk_depth)
     u = g.u
-    frozen_ext = stack_frozen(g.frozen, g.hp, g.band, g.k)
     t = 0
     delta = None
     while t < num_steps:
         d = min(g.k, num_steps - t)
-        u, dd = sweep_chunk_bands(
-            u, frozen_ext, state.iteration + t, d, g.band, g.k, g.hp, interpret
+        u, dd = sweep_chunk_dma(
+            u, g.frozen, state.iteration + t, d, g.band, g.k, g.hp, interpret
         )
         if delta is None:
             delta = dd
@@ -280,12 +415,13 @@ def update_n(state: GridState, num_steps: int,
     donate_argnums=(0,),
 )
 def _solve_banded(
-    u, frozen_ext, epsilon, stagger: int, max_iterations: int, band: int,
+    u, frozen_pad, epsilon, stagger: int, max_iterations: int, band: int,
     k: int, hp: int, interpret: bool, m_max: int,
 ):
     """Full solve protocol on the banded 3D path, one device program (same
     structure as pallas_biggrid._solve_banded: fori over one chunk call
-    site keeps the compiled program small)."""
+    site keeps the compiled program small). Chunks go through the
+    manual-DMA kernel."""
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -293,8 +429,8 @@ def _solve_banded(
 
     def body(carry):
         u, iteration, _, _ = carry
-        u, delta = sweep_chunk_bands.__wrapped__(
-            u, frozen_ext, iteration, 1, band, k, hp, interpret
+        u, delta = sweep_chunk_dma.__wrapped__(
+            u, frozen_pad, iteration, 1, band, k, hp, interpret
         )
         iteration = iteration + 1
         done = (delta < epsilon) & (iteration >= m_max)
@@ -306,8 +442,8 @@ def _solve_banded(
 
             def chunk_body(i, carry):
                 u, it = carry
-                u, _ = sweep_chunk_bands.__wrapped__(
-                    u, frozen_ext, it, k, band, k, hp, interpret
+                u, _ = sweep_chunk_dma.__wrapped__(
+                    u, frozen_pad, it, k, band, k, hp, interpret
                 )
                 return u, it + k
 
@@ -315,8 +451,8 @@ def _solve_banded(
                 0, n_full, chunk_body, (u, iteration)
             )
             if rem:
-                u, _ = sweep_chunk_bands.__wrapped__(
-                    u, frozen_ext, iteration, rem, band, k, hp, interpret
+                u, _ = sweep_chunk_dma.__wrapped__(
+                    u, frozen_pad, iteration, rem, band, k, hp, interpret
                 )
                 iteration = iteration + rem
             return u, iteration
@@ -333,7 +469,7 @@ def solve(
     state: GridState,
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
-    chunk_depth: int = 8,
+    chunk_depth: int = 4,
     interpret: bool | None = None,
 ) -> GridState:
     """Relax a big 3D volume to convergence; protocol identical to
@@ -343,9 +479,8 @@ def solve(
     if state.u.ndim != 3:
         raise ValueError(f"pallas_biggrid3d requires a 3D grid, got {state.u.ndim}D")
     g = pad_state(state, chunk_depth)
-    frozen_ext = stack_frozen(g.frozen, g.hp, g.band, g.k)
     u, iteration, delta, converged = _solve_banded(
-        g.u, frozen_ext, state.epsilon, stagger, max_iterations, g.band,
+        g.u, g.frozen, state.epsilon, stagger, max_iterations, g.band,
         g.k, g.hp, interpret, max(state.u.shape),
     )
     dp = u.shape[0] // g.hp

@@ -92,3 +92,27 @@ def test_rejects_2d():
     st2 = make_state(np.full((8, 8), -1e6, np.float32), np.zeros((8, 8), bool), 1e-2)
     with pytest.raises(ValueError):
         pallas_biggrid3d.update_n(st2, 1)
+
+
+@pytest.mark.parametrize("d,h,w,band,k", [
+    (24, 10, 20, 4, 2),
+    (13, 9, 140, 4, 3),    # ragged depth, non-aligned h/w
+])
+def test_dma_chunk_bitmatches_gather_chunk(d, h, w, band, k):
+    """The manual-DMA chunk (contiguous HBM slices per band) must be
+    bit-identical to the gather chunk across chunk depths and parities."""
+    st = _volume(d, h, w, seed=5)
+    g = pallas_biggrid3d.pad_state(st, band=band, k=k)
+    frozen_ext = pallas_biggrid3d.stack_frozen(g.frozen, g.hp, band, k)
+    u_g, u_d = g.u, g.u
+    t = 0
+    for depth in (k, 1, k):
+        u_g, del_g = pallas_biggrid3d.sweep_chunk_bands(
+            u_g, frozen_ext, jnp.int32(t), depth, band, k, g.hp, True
+        )
+        u_d, del_d = pallas_biggrid3d.sweep_chunk_dma(
+            u_d, g.frozen, jnp.int32(t), depth, band, k, g.hp, True
+        )
+        assert float(del_g) == float(del_d)
+        np.testing.assert_array_equal(np.asarray(u_g), np.asarray(u_d))
+        t += depth
