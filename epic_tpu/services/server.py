@@ -15,7 +15,11 @@ Protocol: one JSON object per line.
 Verbs: set_status, add_goals, remove_goals, get_cell, set_cells,
 reset_free_cells, compute_path, occupancy_grid, info; epic_tpu extensions
 get_field (potential-field window) and get_map (cell-type window) for
-remote UIs.
+remote UIs, plus the *_3d verb family (occupancy_volume, add_goals_3d,
+remove_goals_3d, get_cell_3d, set_cells_3d, reset_free_cells_3d,
+set_status_3d, compute_path_3d) driving an independent 3D session
+(:class:`epic_tpu.planner3d.VolumePlanner`) that relaxes in the same
+anytime loop — the reference's service plane is 2D-only.
 
 Run:   python -m epic_tpu.services.server --port 7171 --map maze.png
 Client: EpicClient (below) or any JSON-capable peer.
@@ -54,6 +58,9 @@ class EpicServiceServer:
         port: int = 7171,
     ):
         self.node = node
+        # Lazily-created 3D session (first occupancy_volume ingest); ticks
+        # in spin_once alongside the 2D planner.
+        self.volume_planner = None
         self.sel = selectors.DefaultSelector()
         self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -185,9 +192,62 @@ class EpicServiceServer:
                     "width": int(img.shape[1]), "height": int(img.shape[0]),
                     "cells": img.tolist(),
                 }
+            if srv == "occupancy_volume":
+                from ..planner3d import VolumePlanner, VolumePlannerConfig
+
+                d = int(req["depth"])
+                h = int(req["height"])
+                w = int(req["width"])
+                data = np.asarray(req["data"], dtype=np.int8).reshape(d, h, w)
+                if self.volume_planner is None:
+                    self.volume_planner = VolumePlanner(VolumePlannerConfig(
+                        epsilon=self.node.planner.config.epsilon,
+                        steps_per_update=self.node.planner.config.steps_per_update,
+                    ))
+                origin = req.get("origin")
+                self.volume_planner.update_occupancy(
+                    data,
+                    resolution=req.get("resolution"),
+                    origin=tuple(map(float, origin)) if origin else None,
+                )
+                return {"success": True}
+            if srv in ("add_goals_3d", "remove_goals_3d", "get_cell_3d",
+                       "set_cells_3d", "reset_free_cells_3d", "set_status_3d",
+                       "compute_path_3d"):
+                vol = self.volume_planner
+                if vol is None:
+                    return {"success": False,
+                            "error": "no 3D session (send occupancy_volume first)"}
+                if srv == "add_goals_3d":
+                    pts = [tuple(map(float, g)) for g in req["goals"]]
+                    return {"success": vol.add_goals(pts)}
+                if srv == "remove_goals_3d":
+                    pts = [tuple(map(float, g)) for g in req["goals"]]
+                    return {"success": vol.remove_goals(pts)}
+                if srv == "get_cell_3d":
+                    v = vol.get_cell(int(req["x"]), int(req["y"]), int(req["z"]))
+                    return {"success": True, "value": v}
+                if srv == "set_cells_3d":
+                    v = [int(x) for x in req["v"]]
+                    xyz = list(zip(v[0::3], v[1::3], v[2::3]))
+                    return {"success": vol.set_cells(xyz, [int(t) for t in req["types"]])}
+                if srv == "reset_free_cells_3d":
+                    return {"success": vol.reset_free_cells()}
+                if srv == "set_status_3d":
+                    return {"success": vol.set_status(bool(req["paused"]))}
+                poses = vol.compute_path(
+                    (float(req["x"]), float(req["y"]), float(req["z"])),
+                    step_size=float(req.get("step_size", 0.05)),
+                    cd_precision=float(req.get("precision", 0.5)),
+                    max_length=int(req["max_length"]) if req.get("max_length") else None,
+                )
+                return {
+                    "success": True,
+                    "path": [[p.x, p.y, p.z, p.yaw, p.pitch] for p in poses],
+                }
             if srv == "info":
                 st = node.planner.state
-                return {
+                out = {
                     "success": True,
                     "initialized": st is not None,
                     "shape": list(st.u.shape) if st is not None else None,
@@ -195,6 +255,15 @@ class EpicServiceServer:
                     "delta": float(st.delta) if st is not None else None,
                     "paused": node.planner.paused,
                 }
+                vol = self.volume_planner
+                if vol is not None and vol.state is not None:
+                    out["volume"] = {
+                        "shape": list(vol.state.u.shape),
+                        "iteration": int(vol.state.iteration),
+                        "delta": float(vol.state.delta),
+                        "paused": vol.paused,
+                    }
+                return out
             return {"success": False, "error": f"unknown srv {srv!r}"}
         except EpicError as e:
             return {"success": False, "error": str(e)}
@@ -275,9 +344,12 @@ class EpicServiceServer:
 
     def spin_once(self, num_steps: int | None = None) -> None:
         """One tick: service pending requests, then one relaxation chunk —
-        the spinOnce()/update() interleave."""
+        the spinOnce()/update() interleave. A live 3D session relaxes in the
+        same tick."""
         self._service_sockets()
         self.node.update(num_steps)
+        if self.volume_planner is not None:
+            self.volume_planner.update(num_steps)
 
     def run_forever(self) -> None:  # pragma: no cover - long-running
         while True:

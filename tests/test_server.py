@@ -241,3 +241,62 @@ def test_compute_paths_batch_verb(server_client):
         p = np.asarray(r["paths"][idx])
         assert len(p) > 2
         assert abs(p[-1][0] - 20) < 2.5 and abs(p[-1][1] - 20) < 2.5
+
+
+def test_volume_session_3d_verbs(server_client):
+    """The *_3d verb family drives an independent 3D session that relaxes
+    in the same anytime loop as the 2D planner."""
+    server, client = server_client
+
+    # No 3D session yet.
+    r = client.call("get_cell_3d", x=1, y=1, z=1)
+    assert not r["success"]
+
+    d, h, w = 12, 16, 20
+    vol = np.full((d, h, w), 0, dtype=np.int8)  # all free (occupancy 0)
+    r = client.call("occupancy_volume", depth=d, height=h, width=w,
+                    data=vol.reshape(-1).tolist(), resolution=1.0,
+                    origin=[0.0, 0.0, 0.0])
+    assert r["success"]
+
+    assert client.call("add_goals_3d", goals=[[10.0, 8.0, 6.0]])["success"]
+    assert client.call("get_cell_3d", x=10, y=8, z=6) == {
+        "success": True, "value": 0.0}
+
+    # Duplicate voxel resolves last-wins through set_cells_3d
+    # (obstacle then goal -> goal).
+    assert client.call("set_cells_3d", v=[3, 3, 3, 3, 3, 3],
+                       types=[1, 0])["success"]
+    assert client.call("get_cell_3d", x=3, y=3, z=3)["value"] == 0.0
+
+    import time
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        info = client.call("info")
+        if info.get("volume", {}).get("iteration", 0) >= 200:
+            break
+        time.sleep(0.1)
+    assert info["volume"]["shape"] == [d, h, w]
+    assert info["volume"]["iteration"] >= 200
+
+    r = client.call("compute_path_3d", x=3.0, y=12.0, z=9.0,
+                    step_size=0.2, precision=0.4)
+    assert r["success"]
+    end = r["path"][-1]
+    assert abs(end[0] - 10) < 2 and abs(end[1] - 8) < 2 and abs(end[2] - 6) < 2
+    assert len(r["path"][0]) == 5  # x, y, z, yaw, pitch
+
+    # Pause only the 3D session; the 2D planner is untouched.
+    assert client.call("set_status_3d", paused=True)["success"]
+    it0 = client.call("info")["volume"]["iteration"]
+    time.sleep(0.3)
+    assert client.call("info")["volume"]["iteration"] == it0
+
+    # While paused (no background relaxation racing the assertions):
+    # removing the goal frees the voxel, reset clears stale potentials.
+    assert client.call("remove_goals_3d", goals=[[10.0, 8.0, 6.0]])["success"]
+    assert client.call("reset_free_cells_3d")["success"]
+    assert client.call("get_cell_3d", x=10, y=8, z=6)["value"] == pytest.approx(
+        -1e6)
+    assert client.call("set_status_3d", paused=False)["success"]
