@@ -178,6 +178,111 @@ def sweep_chunk_bands(
     return u_new, jnp.max(out_delta)
 
 
+def _band_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
+                     u_vmem, f_vmem, sems,
+                     *, num_sweeps, band, k, w):
+    """DMA variant of :func:`_band_kernel`: extended bands are CONTIGUOUS
+    row ranges of the guard-padded grid, so each grid step copies its slice
+    straight from HBM into VMEM scratch instead of reading a pre-gathered
+    stacked array — saving the gather's read+write of ~(1 + 2K/band) grids
+    per chunk and the pre-stacked frozen mask entirely (the 3D kernel
+    proved the pattern, tools/tpu_probe18.py; 2D gain measured in
+    tools/tpu_probe19.py)."""
+    i = pl.program_id(0)
+    ext = band + 2 * k
+    start = i * band
+    cp_u = pltpu.make_async_copy(
+        u_hbm.at[pl.ds(start, ext), :], u_vmem, sems.at[0]
+    )
+    cp_f = pltpu.make_async_copy(
+        f_hbm.at[pl.ds(start, ext), :], f_vmem, sems.at[1]
+    )
+    cp_u.start()
+    cp_f.start()
+    cp_u.wait()
+    cp_f.wait()
+
+    t0 = it_ref[0]
+    u0 = u_vmem[:]
+    not_frozen = f_vmem[:] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
+    parity = (local_row + i * band - k + col) % 2
+
+    def sweep(s, u):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, ext - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, w - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (local_row > s) & (local_row < ext - 1 - s)
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[i, 0] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+    u_out[:] = u[k : k + band, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "band", "k", "interpret")
+)
+def sweep_chunk_dma(
+    u_pad: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    band: int,
+    k: int,
+    interpret: bool = False,
+):
+    """num_sweeps (<= k) sweeps via the manual-DMA banded kernel.
+
+    Takes the UN-stacked frozen mask (``frozen_pad``, same shape as
+    ``u_pad``); each band DMAs its contiguous slice of both arrays.
+    Bit-identical to :func:`sweep_chunk_bands` (cross-tested)."""
+    hp, wp = u_pad.shape
+    nb = (hp - 2 * k) // band
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert num_sweeps <= k
+    ext = band + 2 * k
+
+    out_u, out_delta = pl.pallas_call(
+        functools.partial(_band_kernel_dma, num_sweeps=num_sweeps,
+                          band=band, k=k, w=wp),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ext, wp), jnp.float32),
+            pltpu.VMEM((ext, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_pad, frozen_pad)
+
+    u_new = jax.lax.dynamic_update_slice(u_pad, out_u, (k, 0))
+    return u_new, jnp.max(out_delta)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BandedGrid:

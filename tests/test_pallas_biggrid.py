@@ -74,3 +74,27 @@ def test_choose_layout_budget():
         assert (band + 2 * k) * wp <= pallas_biggrid.EXT_BAND_CELL_BUDGET
         assert band % 8 == 0 and k % 8 == 0 and k >= 8
         assert 2 * k <= 2 * band  # redundancy bounded
+
+
+@pytest.mark.parametrize("h,w,band,k", [
+    (96, 64, 16, 8),     # several bands, k < band
+    (40, 200, 16, 8),    # ragged height, wide
+])
+def test_dma_chunk_bitmatches_gather_chunk(h, w, band, k):
+    """The manual-DMA chunk (contiguous HBM row slices per band) must be
+    bit-identical to the gather chunk across chunk depths and parities."""
+    st = _state(h, w, seed=5)
+    g = pallas_biggrid.pad_state(st, band=band, k=k)
+    frozen_ext = pallas_biggrid.stack_frozen(g.frozen, band, k)
+    u_g, u_d = g.u, g.u
+    t = 0
+    for depth in (k, 1, 5):
+        u_g, del_g = pallas_biggrid.sweep_chunk_bands(
+            u_g, frozen_ext, jnp.int32(t), depth, band, k, True
+        )
+        u_d, del_d = pallas_biggrid.sweep_chunk_dma(
+            u_d, g.frozen, jnp.int32(t), depth, band, k, True
+        )
+        assert float(del_g) == float(del_d)
+        np.testing.assert_array_equal(np.asarray(u_g), np.asarray(u_d))
+        t += depth
