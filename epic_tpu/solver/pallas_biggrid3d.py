@@ -37,12 +37,15 @@ volume through XLA per chunk. The production chunk is therefore
 :func:`sweep_chunk_dma`: because bands overlap in CONTIGUOUS plane ranges,
 each grid step manually DMAs its extended slice of the guard-padded volume
 (and of the un-stacked frozen mask) from HBM into VMEM scratch — no
-stacked array exists. The gather chunk (:func:`sweep_chunk_bands`) is kept
-as a bit-identical cross-check. Measured at 256^3 (tools/tpu_probe18.py,
-4800-sweep timed regions, checksums cross-validated): DMA 38.0 / 34.2 /
-32.6 G visits/s at k=4/8/2 vs gather 26.3 / 26.1 / 19.6 — so k=4 (1.33x
-redundancy) is the default layout, 19 G cell-updates/s vs ~4 G for the
-XLA fallback and 28.5 G for the VMEM-resident 3D kernel.
+stacked array exists, and grid steps run sequentially so step i prefetches
+band i+1's slice into the other scratch slot while computing (cross-step
+double buffering). The gather chunk (:func:`sweep_chunk_bands`) is kept as
+a bit-identical cross-check. Measured at 256^3 with 4800-sweep timed
+regions and cross-validated checksums: single-buffered DMA 38.0 G
+visits/s best (tools/tpu_probe18.py) vs gather 26.3; double-buffered
+**49.0 G visits/s = 24.5 G cell-updates/s** at the default b12_k2 layout
+(tools/tpu_probe20.py, reproducible to 0.2%) — ~6x the XLA fallback
+(~4 G updates/s) and 86% of the VMEM-resident 3D kernel (28.5 G).
 """
 
 from __future__ import annotations
@@ -69,18 +72,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 4):
+def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 2):
     """Pick (band, k) in PLANES for a volume: the deepest K <= chunk_depth
-    whose extended band fits the VMEM budget with halo <= half the extended
-    band, planes spread evenly over the bands.
+    whose extended band fits HALF the VMEM cell budget (the double-buffered
+    DMA kernel holds two extended slots), halo <= half the extended band,
+    planes spread evenly over the bands.
 
-    Default chunk_depth = 4 (halo redundancy 1.33x at 32-plane extended
-    bands): with the manual-DMA chunk the layout scan measured 38 G
-    visits/s at 256^3 for k=4 vs 34.2 (k=8, 2x redundancy) and 32.6 (k=2,
-    HBM round trip every other sweep) — tools/tpu_probe18.py."""
+    Default chunk_depth = 2 with 16-plane extended bands at 256^2 planes:
+    the double-buffered scan (tools/tpu_probe20.py) measured 49.0 G
+    visits/s (24.5 G updates/s, reproducible to 0.2%) for b12_k2 vs 47.2
+    (b28_k2), 45.3 (b24_k4) and 29.0 (k=1 — per-sweep writeback dominates);
+    the single-buffered probe18 numbers topped out at 38."""
     d, h, w = shape
     plane = _round_up(h, 8) * _round_up(w, 128)
-    ext_max = max(3, EXT_BAND_CELL_BUDGET // plane)
+    ext_max = max(3, (EXT_BAND_CELL_BUDGET // 2) // plane)
     k = max(1, min(chunk_depth, ext_max // 4))
     band_max = max(1, ext_max - 2 * k)
     nb = -(-d // band_max)
@@ -216,25 +221,49 @@ def _band3d_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
     whole planes), so each grid step copies its slice straight from HBM
     into VMEM scratch — no XLA row-gather materializing a 2x-volume stacked
     array per chunk, and no pre-stacked frozen mask. At ext/band = 2 the
-    gather was the dominant HBM cost of the chunk (tools/tpu_probe18.py)."""
+    gather was the dominant HBM cost of the chunk (tools/tpu_probe18.py).
+
+    Double-buffered: grid steps run sequentially on TPU, so step i starts
+    band i+1's copies into the other scratch slot before computing on band
+    i — the copy rides under the K sweeps of compute (pallas guide's
+    double-buffering pattern, applied across grid steps)."""
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     ext = band + 2 * k
     rows = ext * hp
-    start = i * band * hp
-    cp_u = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, rows), :], u_vmem, sems.at[0]
-    )
-    cp_f = pltpu.make_async_copy(
-        f_hbm.at[pl.ds(start, rows), :], f_vmem, sems.at[1]
-    )
-    cp_u.start()
-    cp_f.start()
-    cp_u.wait()
-    cp_f.wait()
+
+    def copies(band_idx, slot):
+        start = band_idx * band * hp
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[pl.ds(start, rows), :], u_vmem.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(start, rows), :], f_vmem.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cu, cf = copies(0, 0)
+        cu.start()
+        cf.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        cu, cf = copies(i + 1, jax.lax.rem(i + 1, 2))
+        cu.start()
+        cf.start()
+
+    cu, cf = copies(i, slot)
+    cu.wait()
+    cf.wait()
 
     t0 = it_ref[0]
-    u0 = u_vmem[:]
-    not_frozen = f_vmem[:] == 0
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
     local_plane = local_row // hp
@@ -315,9 +344,9 @@ def sweep_chunk_dma(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ext * hp, wp), jnp.float32),
-            pltpu.VMEM((ext * hp, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, ext * hp, wp), jnp.float32),
+            pltpu.VMEM((2, ext * hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -343,7 +372,7 @@ class BandedVolume:
     k: int = dataclasses.field(metadata=dict(static=True))
 
 
-def pad_state(state: GridState, chunk_depth: int = 8,
+def pad_state(state: GridState, chunk_depth: int = 2,
               band: int | None = None, k: int | None = None) -> BandedVolume:
     d, h, w = state.u.shape
     if band is None or k is None:
@@ -377,7 +406,7 @@ def unpad(g: BandedVolume) -> jax.Array:
 
 
 def update_n(state: GridState, num_steps: int,
-             chunk_depth: int = 4, interpret: bool | None = None) -> GridState:
+             chunk_depth: int = 2, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
     from the overall first sweep). Production path is the manual-DMA chunk
     (:func:`sweep_chunk_dma`); the gather chunk is kept for cross-tests."""
@@ -469,7 +498,7 @@ def solve(
     state: GridState,
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
-    chunk_depth: int = 4,
+    chunk_depth: int = 2,
     interpret: bool | None = None,
 ) -> GridState:
     """Relax a big 3D volume to convergence; protocol identical to
