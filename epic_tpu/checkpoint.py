@@ -71,6 +71,59 @@ def save_planner(path: str | pathlib.Path, planner) -> None:
     )
 
 
+def save_volume_planner(path: str | pathlib.Path, planner) -> None:
+    """Persist a 3D planner session (:class:`epic_tpu.planner3d.VolumePlanner`):
+    volume state + transforms + pause flag, the 3D twin of
+    :func:`save_planner`."""
+    st = planner.state
+    if st is None:
+        raise ValueError("planner not initialized")
+    cfg = planner.config
+    np.savez_compressed(
+        path,
+        u=np.asarray(st.u),
+        locked=np.asarray(st.locked),
+        iteration=np.asarray(st.iteration),
+        delta=np.asarray(st.delta),
+        converged=np.asarray(st.converged),
+        epsilon=np.asarray(st.epsilon),
+        volume_meta=np.asarray([
+            cfg.resolution, cfg.origin_x, cfg.origin_y, cfg.origin_z,
+            float(cfg.steps_per_update), float(planner.paused),
+        ]),
+    )
+
+
+def load_volume_planner(path: str | pathlib.Path, config=None):
+    """Restore a 3D planner session saved by :func:`save_volume_planner`.
+    Same override contract as :func:`load_planner`."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from .planner3d import VolumePlanner, VolumePlannerConfig
+
+    state = load(path)
+    with np.load(path) as z:
+        meta = z["volume_meta"]
+    if config is not None:
+        cfg = dataclasses.replace(config)
+        if cfg.epsilon != VolumePlannerConfig().epsilon:
+            state = dataclasses.replace(state, epsilon=jnp.float32(cfg.epsilon))
+        else:
+            cfg.epsilon = float(state.epsilon)
+    else:
+        cfg = VolumePlannerConfig(epsilon=float(state.epsilon))
+    cfg.resolution = float(meta[0])
+    cfg.origin_x = float(meta[1])
+    cfg.origin_y = float(meta[2])
+    cfg.origin_z = float(meta[3])
+    cfg.steps_per_update = int(meta[4])
+    planner = VolumePlanner(cfg)
+    planner.state = state
+    planner.paused = bool(meta[5])
+    return planner
+
+
 def load_planner(path: str | pathlib.Path, config=None):
     """Restore a planner session saved by :func:`save_planner`.
 

@@ -66,6 +66,39 @@ def render(
     return rgb
 
 
+def render_volume_slice(
+    u: np.ndarray,
+    locked: np.ndarray,
+    z: int,
+    paths: list[np.ndarray] | None = None,
+) -> np.ndarray:
+    """RGB render of one z-plane of a 3D volume, with 3D streamlines
+    projected onto it: path points within half a cell of the plane draw in
+    red (full intensity at the plane, dimmer toward ±0.5), starts in green.
+    The reference has no 3D visualization at all (its harness is 2D cv2)."""
+    u = np.asarray(u)
+    locked = np.asarray(locked)
+    if u.ndim != 3:
+        raise ValueError(f"expected a 3D volume, got {u.ndim}D")
+    rgb = np.stack([field_to_gray(u[z], locked[z])] * 3, axis=-1)
+    d, h, w = u.shape
+    for pts in paths or []:
+        pts = np.asarray(pts)
+        for x, y, pz in pts[1:]:
+            if abs(float(pz) - z) > 0.5:
+                continue
+            xi, yi = int(x + 0.5), int(y + 0.5)
+            if 0 <= yi < h and 0 <= xi < w:
+                fade = 1.0 - abs(float(pz) - z)
+                rgb[yi, xi] = (int(255 * max(fade, 0.5)), 0, 0)
+        x0, y0, z0 = pts[0]
+        if abs(float(z0) - z) <= 0.5:
+            xi, yi = int(x0 + 0.5), int(y0 + 0.5)
+            if 0 <= yi < h and 0 <= xi < w:
+                rgb[yi, xi] = (0, 255, 0)
+    return rgb
+
+
 def save_png(path: str, rgb: np.ndarray) -> None:
     from PIL import Image
 

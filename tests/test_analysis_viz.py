@@ -67,3 +67,54 @@ def test_profiling_timed_solve():
     assert stats.wall_s > 0 and stats.cells == 24 * 24
     assert stats.sweeps_per_s > 0 and stats.cell_updates_per_s > 0
     assert stats.time_per_update == stats.wall_s / stats.iterations
+
+
+def test_percent_valid_3d_volume():
+    """The validity metric generalizes to volumes (6-connected fill)."""
+    from epic_tpu.grid import make_state
+    from epic_tpu.solver import core as core3
+
+    d, h, w = 10, 14, 18
+    u0 = np.full((d, h, w), np.float32(-1e6))
+    lk = np.zeros((d, h, w), bool)
+    lk[0] = lk[-1] = lk[:, 0] = lk[:, -1] = lk[:, :, 0] = lk[:, :, -1] = True
+    goal = np.zeros((d, h, w), bool)
+    goal[5, 7, 9] = True
+    u0[goal] = 0.0
+    lk |= goal
+    out = core3.solve(make_state(u0, lk, epsilon=1e-3))
+    pv = analysis.percent_valid(
+        np.asarray(out.u), np.asarray(out.locked), goal
+    )
+    assert pv > 0.99
+
+
+def test_reachable_from_3d_respects_walls():
+    passable = np.zeros((4, 5, 5), dtype=bool)
+    passable[1, 1:4, 1] = True      # a corridor in plane z=1
+    passable[2, 3, 1] = True        # one step up in z at its end
+    seed = np.zeros((4, 5, 5), dtype=bool)
+    seed[1, 1, 1] = True
+    reached = analysis.reachable_from(seed, passable)
+    assert reached[1, 3, 1] and reached[2, 3, 1]
+    assert not reached[3, 3, 3]     # not connected
+
+
+def test_render_volume_slice_marks_path():
+    from epic_tpu.grid import make_state
+    from epic_tpu.solver import core as core3
+    from epic_tpu import path3d
+
+    d, h, w = 8, 12, 16
+    u0 = np.full((d, h, w), np.float32(-1e6))
+    lk = np.zeros((d, h, w), bool)
+    lk[0] = lk[-1] = lk[:, 0] = lk[:, -1] = lk[:, :, 0] = lk[:, :, -1] = True
+    u0[4, 6, 8] = 0.0
+    lk[4, 6, 8] = True
+    out = core3.solve(make_state(u0, lk, epsilon=1e-2))
+    u, locked = np.asarray(out.u), np.asarray(out.locked)
+    p = path3d.compute_path(u, locked, 3.0, 3.0, 4.0, 0.2, 0.4)
+    rgb = viz.render_volume_slice(u, locked, z=4, paths=[p])
+    assert rgb.shape == (h, w, 3)
+    reds = (rgb[:, :, 0] > 100) & (rgb[:, :, 1] == 0)
+    assert reds.any()               # path pixels landed on the slice

@@ -110,3 +110,34 @@ def test_load_planner_config_override_not_mutated():
     # Without an override the snapshot's epsilon rules.
     restored2 = checkpoint.load_planner(tmp)
     assert restored2.config.epsilon == np.float32(1e-2)
+
+
+def test_volume_planner_checkpoint_roundtrip(tmp_path):
+    """A 3D planner session survives a process restart warm (the 3D twin of
+    the 2D session checkpoint)."""
+    import epic_tpu
+    from epic_tpu import checkpoint
+
+    p = epic_tpu.VolumePlanner(epic_tpu.VolumePlannerConfig(
+        epsilon=1e-2, resolution=0.5, origin_x=-1.0, origin_y=2.0,
+        origin_z=0.5, steps_per_update=21,
+    ))
+    p.init(20, 16, 12)
+    p.add_goals([(3.0, 5.0, 3.0)])
+    p.update(30)
+    p.set_status(True)
+    f = tmp_path / "vol_session.npz"
+    checkpoint.save_volume_planner(f, p)
+
+    q = checkpoint.load_volume_planner(f)
+    assert q.paused and q.config.steps_per_update == 21
+    assert q.config.origin_z == 0.5 and q.config.resolution == 0.5
+    assert int(q.state.iteration) == 30
+    np.testing.assert_array_equal(np.asarray(q.state.u), np.asarray(p.state.u))
+
+    # Warm continuation equals uninterrupted relaxation.
+    q.set_status(False)
+    q.update(10)
+    p.set_status(False)
+    p.update(10)
+    np.testing.assert_array_equal(np.asarray(q.state.u), np.asarray(p.state.u))
