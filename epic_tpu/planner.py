@@ -234,8 +234,9 @@ class Planner:
         self._pad_cache = (self.state, new_padded)
 
     def _update_biggrid_cached(self, n: int) -> None:
-        """Banded-kernel tick reusing the guard-padded u and the stacked
-        frozen mask (a 1.33x-grid gather otherwise rebuilt every tick)."""
+        """Banded-kernel tick reusing the guard-padded u and the frozen mask
+        (pre-stacked for the gather chunk; un-stacked for the DMA chunk —
+        chunk selection follows pallas_biggrid.prefer_dma)."""
         import dataclasses as _dc
 
         import jax.numpy as jnp
@@ -244,24 +245,32 @@ class Planner:
 
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
-            g, frozen_ext = self._pad_cache[1]
+            g, frozen_arg = self._pad_cache[1]
         else:
             sc = self.solver_config
             g = pallas_biggrid.pad_state(
                 st, chunk_depth=sc.tile_depth,
                 band=sc.tile_band, k=sc.tile_depth if sc.tile_band else None,
             )
-            frozen_ext = pallas_biggrid.stack_frozen(g.frozen, g.band, g.k)
+            frozen_arg = (
+                g.frozen if pallas_biggrid.prefer_dma(g.band, g.k)
+                else pallas_biggrid.stack_frozen(g.frozen, g.band, g.k)
+            )
         import jax
 
         interpret = jax.default_backend() == "cpu"
+        chunk_fn = (
+            pallas_biggrid.sweep_chunk_dma
+            if pallas_biggrid.prefer_dma(g.band, g.k)
+            else pallas_biggrid.sweep_chunk_bands
+        )
         u = g.u
         t = 0
         delta = None
         while t < n:
             d = min(g.k, n - t)
-            u, dd = pallas_biggrid.sweep_chunk_bands(
-                u, frozen_ext, st.iteration + t, d, g.band, g.k, interpret
+            u, dd = chunk_fn(
+                u, frozen_arg, st.iteration + t, d, g.band, g.k, interpret
             )
             if delta is None:
                 delta = dd
@@ -274,7 +283,7 @@ class Planner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, (new_g, frozen_ext))
+        self._pad_cache = (self.state, (new_g, frozen_arg))
 
     def solve(self) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as

@@ -60,6 +60,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def prefer_dma(band: int, k: int) -> bool:
+    """Production chunk selection for 2D: the double-buffered DMA chunk
+    (:func:`sweep_chunk_dma`) wins in the redundancy-limited regime
+    (2K/band >= 1/4 — measured 38.0 vs 35.4 G updates/s at 16384² where
+    band=96/k=16), while the stacking gather stays marginally ahead for the
+    low-overlap layouts of <= 8192-wide grids (41.5 vs 40.7 at 4096²;
+    tools/tpu_probe19/21)."""
+    return 8 * k >= band
+
+
 def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
     """Pick (band, k) for a grid: the deepest K <= chunk_depth whose extended
     band fits the VMEM budget, with rows spread evenly over the bands so
@@ -187,24 +197,45 @@ def _band_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
     stacked array — saving the gather's read+write of ~(1 + 2K/band) grids
     per chunk and the pre-stacked frozen mask entirely (the 3D kernel
     proved the pattern, tools/tpu_probe18.py; 2D gain measured in
-    tools/tpu_probe19.py)."""
+    tools/tpu_probe19.py). Double-buffered: step i prefetches band i+1's
+    slice into the other scratch slot before computing (grid steps run
+    sequentially on TPU)."""
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     ext = band + 2 * k
-    start = i * band
-    cp_u = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, ext), :], u_vmem, sems.at[0]
-    )
-    cp_f = pltpu.make_async_copy(
-        f_hbm.at[pl.ds(start, ext), :], f_vmem, sems.at[1]
-    )
-    cp_u.start()
-    cp_f.start()
-    cp_u.wait()
-    cp_f.wait()
+
+    def copies(band_idx, slot):
+        start = band_idx * band
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[pl.ds(start, ext), :], u_vmem.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(start, ext), :], f_vmem.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cu, cf = copies(0, 0)
+        cu.start()
+        cf.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        cu, cf = copies(i + 1, jax.lax.rem(i + 1, 2))
+        cu.start()
+        cf.start()
+
+    cu, cf = copies(i, slot)
+    cu.wait()
+    cf.wait()
 
     t0 = it_ref[0]
-    u0 = u_vmem[:]
-    not_frozen = f_vmem[:] == 0
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
     parity = (local_row + i * band - k + col) % 2
@@ -268,9 +299,9 @@ def sweep_chunk_dma(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ext, wp), jnp.float32),
-            pltpu.VMEM((ext, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, ext, wp), jnp.float32),
+            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -319,18 +350,21 @@ def unpad(g: BandedGrid) -> jax.Array:
 def update_n(state: GridState, num_steps: int,
              chunk_depth: int = 16, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
-    from the overall first sweep)."""
+    from the overall first sweep). The chunk kernel follows
+    :func:`prefer_dma` (regime-dependent; both are bit-identical)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
     u = g.u
-    frozen_ext = stack_frozen(g.frozen, g.band, g.k)
+    use_dma = prefer_dma(g.band, g.k)
+    frozen_arg = g.frozen if use_dma else stack_frozen(g.frozen, g.band, g.k)
+    chunk_fn = sweep_chunk_dma if use_dma else sweep_chunk_bands
     t = 0
     delta = None
     while t < num_steps:
         d = min(g.k, num_steps - t)
-        u, dd = sweep_chunk_bands(
-            u, frozen_ext, state.iteration + t, d, g.band, g.k, interpret
+        u, dd = chunk_fn(
+            u, frozen_arg, state.iteration + t, d, g.band, g.k, interpret
         )
         if delta is None:
             delta = dd
@@ -347,19 +381,22 @@ def update_n(state: GridState, num_steps: int,
 @functools.partial(
     jax.jit,
     static_argnames=("stagger", "max_iterations", "band", "k", "interpret",
-                     "height", "width"),
+                     "height", "width", "use_dma"),
     donate_argnums=(0,),
 )
 def _solve_banded(
-    u, frozen_ext, epsilon, stagger: int, max_iterations: int, band: int,
-    k: int, interpret: bool, height: int, width: int,
+    u, frozen_arg, epsilon, stagger: int, max_iterations: int, band: int,
+    k: int, interpret: bool, height: int, width: int, use_dma: bool = False,
 ):
     """Full solve protocol on the banded path, one device program.
 
     Check sweep = a 1-sweep chunk (its delta is the staggered check); the
-    remaining stagger-1 sweeps run as K-deep chunks.
+    remaining stagger-1 sweeps run as K-deep chunks. ``frozen_arg`` is the
+    un-stacked mask when ``use_dma`` (the DMA chunk slices it itself), the
+    pre-stacked mask otherwise.
     """
     m_max = max(height, width)
+    chunk_fn = (sweep_chunk_dma if use_dma else sweep_chunk_bands).__wrapped__
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -367,8 +404,8 @@ def _solve_banded(
 
     def body(carry):
         u, iteration, _, _ = carry
-        u, delta = sweep_chunk_bands.__wrapped__(
-            u, frozen_ext, iteration, 1, band, k, interpret
+        u, delta = chunk_fn(
+            u, frozen_arg, iteration, 1, band, k, interpret
         )
         iteration = iteration + 1
         done = (delta < epsilon) & (iteration >= m_max)
@@ -384,8 +421,8 @@ def _solve_banded(
 
             def chunk_body(i, carry):
                 u, it = carry
-                u, _ = sweep_chunk_bands.__wrapped__(
-                    u, frozen_ext, it, k, band, k, interpret
+                u, _ = chunk_fn(
+                    u, frozen_arg, it, k, band, k, interpret
                 )
                 return u, it + k
 
@@ -393,8 +430,8 @@ def _solve_banded(
                 0, n_full, chunk_body, (u, iteration)
             )
             if rem:
-                u, _ = sweep_chunk_bands.__wrapped__(
-                    u, frozen_ext, iteration, rem, band, k, interpret
+                u, _ = chunk_fn(
+                    u, frozen_arg, iteration, rem, band, k, interpret
                 )
                 iteration = iteration + rem
             return u, iteration
@@ -419,10 +456,11 @@ def solve(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
-    frozen_ext = stack_frozen(g.frozen, g.band, g.k)
+    use_dma = prefer_dma(g.band, g.k)
+    frozen_arg = g.frozen if use_dma else stack_frozen(g.frozen, g.band, g.k)
     u, iteration, delta, converged = _solve_banded(
-        g.u, frozen_ext, state.epsilon, stagger, max_iterations, g.band,
-        g.k, interpret, g.height, g.width,
+        g.u, frozen_arg, state.epsilon, stagger, max_iterations, g.band,
+        g.k, interpret, g.height, g.width, use_dma,
     )
     return dataclasses.replace(
         state,
