@@ -97,7 +97,8 @@ def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps):
         ssum = ssum + jnp.exp(uxp - m)
         val = (m + jnp.log(ssum)) - _LOG2N_3D
         valid = (ly >= s + 1) & (ly < he - 1 - s) & (lx >= s + 1) & (lx < we - 1 - s)
-        update = (parity_ext != ((it0 + s) % 2)) & not_frozen & valid
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity_ext != ((it0 + s + 1) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
 
     u1 = sweep(0, u_ext)
@@ -145,7 +146,8 @@ def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
         ssum = ssum + jnp.exp(uxp - m)
         val = (m + jnp.log(ssum)) - _LOG2N_3D
         valid = (ly >= s + 1) & (ly < he - 1 - s) & (lc >= s + 1) & (lc < we - 1 - s)
-        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
 
     u1 = sweep(0, u0)

@@ -89,7 +89,12 @@ def sweep(u: jax.Array, locked: jax.Array, iteration: jax.Array):
     inner = _interior(u)
     val = _neighbor_logsumexp(u)
     parity = jnp.asarray(_parity_grid(u.shape))
-    update = (parity != (iteration % 2).astype(jnp.uint8)) & ~locked[inner]
+    # 2D updates the class != t%2 (harmonic_cpu.cpp:49); 3D's extra x1-even
+    # offset negation (harmonic_cpu.cpp:96-99) flips it to == t%2 — i.e. the
+    # class != (t+1)%2 (cross-validated vs the prebuilt binary,
+    # tests/test_reference_binary.py::test_3d_bounded_sweeps_match_binary).
+    flip = 1 if u.ndim == 3 else 0
+    update = (parity != ((iteration + flip) % 2).astype(jnp.uint8)) & ~locked[inner]
     new_inner = jnp.where(update, val, u[inner])
     delta = jnp.max(jnp.abs(new_inner - u[inner]))
     u_new = u.at[inner].set(new_inner)

@@ -132,7 +132,8 @@ def _band3d_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
         ssum = ssum + jnp.exp(uxp - m)
         val = (m + jnp.log(ssum)) - _LOG2N_3D
         valid = (local_plane > s) & (local_plane < ext - 1 - s)
-        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
 
     u1 = sweep(0, u0)
@@ -290,7 +291,8 @@ def _band3d_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
         ssum = ssum + jnp.exp(uxp - m)
         val = (m + jnp.log(ssum)) - _LOG2N_3D
         valid = (local_plane > s) & (local_plane < ext - 1 - s)
-        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
 
     u1 = sweep(0, u0)

@@ -22,8 +22,9 @@ Design notes (vs the 2D kernel):
   such destination is a frozen face/padding cell, so the ``where`` mask
   discards it, the same trick the 2D kernel uses to avoid interior slicing.
 - Parity is ``(z + y + x) % 2`` with ``z = r // Hp``, ``y = r - z*Hp``
-  derived from row/lane iotas, equivalent to the reference's offset
-  derivation (harmonic_cpu.cpp:89-100).
+  derived from row/lane iotas; iteration t updates the class ``== t % 2``
+  (the reference's x1-even offset negation flips the 2D convention,
+  harmonic_cpu.cpp:89-100; see reference_np.sweep_3d).
 
 Update numerics are pinned to :func:`epic_tpu.solver.reference_np.sweep_3d`:
 max tree then left-associated exp sum over the neighbour order
@@ -92,7 +93,9 @@ def make_sweep3d_fn(u0, not_frozen, t0, hp: int):
         s = s + jnp.exp(uxm - m)
         s = s + jnp.exp(uxp - m)
         val = (m + jnp.log(s)) - _LOG2N_3D
-        update = (parity != ((t0 + k) % 2)) & not_frozen
+        # 3D updates the class == t%2 (the x1-even offset negation flips the
+        # 2D convention, harmonic_cpu.cpp:96-99; reference_np.sweep_3d).
+        update = (parity != ((t0 + k + 1) % 2)) & not_frozen
         return jnp.where(update, val, u)
 
     return sweep

@@ -97,7 +97,11 @@ def sweep_3d(u: np.ndarray, locked: np.ndarray, iteration: int):
     Parity derivation from harmonic_update_3d_cpu (harmonic_cpu.cpp:89-100):
     ``offset = ((t % 2) != (x0 % 2))`` negated when ``x1`` is even, inner loop
     over ``x2`` from ``1 + offset`` step 2 — equivalent to updating cells with
-    ``(x0 + x1 + x2) % 2 != t % 2``.
+    ``(x0 + x1 + x2) % 2 == t % 2``. Note this is the OPPOSITE class from the
+    2D convention (``!= t % 2``): the extra x1-even negation flips it
+    (cross-validated against the prebuilt binary's 3D sweeps in
+    tests/test_reference_binary.py — the 2D-style ``!=`` made sweep 0 a
+    goal-blind no-op half the time).
     """
     u = np.asarray(u, dtype=np.float32)
     locked = np.asarray(locked)
@@ -122,7 +126,7 @@ def sweep_3d(u: np.ndarray, locked: np.ndarray, iteration: int):
     zz, yy, xx = np.meshgrid(
         np.arange(1, d - 1), np.arange(1, h - 1), np.arange(1, w - 1), indexing="ij"
     )
-    parity_mask = ((zz + yy + xx) % 2) != (iteration % 2)
+    parity_mask = ((zz + yy + xx) % 2) == (iteration % 2)
     update = parity_mask & ~locked[c]
 
     u_new = u.copy()

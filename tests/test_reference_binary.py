@@ -480,3 +480,106 @@ def test_legacy_path_matches_binary():
         np.testing.assert_allclose(ours[:m], ref_path[:m], rtol=0, atol=1e-9)
         compared += 1
     assert compared >= 2
+
+
+# ---------------------------------------------------------------------------
+# 3D solver vs the binary (harmonic_update_3d_cpu, harmonic_cpu.cpp:81-133 —
+# the reference's 3D exists on CPU only; our TPU kernels are cross-tested
+# against the same oracle this section anchors to the binary).
+# ---------------------------------------------------------------------------
+
+
+class RefHarmonic3D(RefHarmonic):
+    """n=3 variant: m = (D, H, W), x0 the slowest axis (harmonic_cpu.cpp:89)."""
+
+    def __init__(self, u: np.ndarray, locked: np.ndarray, epsilon: float):
+        d, h, w = u.shape
+        self.u = np.array(u, dtype=np.float32, order="C")
+        self.locked = np.array(locked, dtype=np.uint32, order="C")
+        self.m = (ct.c_uint * 3)(d, h, w)
+        s = EpicHarmonic()
+        s.n = 3
+        s.m = self.m
+        s.u = self.u.ctypes.data_as(ct.POINTER(ct.c_float))
+        s.locked = self.locked.ctypes.data_as(ct.POINTER(ct.c_uint))
+        s.epsilon = epsilon
+        s.delta = epsilon + 1.0
+        s.numIterationsToStaggerCheck = C.DEFAULT_STAGGER
+        s.currentIteration = 0
+        self.s = s
+
+
+def _fuzz_volume(rng: np.random.Generator, d: int, h: int, w: int):
+    """Random solvable volume: boundary shell + sprinkled obstacles + 1 goal."""
+    u = np.full((d, h, w), C.LOG_SPACE_FREE, np.float32)
+    locked = np.zeros((d, h, w), bool)
+    for ax in range(3):
+        sl = [slice(None)] * 3
+        for edge in (0, -1):
+            sl[ax] = edge
+            locked[tuple(sl)] = True
+    u[locked] = C.LOG_SPACE_OBSTACLE
+    n_obs = int(0.05 * d * h * w)
+    zs = rng.integers(1, d - 1, n_obs)
+    ys = rng.integers(1, h - 1, n_obs)
+    xs = rng.integers(1, w - 1, n_obs)
+    u[zs, ys, xs] = C.LOG_SPACE_OBSTACLE
+    locked[zs, ys, xs] = True
+    while True:
+        gz, gy, gx = rng.integers(1, d - 1), rng.integers(1, h - 1), rng.integers(1, w - 1)
+        if not locked[gz, gy, gx]:
+            break
+    u[gz, gy, gx] = C.LOG_SPACE_GOAL
+    locked[gz, gy, gx] = True
+    return u, locked
+
+
+@pytest.mark.parametrize("seed,shape", [(0, (12, 16, 20)), (5, (10, 22, 14))])
+def test_3d_bounded_sweeps_match_binary(seed, shape):
+    """harmonic_update_cpu (n=3) x N vs our sweep_3d oracle and the jitted XLA
+    3D stepper: per-sweep delta and field parity. The 2D f32-vs-double log(2n)
+    drift note applies (the binary's 3D divisor is double log(6))."""
+    rng = np.random.default_rng(seed)
+    u0, locked = _fuzz_volume(rng, *shape)
+    ref = RefHarmonic3D(u0, locked, 1e-2)
+
+    u = u0.copy()
+    for t in range(60):
+        ref.update_and_check()
+        u, delta = reference_np.sweep_3d(u, locked, t)
+        assert abs(float(delta) - ref.s.delta) <= 1e-6 + 1e-4 * abs(ref.s.delta)
+    np.testing.assert_allclose(u, ref.u, rtol=0, atol=_FIELD_DRIFT)
+
+    out = core.update_n(grid.make_state(u0, locked, 1e-2), 60)
+    np.testing.assert_allclose(np.asarray(out.u), ref.u, rtol=0, atol=_FIELD_DRIFT)
+
+
+def test_3d_complete_cpu_matches_oracles():
+    """harmonic_complete_cpu (n=3) vs reference_np.solve and the XLA 3D solve:
+    same iteration count (or a marginal-check escape) and field agreement."""
+    rng = np.random.default_rng(9)
+    u0, locked = _fuzz_volume(rng, 12, 18, 16)
+    eps = 1e-2
+    m_max = max(u0.shape)
+
+    ref = RefHarmonic3D(u0, locked, eps)
+    ref_iters, ref_checks = _ref_solve_recording_checks(ref, m_max, C.DEFAULT_STAGGER)
+
+    u_np, iters_np, delta_np = reference_np.solve(u0, locked, epsilon=eps)
+    if iters_np != ref_iters:
+        first_exit = min(iters_np, ref_iters)
+        deciding = ref_checks.get(first_exit - 1)
+        if deciding is None:
+            deciding = float(delta_np)
+        assert abs(deciding - eps) <= _DELTA_DRIFT
+    else:
+        assert abs(delta_np - ref.s.delta) <= _DELTA_DRIFT
+    free = ~locked
+    assert np.max(np.abs(u_np[free] - ref.u[free])) <= _FIELD_DRIFT
+
+    state = core.solve(grid.make_state(u0, locked, eps))
+    iters_xla = int(state.iteration)
+    if iters_xla != iters_np:
+        assert (iters_xla - iters_np) % C.DEFAULT_STAGGER == 0
+    u_xla = np.asarray(state.u)
+    assert np.max(np.abs(u_xla[free] - u_np[free])) <= 1e-4
