@@ -43,6 +43,7 @@ import socket
 import numpy as np
 
 from ..errors import EpicError
+from ..metrics import MetricsRegistry
 from ..planner import PlannerConfig
 from . import messages as msg
 from .navigation_node import EpicNavigationNodeRviz
@@ -75,11 +76,24 @@ class EpicServiceServer:
         # can only be partially accepted by the kernel buffer — the tail must
         # survive until the socket drains, never crash the loop.
         self._out: dict[socket.socket, bytes] = {}
+        self.metrics = MetricsRegistry()
 
     # -- request dispatch --------------------------------------------------
 
     def _dispatch(self, req: dict) -> dict:
+        """Handle one request, recording per-verb call/error counters and
+        wall-time latency in :attr:`metrics` (queryable via the ``metrics``
+        verb — the framework-grade version of the reference's stderr-print
+        observability, SURVEY §5)."""
         srv = req.get("srv")
+        self.metrics.inc(f"verb.{srv}.calls")
+        with self.metrics.timed(f"verb.{srv}"):
+            resp = self._handle(srv, req)
+        if not resp.get("success", False):
+            self.metrics.inc(f"verb.{srv}.errors")
+        return resp
+
+    def _handle(self, srv, req: dict) -> dict:
         node = self.node
         try:
             if srv == "set_status":
@@ -264,6 +278,8 @@ class EpicServiceServer:
                         "paused": vol.paused,
                     }
                 return out
+            if srv == "metrics":
+                return {"success": True, **self.metrics.snapshot()}
             return {"success": False, "error": f"unknown srv {srv!r}"}
         except EpicError as e:
             return {"success": False, "error": str(e)}
@@ -347,9 +363,11 @@ class EpicServiceServer:
         the spinOnce()/update() interleave. A live 3D session relaxes in the
         same tick."""
         self._service_sockets()
-        self.node.update(num_steps)
-        if self.volume_planner is not None:
-            self.volume_planner.update(num_steps)
+        self.metrics.inc("ticks")
+        with self.metrics.timed("tick.update"):
+            self.node.update(num_steps)
+            if self.volume_planner is not None:
+                self.volume_planner.update(num_steps)
 
     def run_forever(self) -> None:  # pragma: no cover - long-running
         while True:
@@ -401,7 +419,13 @@ def main() -> None:  # pragma: no cover - CLI
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--kernel", default=defaults.solver.kernel,
                     choices=["masked", "packed"])
+    ap.add_argument("--log-json", action="store_true",
+                    help="emit structured JSON-lines logs")
     args = ap.parse_args()
+
+    from ..metrics import configure_logging
+
+    configure_logging(json_lines=args.log_json)
 
     cfg = EpicConfig(
         solver=SolverConfig(epsilon=args.epsilon, backend=args.backend,

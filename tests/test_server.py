@@ -300,3 +300,62 @@ def test_volume_session_3d_verbs(server_client):
     assert client.call("get_cell_3d", x=10, y=8, z=6)["value"] == pytest.approx(
         -1e6)
     assert client.call("set_status_3d", paused=False)["success"]
+
+
+def test_metrics_verb_reports_latency_and_errors(server_client):
+    server, client = server_client
+    img = maps.open_room(24, 24)
+    assert client.call("occupancy_grid", width=24, height=24, resolution=1.0,
+                       origin_x=0.0, origin_y=0.0, data=_occupancy(img))["success"]
+    assert client.call("get_cell", x=3, y=3)["success"]
+    assert not client.call("nonsense_verb")["success"]
+
+    m = client.call("metrics")
+    assert m["success"]
+    assert m["counters"]["verb.occupancy_grid.calls"] == 1
+    assert m["counters"]["verb.get_cell.calls"] == 1
+    assert m["counters"]["verb.nonsense_verb.errors"] == 1
+    lat = m["latencies"]["verb.get_cell"]
+    assert lat["count"] == 1 and lat["max_s"] >= lat["min_s"] >= 0.0
+    assert m["uptime_s"] > 0.0
+    # the background spin loop has been ticking the whole session
+    assert m["counters"]["ticks"] >= 1
+    assert m["latencies"]["tick.update"]["count"] >= 1
+
+
+def test_metrics_registry_unit():
+    from epic_tpu.metrics import MetricsRegistry
+
+    r = MetricsRegistry()
+    r.inc("a")
+    r.inc("a", 2)
+    with r.timed("op"):
+        pass
+    with r.timed("op"):
+        pass
+    snap = r.snapshot()
+    assert snap["counters"]["a"] == 3
+    assert snap["latencies"]["op"]["count"] == 2
+    assert snap["latencies"]["op"]["mean_s"] >= 0.0
+
+
+def test_json_log_formatter():
+    import json as _json
+    import logging
+
+    from epic_tpu.metrics import JsonLogFormatter, configure_logging
+
+    rec = logging.LogRecord("epic_tpu.server", logging.INFO, __file__, 1,
+                            "client connected: %s", ("addr",), None)
+    line = JsonLogFormatter().format(rec)
+    obj = _json.loads(line)
+    assert obj["msg"] == "client connected: addr"
+    assert obj["level"] == "INFO"
+
+    configure_logging(json_lines=True)
+    configure_logging(json_lines=False)  # idempotent swap, no handler pileup
+    root = logging.getLogger("epic_tpu")
+    installed = [h for h in root.handlers
+                 if getattr(h, "_epic_tpu_installed", False)]
+    assert len(installed) == 1
+    root.removeHandler(installed[0])
