@@ -35,25 +35,40 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _worker_state(size: int = 48):
+def _worker_state(size: int = 48, mode: str = "solve"):
     """The exact grid tools/multihost_worker.py builds (keep in lockstep)."""
     from epic_tpu import constants as C
     from epic_tpu import grid as G
 
     n = size
-    rng = np.random.default_rng(7)
-    obstacle = np.zeros((n, n), dtype=bool)
-    obstacle[rng.random((n, n)) < 0.15] = True
-    goal = np.zeros((n, n), dtype=bool)
-    goal[n // 2, n // 2] = True
-    obstacle[n // 2, n // 2] = False
-    obstacle[0, :] = obstacle[-1, :] = obstacle[:, 0] = obstacle[:, -1] = True
+    if mode == "solve3d":
+        d = max(4, n // 4)
+        rng = np.random.default_rng(7)
+        obstacle = np.zeros((d, n, n), dtype=bool)
+        obstacle[rng.random((d, n, n)) < 0.1] = True
+        goal = np.zeros((d, n, n), dtype=bool)
+        goal[d // 2, n // 2, n // 2] = True
+        obstacle[d // 2, n // 2, n // 2] = False
+        for ax in range(3):
+            sl = [slice(None)] * 3
+            for edge in (0, -1):
+                sl[ax] = edge
+                obstacle[tuple(sl)] = True
+    else:
+        rng = np.random.default_rng(7)
+        obstacle = np.zeros((n, n), dtype=bool)
+        obstacle[rng.random((n, n)) < 0.15] = True
+        goal = np.zeros((n, n), dtype=bool)
+        goal[n // 2, n // 2] = True
+        obstacle[n // 2, n // 2] = False
+        obstacle[0, :] = obstacle[-1, :] = True
+        obstacle[:, 0] = obstacle[:, -1] = True
     u = np.where(goal, C.LOG_SPACE_GOAL, C.LOG_SPACE_FREE).astype(np.float32)
     locked = goal | obstacle
     return G.make_state(u, locked, epsilon=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["solve"])
+@pytest.mark.parametrize("mode", ["solve", "solve3d"])
 def test_two_process_sharded_solve_matches_single_process(tmp_path, mode):
     port = _free_port()
     out = tmp_path / "mh.npz"
@@ -96,7 +111,7 @@ def test_two_process_sharded_solve_matches_single_process(tmp_path, mode):
     # Single-process oracle on the identical grid.
     from epic_tpu.solver import core
 
-    state = _worker_state()
+    state = _worker_state(mode=mode)
     ref = core.solve(state)
     assert int(d["iteration"]) == int(ref.iteration)
     assert bool(d["converged"])

@@ -27,7 +27,8 @@ def main() -> None:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", default="solve", choices=["solve", "update"])
+    ap.add_argument("--mode", default="solve",
+                    choices=["solve", "update", "solve3d"])
     ap.add_argument("--size", type=int, default=48)
     args = ap.parse_args()
 
@@ -57,15 +58,31 @@ def main() -> None:
 
     import numpy as np
 
-    n = args.size
-    rng = np.random.default_rng(7)
-    obstacle = np.zeros((n, n), dtype=bool)
-    obstacle[rng.random((n, n)) < 0.15] = True
-    goal = np.zeros((n, n), dtype=bool)
-    goal[n // 2, n // 2] = True
-    obstacle[n // 2, n // 2] = False
-    obstacle[0, :] = obstacle[-1, :] = obstacle[:, 0] = obstacle[:, -1] = True
     from epic_tpu import constants as C
+
+    n = args.size
+    if args.mode == "solve3d":
+        d = max(4, n // 4)
+        rng = np.random.default_rng(7)
+        obstacle = np.zeros((d, n, n), dtype=bool)
+        obstacle[rng.random((d, n, n)) < 0.1] = True
+        goal = np.zeros((d, n, n), dtype=bool)
+        goal[d // 2, n // 2, n // 2] = True
+        obstacle[d // 2, n // 2, n // 2] = False
+        for ax in range(3):
+            sl = [slice(None)] * 3
+            for edge in (0, -1):
+                sl[ax] = edge
+                obstacle[tuple(sl)] = True
+    else:
+        rng = np.random.default_rng(7)
+        obstacle = np.zeros((n, n), dtype=bool)
+        obstacle[rng.random((n, n)) < 0.15] = True
+        goal = np.zeros((n, n), dtype=bool)
+        goal[n // 2, n // 2] = True
+        obstacle[n // 2, n // 2] = False
+        obstacle[0, :] = obstacle[-1, :] = True
+        obstacle[:, 0] = obstacle[:, -1] = True
 
     u = np.where(goal, C.LOG_SPACE_GOAL, C.LOG_SPACE_FREE).astype(np.float32)
     locked = goal | obstacle
@@ -77,6 +94,10 @@ def main() -> None:
 
     if args.mode == "solve":
         out = sharded.solve(state, mesh)
+    elif args.mode == "solve3d":
+        from epic_tpu.parallel import sharded3d
+
+        out = sharded3d.solve(state, mesh)
     else:
         out = sharded.update_n(state, 137, mesh)
 
