@@ -19,7 +19,11 @@ remote UIs, plus the *_3d verb family (occupancy_volume, add_goals_3d,
 remove_goals_3d, get_cell_3d, set_cells_3d, reset_free_cells_3d,
 set_status_3d, compute_path_3d) driving an independent 3D session
 (:class:`epic_tpu.planner3d.VolumePlanner`) that relaxes in the same
-anytime loop — the reference's service plane is 2D-only.
+anytime loop — the reference's service plane is 2D-only — and the
+sampling_* family (sampling_occupancy, sampling_add_goals,
+sampling_remove_goals, sampling_set_cells, sampling_compute_path) driving
+the sampling-based node (the reference's unbuilt OMPL node,
+:mod:`epic_tpu.services.sampling_node`) with a per-tick anytime budget.
 
 Run:   python -m epic_tpu.services.server --port 7171 --map maze.png
 Client: EpicClient (below) or any JSON-capable peer.
@@ -62,6 +66,11 @@ class EpicServiceServer:
         # Lazily-created 3D session (first occupancy_volume ingest); ticks
         # in spin_once alongside the 2D planner.
         self.volume_planner = None
+        # Lazily-created sampling-planner session (first sampling_occupancy
+        # ingest) — the reference's OMPL node as a service family; its
+        # anytime budget per tick mirrors ompl_planner->solve(t).
+        self.sampling_node = None
+        self.sampling_budget_s = 0.02
         self.sel = selectors.DefaultSelector()
         self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -259,6 +268,51 @@ class EpicServiceServer:
                     "success": True,
                     "path": [[p.x, p.y, p.z, p.yaw, p.pitch] for p in poses],
                 }
+            if srv == "sampling_occupancy":
+                from .sampling_node import EpicNavigationNodeSampling
+
+                h = int(req["height"])
+                w = int(req["width"])
+                data = np.asarray(req["data"], dtype=np.int8).reshape(h, w)
+                if self.sampling_node is None:
+                    self.sampling_node = EpicNavigationNodeSampling(
+                        algorithm=int(req.get("algorithm", 0)),
+                        seed=req.get("seed"),
+                    )
+                origin = req.get("origin") or (0.0, 0.0)
+                self.sampling_node.sub_occupancy_grid(msg.OccupancyGrid(
+                    w, h, float(req.get("resolution", 1.0)),
+                    float(origin[0]), float(origin[1]), data,
+                ))
+                return {"success": True}
+            if srv in ("sampling_add_goals", "sampling_remove_goals",
+                       "sampling_set_cells", "sampling_compute_path"):
+                sn = self.sampling_node
+                if sn is None:
+                    return {"success": False,
+                            "error": "no sampling session "
+                                     "(send sampling_occupancy first)"}
+                if srv in ("sampling_add_goals", "sampling_remove_goals"):
+                    goals = [msg.PoseStamped(float(x), float(y))
+                             for x, y in req["goals"]]
+                    handler = (sn.srv_add_goals if srv == "sampling_add_goals"
+                               else sn.srv_remove_goals)
+                    return {"success": handler(msg.ModifyGoalsRequest(goals)).success}
+                if srv == "sampling_set_cells":
+                    r = sn.srv_set_cells(
+                        msg.SetCellsRequest([int(v) for v in req["v"]],
+                                            [int(t) for t in req["types"]])
+                    )
+                    return {"success": r.success}
+                x, y = float(req["start"][0]), float(req["start"][1])
+                r = sn.srv_compute_path(msg.ComputePathRequest(
+                    start=msg.PoseStamped(x, y)))
+                return {
+                    "success": True,
+                    "solved": bool(sn.planner.solved) if sn.planner else False,
+                    "iterations": sn.planner.iterations if sn.planner else 0,
+                    "path": [[p.x, p.y, p.yaw] for p in r.path.poses],
+                }
             if srv == "info":
                 st = node.planner.state
                 out = {
@@ -276,6 +330,14 @@ class EpicServiceServer:
                         "iteration": int(vol.state.iteration),
                         "delta": float(vol.state.delta),
                         "paused": vol.paused,
+                    }
+                sn = self.sampling_node
+                if sn is not None:
+                    out["sampling"] = {
+                        "algorithm": sn.algorithm,
+                        "goal": list(sn.goal) if sn.goal else None,
+                        "solved": bool(sn.planner.solved) if sn.planner else False,
+                        "iterations": sn.planner.iterations if sn.planner else 0,
                     }
                 return out
             if srv == "metrics":
@@ -368,6 +430,10 @@ class EpicServiceServer:
             self.node.update(num_steps)
             if self.volume_planner is not None:
                 self.volume_planner.update(num_steps)
+            if self.sampling_node is not None:
+                # ompl_planner->solve(t) per tick
+                # (epic_navigation_node_ompl.cpp:110-119).
+                self.sampling_node.update(budget_s=self.sampling_budget_s)
 
     def run_forever(self) -> None:  # pragma: no cover - long-running
         while True:

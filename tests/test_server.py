@@ -359,3 +359,49 @@ def test_json_log_formatter():
                  if getattr(h, "_epic_tpu_installed", False)]
     assert len(installed) == 1
     root.removeHandler(installed[0])
+
+
+def test_sampling_verb_family(server_client):
+    """The sampling_* family (the reference's unbuilt OMPL node as a
+    service session): ingest -> goal -> start -> anytime budget per tick ->
+    populated path."""
+    import time
+
+    server, client = server_client
+    n = 32
+    data = np.zeros((n, n), dtype=np.int8)
+    data[:, 16] = 100
+    data[14:18, 16] = 0
+
+    # Verbs before ingest fail cleanly.
+    r = client.call("sampling_compute_path", start=[3.0, 3.0])
+    assert not r["success"] and "sampling" in r["error"]
+
+    assert client.call(
+        "sampling_occupancy", width=n, height=n, seed=3,
+        data=data.reshape(-1).tolist(),
+    )["success"]
+    assert client.call("sampling_add_goals", goals=[[27.0, 27.0]])["success"]
+    # Goal at an obstacle rejected.
+    assert not client.call("sampling_add_goals", goals=[[16.0, 2.0]])["success"]
+
+    # First compute_path assigns the start; the spin loop then grows the
+    # search with its per-tick budget until solved.
+    r = client.call("sampling_compute_path", start=[3.0, 3.0])
+    assert r["success"]
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        r = client.call("sampling_compute_path", start=[3.0, 3.0])
+        if r["solved"] and len(r["path"]) >= 2:
+            break
+        time.sleep(0.1)
+    assert r["solved"] and len(r["path"]) >= 2
+    assert np.hypot(r["path"][-1][0] - 27.0, r["path"][-1][1] - 27.0) < 1e-6
+
+    info = client.call("info")
+    assert info["sampling"]["solved"] and info["sampling"]["iterations"] > 0
+
+    # set_cells with a GOAL reassigns the single goal.
+    assert client.call("sampling_set_cells", v=[26, 8], types=[0])["success"]
+    r = client.call("sampling_compute_path", start=[3.0, 3.0])
+    assert r["success"] and not r["solved"]  # planner reset by the edit
