@@ -26,6 +26,7 @@ from ..errors import (
 
 _DIR = pathlib.Path(__file__).parent
 _LIB_PATH = _DIR / "libepic_native.so"
+_SRC_PATH = _DIR / "epic_native.cc"
 _lib = None
 _build_failed = False
 
@@ -52,7 +53,12 @@ def _load():
         return _lib
     if _build_failed:
         return None
-    if not _LIB_PATH.exists() and not _build():
+    stale = (
+        _LIB_PATH.exists()
+        and _SRC_PATH.exists()
+        and _SRC_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if (not _LIB_PATH.exists() or stale) and not _build():
         _build_failed = True
         return None
     lib = ct.CDLL(str(_LIB_PATH))
@@ -70,6 +76,11 @@ def _load():
     lib.epic_sweep2d_f32.restype = ct.c_int
     lib.epic_sweep2d_f32.argtypes = [
         f32p, u8p, ct.c_int, ct.c_int, ct.c_int, ct.POINTER(ct.c_float)
+    ]
+    lib.epic_solve2d_f32.restype = ct.c_int
+    lib.epic_solve2d_f32.argtypes = [
+        f32p, u8p, ct.c_int, ct.c_int, ct.c_float, ct.c_uint, ct.c_uint,
+        ct.POINTER(ct.c_uint), ct.POINTER(ct.c_float), ct.POINTER(ct.c_int),
     ]
     lib.epic_sor2d_f32.restype = ct.c_int
     lib.epic_sor2d_f32.argtypes = [
@@ -156,6 +167,38 @@ def sweep_2d(u: np.ndarray, locked: np.ndarray, iteration: int):
     if code != 0:
         raise EpicError(code, "native sweep failed")
     return u, float(delta.value)
+
+
+def solve_2d(
+    u: np.ndarray,
+    locked: np.ndarray,
+    epsilon: float = 1e-3,
+    stagger: int = 100,
+    max_iterations: int = 1_000_000,
+):
+    """Full log-space relaxation to convergence — the native C++ twin of
+    ``solver.core.solve`` (harmonic_complete_cpu protocol,
+    harmonic_cpu.cpp:136-184).
+
+    Returns ``(u, iterations, delta, converged)``. Iteration counts match the
+    JAX solvers exactly; fields to float32 tolerance.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    u = np.ascontiguousarray(u, dtype=np.float32).copy()
+    locked_u8 = np.ascontiguousarray(locked, dtype=np.uint8)
+    h, w = u.shape
+    iters = ct.c_uint(0)
+    delta = ct.c_float(0.0)
+    converged = ct.c_int(0)
+    code = lib.epic_solve2d_f32(
+        u, locked_u8, h, w, float(epsilon), int(stagger), int(max_iterations),
+        ct.byref(iters), ct.byref(delta), ct.byref(converged),
+    )
+    if code != 0:
+        raise EpicError(code, "native solve failed")
+    return u, int(iters.value), float(delta.value), bool(converged.value)
 
 
 def legacy_sor_2d(

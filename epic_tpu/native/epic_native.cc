@@ -251,6 +251,44 @@ int epic_sweep2d_f32(float* u, const uint8_t* locked, int h, int w,
   return kOk;
 }
 
+// Full log-space relaxation to convergence (float32): the exact protocol of
+// the reference's harmonic_complete_cpu (harmonic_cpu.cpp:136-184) — one
+// checked sweep, exit only when its delta < eps AND iteration >= max(h, w),
+// otherwise stagger-1 plain sweeps before the next check. Iteration counts
+// are therefore always == 1 (mod stagger) on convergence, matching the JAX
+// solvers bit-for-bit in count and to float tolerance in field.
+int epic_solve2d_f32(float* u, const uint8_t* locked, int h, int w, float eps,
+                     unsigned int stagger, unsigned int max_iterations,
+                     unsigned int* iters_out, float* delta_out,
+                     int* converged_out) {
+  if (u == nullptr || locked == nullptr || h < 3 || w < 3 || stagger == 0) {
+    return kErrInvalidData;
+  }
+  const unsigned int m_max = static_cast<unsigned int>(h > w ? h : w);
+  unsigned int iteration = 0;
+  float delta = eps + 1.0f;
+  bool converged = false;
+  while (!converged && iteration < max_iterations) {
+    int code = epic_sweep2d_f32(u, locked, h, w, static_cast<int>(iteration),
+                                &delta);
+    if (code != kOk) return code;
+    ++iteration;
+    converged = (delta < eps) && (iteration >= m_max);
+    if (!converged) {
+      for (unsigned int k = 0; k + 1 < stagger; ++k) {
+        code = epic_sweep2d_f32(u, locked, h, w, static_cast<int>(iteration),
+                                nullptr);
+        if (code != kOk) return code;
+        ++iteration;
+      }
+    }
+  }
+  if (iters_out != nullptr) *iters_out = iteration;
+  if (delta_out != nullptr) *delta_out = delta;
+  if (converged_out != nullptr) *converged_out = converged ? 1 : 0;
+  return kOk;
+}
+
 // Legacy non-log SOR, three precisions (min_iters floor = 10000 in the
 // reference; exposed as a parameter here).
 int epic_sor2d_f32(float* u, const uint8_t* locked, int h, int w, float eps,

@@ -146,3 +146,34 @@ def test_native_sor_f80_long_double():
     u64, _ = native.legacy_sor_2d(u, locked, epsilon=1e-4, omega=1.5,
                                   min_iterations=100, dtype=np.float64)
     assert np.max(np.abs(np.float64(u_n) - u64)) <= 1e-10
+
+
+def test_native_solve_matches_core_protocol():
+    """epic_solve2d_f32 runs the full harmonic_complete_cpu protocol
+    (harmonic_cpu.cpp:136-184): iteration counts must equal the JAX solver's
+    exactly (≡ 1 mod stagger), fields to float32 tolerance, and the converged
+    verdict must be the non-sticky post-check one."""
+    for seed, shape in ((0, (48, 64)), (7, (65, 41))):
+        img = maps.random_obstacles(*shape, density=0.12, seed=seed)
+        st = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+        u0 = np.asarray(st.u)  # before solve: core.solve donates st.u
+        locked0 = np.asarray(st.locked)
+        out = core.solve(st)
+        u_nat, iters, delta, converged = native.solve_2d(u0, locked0,
+                                                         epsilon=1e-3)
+        assert iters == int(out.iteration)
+        assert iters % 100 == 1
+        assert converged == bool(out.converged)
+        assert delta < 1e-3
+        np.testing.assert_allclose(u_nat, np.asarray(out.u), rtol=0, atol=2e-5)
+
+
+def test_native_solve_max_iterations_cap():
+    img = maps.recursive_maze(64, 64, seed=1)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-12)
+    u_nat, iters, _, converged = native.solve_2d(
+        np.asarray(st.u), np.asarray(st.locked), epsilon=1e-12,
+        max_iterations=500,
+    )
+    assert not converged
+    assert iters == 500

@@ -30,12 +30,16 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 DOMAINS = {
-    # name: (height, width) — sizes from BASELINE.md workload table.
+    # name: (height, width) — sizes from BASELINE.md workload table. The
+    # full set mirrors the reference battery's domain list
+    # (libepic/tests/batch/batch.py:41-49).
     "c_space": (274, 348),
     "small_maze": (242, 802),
     "umass": (700, 218),
     "large_maze": (962, 962),
     "small_mine": (954, 1280),
+    "large_mine": (1419, 1735),
+    "willow_garage": (1213, 1397),
     "maze": (482, 482),
 }
 
@@ -63,8 +67,9 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
     import jax
 
     import epic_tpu
-    from epic_tpu import analysis
-    from epic_tpu.solver import core, legacy, pallas_packed, pallas_sweep
+    from epic_tpu import analysis, native
+    from epic_tpu.solver import (core, legacy, pallas_biggrid, pallas_packed,
+                                 pallas_sweep)
 
     # --- legacy CPU SOR (float32 and float64) ---------------------------
     for dtype, label in ((np.float32, "cpu_sor_f32"), (np.float64, "cpu_sor_f64")):
@@ -75,6 +80,24 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
         dt = time.perf_counter() - t0
         pv = analysis.percent_valid(u_out, locked, goal)
         rows.append([domain, label, epsilon, pv, dt / max(iters, 1), dt, iters])
+
+    # --- log-space solver, native C++ CPU ---------------------------------
+    # The reference battery's middle column ("CPU log-GS",
+    # batch.py:137-144) is harmonic_complete_cpu; epic_solve2d_f32 is its
+    # protocol-exact native twin, so this row runs on every host with no
+    # device compiles.
+    if native.available():
+        st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
+        u0 = np.asarray(st.u)
+        locked0 = np.asarray(st.locked)
+        t0 = time.perf_counter()
+        u_out, iters, _, _ = native.solve_2d(
+            u0, locked0, epsilon=epsilon, stagger=cfg.solver.stagger,
+            max_iterations=cfg.solver.max_iterations)
+        dt = time.perf_counter() - t0
+        pv = analysis.percent_valid(u_out, locked0, goal)
+        rows.append([domain, "log_native_cpu", epsilon, pv,
+                     dt / max(iters, 1), dt, iters])
 
     # --- log-space solver, XLA (CPU or current backend) ------------------
     if cfg.solver.backend in ("auto", "xla"):
@@ -88,13 +111,18 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
         rows.append([domain, f"log_xla_{jax.default_backend()}", epsilon, pv,
                      dt / max(iters, 1), dt, iters])
 
-    # --- log-space solver, Pallas (VMEM-resident) ------------------------
-    if cfg.solver.backend in ("auto", "pallas") and pallas_sweep.fits_vmem(img.shape):
-        solve_mod = pallas_sweep
-        label = "log_pallas"
-        if cfg.solver.kernel == "packed" and hasattr(pallas_packed, "solve"):
-            solve_mod = pallas_packed
-            label = "log_pallas_packed"
+    # --- log-space solver, Pallas (VMEM-resident; big-grid banded above
+    # the VMEM budget — same auto-dispatch as the planner) -----------------
+    if cfg.solver.backend in ("auto", "pallas"):
+        if pallas_sweep.fits_vmem(img.shape):
+            solve_mod = pallas_sweep
+            label = "log_pallas"
+            if cfg.solver.kernel == "packed" and hasattr(pallas_packed, "solve"):
+                solve_mod = pallas_packed
+                label = "log_pallas_packed"
+        else:
+            solve_mod = pallas_biggrid
+            label = "log_pallas_biggrid"
         st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
         out = solve_mod.solve(st, stagger=cfg.solver.stagger)
         _ = int(out.iteration)  # compile warm-up + completion
@@ -110,25 +138,30 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
 
 
 def run(domain: str, cfg, out_path: str | None, epsilons=None):
-    img = load_domain(domain)
-    goal = img == 255
-    rows = []
-    for epsilon in epsilons or [cfg.solver.epsilon]:
-        _bench_epsilon(domain, img, goal, epsilon, cfg, rows)
-
+    domains = sorted(DOMAINS) if domain == "all" else [domain]
     header = ["Domain", "Solver", "Epsilon", "Percent Valid",
               "Time per Update", "Time to Converge", "Iterations"]
-    writer = csv.writer(open(out_path, "w", newline="") if out_path else sys.stdout)
+    out = open(out_path, "w", newline="") if out_path else sys.stdout
+    writer = csv.writer(out)
     writer.writerow(header)
-    for r in rows:
-        writer.writerow(r)
+    for name in domains:
+        img = load_domain(name)
+        goal = img == 255
+        rows = []
+        for epsilon in epsilons or [cfg.solver.epsilon]:
+            _bench_epsilon(name, img, goal, epsilon, cfg, rows)
+        for r in rows:
+            writer.writerow(r)
+        out.flush()
+        print(f"# {name} done ({len(rows)} rows)", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
     from epic_tpu.config import EpicConfig, SolverConfig
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--domain", default="maze", choices=sorted(DOMAINS))
+    ap.add_argument("--domain", default="maze",
+                    choices=sorted(DOMAINS) + ["all"])
     ap.add_argument("--epsilon", type=float, default=1e-3)
     ap.add_argument("--sweep", action="store_true",
                     help="epsilon battery {1e-1,1e-2,1e-3} x solvers "
