@@ -185,52 +185,15 @@ def compute_path(
     locked = np.asarray(locked).astype(bool)
     h, w = u.shape
 
-    def cell(v):
-        f = v + 0.5
-        return -1 if f < 0 else int(f)
-
-    def check(x, y):
-        xc, yc = cell(x), cell(y)
-        if xc < 0 or yc < 0 or xc >= w or yc >= h:
-            raise InvalidLocationError(f"({x}, {y}) outside the map")
-        bad = u[yc, xc] == (0.0 if flipped else 1.0)
-        if locked[yc, xc] and bad:
-            raise InvalidLocationError(f"({x}, {y}) is inside an obstacle")
-        return xc, yc
-
-    def potential(x, y):
-        check(x, y)
-        if mode == "reference":
-            xl = max(int(x - 0.5), 0)
-            yl = max(int(y - 0.5), 0)
-            xr = int(x + 0.5)
-            yb = int(y + 0.5)
-        else:
-            xl = min(int(x), w - 2)
-            yl = min(int(y), h - 2)
-            xr, yb = xl + 1, yl + 1
-        alpha = x - xl
-        beta = y - yl
-        top = (1.0 - alpha) * u[yl, xl] + alpha * u[yl, xr]
-        bot = (1.0 - alpha) * u[yb, xl] + alpha * u[yb, xr]
-        return (1.0 - beta) * top + beta * bot
-
     def gradient(x, y):
-        try:
-            v0 = potential(x - cd_precision, y)
-            v1 = potential(x + cd_precision, y)
-            v2 = potential(x, y - cd_precision)
-            v3 = potential(x, y + cd_precision)
-        except InvalidLocationError as e:
-            raise InvalidGradientError(str(e)) from e
-        px = (v1 - v0) / (2.0 * cd_precision)
-        py = (v3 - v2) / (2.0 * cd_precision)
-        denom = np.sqrt(px * px + py * py)
-        if denom == 0.0 or not np.isfinite(denom):
+        gx, gy = compute_gradient(u, locked, x, y,
+                                  cd_precision=cd_precision, mode=mode)
+        if not (np.isfinite(gx) and np.isfinite(gy)):
             raise InvalidGradientError(f"flat gradient at ({x}, {y})")
-        return px / denom, py / denom
+        return gx, gy
 
-    xc, yc = check(x, y)
+    cell = _legacy_cell
+    xc, yc = _legacy_check(u, locked, x, y, flipped)
     points = [(x, y)]
     while (
         not locked[yc, xc]
@@ -251,6 +214,97 @@ def compute_path(
     if len(points) <= 2:
         raise InvalidPathError("path has <= 2 points")
     return np.asarray(points, dtype=np.float64)
+
+
+def _legacy_cell(v):
+    f = v + 0.5
+    return -1 if f < 0 else int(f)
+
+
+def _legacy_check(u, locked, x, y, flipped):
+    from ..errors import InvalidLocationError
+
+    h, w = u.shape
+    xc, yc = _legacy_cell(x), _legacy_cell(y)
+    if xc < 0 or yc < 0 or xc >= w or yc >= h:
+        raise InvalidLocationError(f"({x}, {y}) outside the map")
+    bad = u[yc, xc] == (0.0 if flipped else 1.0)
+    if locked[yc, xc] and bad:
+        raise InvalidLocationError(f"({x}, {y}) is inside an obstacle")
+    return xc, yc
+
+
+def compute_potential(
+    u: np.ndarray,
+    locked: np.ndarray,
+    x: float,
+    y: float,
+    mode: str = "reference",
+) -> float:
+    """Bilinear potential at a continuous point
+    (harmonic_legacy_compute_potential_2d_cpu,
+    harmonic_legacy_path_cpu.cpp:41-79). ``mode="reference"`` keeps the
+    reference's corner selection (which extrapolates when alpha/beta > 1);
+    ``mode="bilinear"`` clamps to the containing cell.
+
+    The validity check is the reference's own: out-of-bounds, or locked with
+    ``u < 0`` — the latter never fires on legacy fields (u in [0, 1]; the
+    condition was inherited from the log-space variant), kept faithfully."""
+    from ..errors import InvalidLocationError
+
+    u = np.asarray(u, dtype=np.float64)
+    locked = np.asarray(locked).astype(bool)
+    h, w = u.shape
+    xc, yc = _legacy_cell(x), _legacy_cell(y)
+    if (xc < 0 or yc < 0 or xc >= w or yc >= h
+            or (locked[yc, xc] and u[yc, xc] < 0.0)):
+        raise InvalidLocationError(f"({x}, {y}) invalid")
+    if mode == "reference":
+        xl = max(int(x - 0.5), 0)
+        yl = max(int(y - 0.5), 0)
+        xr = int(x + 0.5)
+        yb = int(y + 0.5)
+    else:
+        xl = min(int(x), w - 2)
+        yl = min(int(y), h - 2)
+        xr, yb = xl + 1, yl + 1
+    alpha = x - xl
+    beta = y - yl
+    top = (1.0 - alpha) * u[yl, xl] + alpha * u[yl, xr]
+    bot = (1.0 - alpha) * u[yb, xl] + alpha * u[yb, xr]
+    return (1.0 - beta) * top + beta * bot
+
+
+def compute_gradient(
+    u: np.ndarray,
+    locked: np.ndarray,
+    x: float,
+    y: float,
+    cd_precision: float = 0.4,
+    mode: str = "reference",
+) -> tuple[float, float]:
+    """Unit-normalised central-difference gradient
+    (harmonic_legacy_compute_gradient_2d_cpu,
+    harmonic_legacy_path_cpu.cpp:83-114). The reference normalises without
+    a zero check (:110-112), so a flat gradient yields non-finite components
+    with success — mirrored here; the walk layer treats non-finite as
+    InvalidGradientError."""
+    from ..errors import InvalidGradientError, InvalidLocationError
+
+    u = np.asarray(u, dtype=np.float64)
+    locked = np.asarray(locked).astype(bool)
+    try:
+        v0 = compute_potential(u, locked, x - cd_precision, y, mode)
+        v1 = compute_potential(u, locked, x + cd_precision, y, mode)
+        v2 = compute_potential(u, locked, x, y - cd_precision, mode)
+        v3 = compute_potential(u, locked, x, y + cd_precision, mode)
+    except InvalidLocationError as e:
+        raise InvalidGradientError(str(e)) from e
+    px = (v1 - v0) / (2.0 * cd_precision)
+    py = (v3 - v2) / (2.0 * cd_precision)
+    denom = np.sqrt(px * px + py * py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(px / denom), float(py / denom)
 
 
 def _is_stuck_legacy(points, step_size):

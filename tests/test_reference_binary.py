@@ -583,3 +583,72 @@ def test_3d_complete_cpu_matches_oracles():
         assert (iters_xla - iters_np) % C.DEFAULT_STAGGER == 0
     u_xla = np.asarray(state.u)
     assert np.max(np.abs(u_xla[free] - u_np[free])) <= 1e-4
+
+
+_epic.harmonic_legacy_compute_potential_2d_cpu.argtypes = (
+    ct.c_uint, ct.c_uint, ct.POINTER(ct.c_uint), ct.POINTER(ct.c_double),
+    ct.c_double, ct.c_double, ct.POINTER(ct.c_double),
+)
+_epic.harmonic_legacy_compute_gradient_2d_cpu.argtypes = (
+    ct.c_uint, ct.c_uint, ct.POINTER(ct.c_uint), ct.POINTER(ct.c_double),
+    ct.c_double, ct.c_double, ct.c_double,
+    ct.POINTER(ct.c_double), ct.POINTER(ct.c_double),
+)
+
+
+def test_legacy_potential_and_gradient_match_binary():
+    """harmonic_legacy_compute_potential/gradient_2d_cpu vs
+    solver.legacy.compute_potential/compute_gradient: bit-exact doubles at
+    scattered continuous points (the building blocks of the legacy walk)."""
+    from epic_tpu.errors import InvalidGradientError, InvalidLocationError
+    from epic_tpu.solver import legacy
+
+    img, u0, locked = _legacy_fixture()
+    h, w = u0.shape
+    u = np.ascontiguousarray(u0, dtype=np.float64)
+    iters = ct.c_uint(0)
+    locked_u32 = np.ascontiguousarray(locked, dtype=np.uint32)
+    assert _epic.harmonic_legacy_sor_2d_double_cpu(
+        w, h, 1e-4, 1.5,
+        locked_u32.ctypes.data_as(ct.POINTER(ct.c_uint)),
+        u.ctypes.data_as(ct.POINTER(ct.c_double)), ct.byref(iters),
+    ) == 0
+
+    rng = np.random.default_rng(11)
+    checked_pot = checked_grad = 0
+    for _ in range(200):
+        x = float(rng.uniform(0.0, w - 1.0))
+        y = float(rng.uniform(0.0, h - 1.0))
+
+        pot = ct.c_double(0.0)
+        rc = _epic.harmonic_legacy_compute_potential_2d_cpu(
+            w, h, locked_u32.ctypes.data_as(ct.POINTER(ct.c_uint)),
+            u.ctypes.data_as(ct.POINTER(ct.c_double)), x, y, ct.byref(pot),
+        )
+        try:
+            ours = legacy.compute_potential(u, locked, x, y)
+        except InvalidLocationError:
+            assert rc != 0
+        else:
+            assert rc == 0
+            assert ours == pot.value, (x, y, ours, pot.value)
+            checked_pot += 1
+
+        px = ct.c_double(0.0)
+        py = ct.c_double(0.0)
+        rc = _epic.harmonic_legacy_compute_gradient_2d_cpu(
+            w, h, locked_u32.ctypes.data_as(ct.POINTER(ct.c_uint)),
+            u.ctypes.data_as(ct.POINTER(ct.c_double)), x, y, 0.4,
+            ct.byref(px), ct.byref(py),
+        )
+        try:
+            gx, gy = legacy.compute_gradient(u, locked, x, y, cd_precision=0.4)
+        except (InvalidGradientError, InvalidLocationError):
+            assert rc != 0
+        else:
+            assert rc == 0
+            # assert_array_equal: NaN == NaN (the flat-gradient quirk).
+            np.testing.assert_array_equal([gx, gy], [px.value, py.value])
+            checked_grad += 1
+
+    assert checked_pot > 100 and checked_grad > 100
