@@ -405,3 +405,66 @@ def test_sampling_verb_family(server_client):
     assert client.call("sampling_set_cells", v=[26, 8], types=[0])["success"]
     r = client.call("sampling_compute_path", start=[3.0, 3.0])
     assert r["success"] and not r["solved"]  # planner reset by the edit
+
+
+def test_cli_main_subprocess(tmp_path):
+    """`python -m epic_tpu.services.server` end-to-end: real process, map
+    preload from a PNG, client session over TCP, clean kill."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from epic_tpu import maps, viz
+
+    img = maps.recursive_maze(48, 48, seed=9)
+    png = tmp_path / "m.png"
+    viz.save_png(str(png), np.stack([img] * 3, axis=-1))
+
+    # Pick a free port (the CLI has no port-0 mode printing back the choice
+    # we could parse robustly under buffering, so bind/release one).
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "epic_tpu.services.server",
+         "--port", str(port), "--backend", "xla", "--map", str(png),
+         "--epsilon", "1e-2", "--steps-per-update", "25"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+    try:
+        cli = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                cli = EpicClient(port=port, timeout=60.0)
+                break
+            except OSError:
+                assert proc.poll() is None, "server process died"
+                time.sleep(0.3)
+        assert cli is not None, "server never accepted connections"
+
+        info = cli.call("info")
+        assert info.get("initialized") and info["shape"] == [48, 48]
+        # The map's goal pixels were seeded as goals; wait for a usable field.
+        ys, xs = np.nonzero(img == 254) if (img == 254).any() else np.nonzero(img > 0)
+        i = len(ys) // 3
+        deadline = time.time() + 120
+        got = False
+        while time.time() < deadline:
+            r = cli.call("compute_path", x=float(xs[i]), y=float(ys[i]),
+                         step_size=0.2, precision=0.4)
+            if r.get("path"):
+                got = True
+                break
+            time.sleep(0.2)
+        assert got, f"no path over CLI server: {json.dumps(r)[:200]}"
+        cli.close()
+    finally:
+        proc.kill()
+        proc.wait(timeout=10)
