@@ -1,5 +1,6 @@
 from . import (
     batched,
+    cascade,
     batched_path,
     core,
     legacy,
@@ -16,6 +17,7 @@ from . import (
 
 __all__ = [
     "batched",
+    "cascade",
     "batched_path",
     "core",
     "legacy",
