@@ -34,6 +34,9 @@ class SolverConfig:
     # budget). Consumed by Planner's big-grid update path.
     tile_band: int | None = None
     tile_depth: int = 16
+    # Opt-in coarse-to-fine warm start for blocking solves (solver.cascade):
+    # same convergence certificate, fewer fine-grid sweeps on open domains.
+    cascade: bool = False
 
 
 @dataclasses.dataclass

@@ -28,6 +28,12 @@ from .errors import EpicError, InvalidLocationError
 from .path import compute_path
 from .solver import core
 
+
+def _native_available() -> bool:
+    from . import native
+
+    return native.available()
+
 logger = logging.getLogger("epic_tpu.planner")
 
 
@@ -48,6 +54,13 @@ class PlannerConfig:
     # the functional analog of the reference's gpu->cpu fallback
     # (harmonic.py:76-102) with no mirrored state to keep in sync.
     backend: str = "auto"            # "auto" | "xla" | "pallas"
+    # Opt-in coarse-to-fine warm start for blocking solves (solver.cascade):
+    # same convergence certificate, far fewer fine-grid sweeps on open
+    # domains. Off by default — cold-start is the reference's semantics.
+    # Note: a cascade solve re-derives the free field from the pyramid, so
+    # it does not continue from the session's current free-cell values (cell
+    # types — goals/obstacles — are preserved; they define the pyramid).
+    cascade: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -287,13 +300,29 @@ class Planner:
 
     def solve(self) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as
-        the nav_core plugin does per makePlan (epic_nav_core_plugin.cpp:256)."""
+        the nav_core plugin does per makePlan (epic_nav_core_plugin.cpp:256).
+        With ``config.cascade`` the solve warm-starts through a resolution
+        pyramid (solver.cascade) — same certificate, fewer sweeps."""
         mod = self._kernel_module()
         solve_fn = getattr(mod, "solve", None) if mod is not None else None
         if solve_fn is None:
             # XLA path, or a kernel module without a solve loop (packed).
             solve_fn = core.solve
-        self.state = solve_fn(self._require_state(), stagger=self.config.stagger)
+        if self.config.cascade:
+            from .solver import cascade as _cascade
+
+            def final(st, stagger, max_iterations):
+                return solve_fn(st, stagger=stagger,
+                                max_iterations=max_iterations)
+
+            coarse = (_cascade.native_solver
+                      if _native_available() else final)
+            self.state, _ = _cascade.solve_cascade(
+                self._require_state(), stagger=self.config.stagger,
+                solver=final, coarse_solver=coarse)
+        else:
+            self.state = solve_fn(self._require_state(),
+                                  stagger=self.config.stagger)
 
     # -- service verbs -----------------------------------------------------
 

@@ -298,3 +298,21 @@ def test_biggrid_tile_config_wiring():
     np.testing.assert_allclose(
         np.asarray(pl.state.u), np.asarray(ref.state.u), rtol=0, atol=1e-5
     )
+
+
+def test_planner_cascade_solve():
+    """PlannerConfig(cascade=True): blocking solve through the resolution
+    pyramid — converged field, working paths, same verb surface."""
+    from epic_tpu.planner import Planner, PlannerConfig
+
+    img = maps.open_room(96, 96)
+    occ = np.zeros(img.shape, dtype=np.int8)
+    occ[img == 0] = 100
+    pl = Planner(PlannerConfig(epsilon=1e-3, backend="xla", cascade=True))
+    pl.update_occupancy(occ)
+    assert pl.add_goals([pl.map_to_world(48, 48)])
+    pl.solve()
+    assert bool(pl.state.converged)
+    poses = pl.compute_path(pl.map_to_world(10, 10), step_size=0.2,
+                            cd_precision=0.4)
+    assert len(poses) > 2

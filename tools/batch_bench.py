@@ -111,6 +111,26 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
         rows.append([domain, f"log_xla_{jax.default_backend()}", epsilon, pv,
                      dt / max(iters, 1), dt, iters])
 
+    # --- log-space cascade (opt-in; epic_tpu extension) -------------------
+    if getattr(cfg.solver, "cascade", False):
+        from epic_tpu.solver import cascade as _cascade
+
+        coarse = (_cascade.native_solver if native.available() else None)
+        st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
+        out, stats = _cascade.solve_cascade(st, stagger=cfg.solver.stagger,
+                                            coarse_solver=coarse)
+        _ = int(out.iteration)  # warm-up/compile barrier
+        st = epic_tpu.from_occupancy_image(img, epsilon=epsilon)
+        t0 = time.perf_counter()
+        out, stats = _cascade.solve_cascade(st, stagger=cfg.solver.stagger,
+                                            coarse_solver=coarse)
+        iters = int(out.iteration)
+        dt = time.perf_counter() - t0
+        pv = analysis.percent_valid(np.asarray(out.u), np.asarray(out.locked),
+                                    goal)
+        rows.append([domain, f"log_cascade_{jax.default_backend()}", epsilon,
+                     pv, dt / max(iters, 1), dt, iters])
+
     # --- log-space solver, Pallas (VMEM-resident; big-grid banded above
     # the VMEM budget — same auto-dispatch as the planner) -----------------
     if cfg.solver.backend in ("auto", "pallas"):
@@ -167,11 +187,14 @@ if __name__ == "__main__":
                     help="epsilon battery {1e-1,1e-2,1e-3} x solvers "
                     "(reference maps.py batch mode)")
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--cascade", action="store_true",
+                    help="add a log_cascade row (coarse-to-fine warm start)")
     ap.add_argument("--kernel", default="masked", choices=["masked", "packed"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     cfg = EpicConfig(solver=SolverConfig(epsilon=args.epsilon,
                                          backend=args.backend,
-                                         kernel=args.kernel))
+                                         kernel=args.kernel,
+                                         cascade=args.cascade))
     run(args.domain, cfg, args.out,
         epsilons=[1e-1, 1e-2, 1e-3] if args.sweep else None)
