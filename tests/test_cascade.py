@@ -87,3 +87,33 @@ def test_cascade_3d_volume():
     warm, stats = cascade.solve_cascade(st, levels=1, min_extent=12)
     assert bool(warm.converged)
     assert stats.shapes == ((12, 24, 24), (24, 48, 48))
+
+
+def test_cascade_with_sharded_fine_solver():
+    """Composition: coarse levels on the host/XLA, fine level on the
+    multi-chip sharded solver — the pyramid and the mesh decomposition are
+    orthogonal."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device platform")
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    img = maps.open_room(96, 128)
+
+    def fine(st, stagger, max_iterations):
+        return sharded.solve(st, mesh, stagger=stagger,
+                             max_iterations=max_iterations)
+
+    warm, stats = cascade.solve_cascade(
+        epic_tpu.from_occupancy_image(img, epsilon=1e-3), solver=fine,
+        coarse_solver=lambda st, stagger, max_iterations: core.solve(
+            st, stagger, max_iterations))
+    assert bool(warm.converged)
+    cold = core.solve(epic_tpu.from_occupancy_image(img, epsilon=1e-3))
+    goal = img == 255
+    pv_w = analysis.percent_valid(np.asarray(warm.u), np.asarray(warm.locked), goal)
+    pv_c = analysis.percent_valid(np.asarray(cold.u), np.asarray(cold.locked), goal)
+    assert pv_w >= pv_c - 1e-9
+    assert int(warm.iteration) < int(cold.iteration)
