@@ -119,3 +119,50 @@ def test_two_process_sharded_solve_matches_single_process(tmp_path, mode):
         d["u"], np.asarray(ref.u), rtol=0, atol=5e-5
     )
     assert abs(float(d["delta"]) - float(ref.delta)) <= 5e-6
+
+
+def test_four_process_sharded_solve_matches_single_process(tmp_path):
+    """4 processes x 2 local devices -> the same 8-device global mesh: more
+    inter-process (DCN-analog) halo edges, identical results required."""
+    port = _free_port()
+    out = tmp_path / "mh4.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def launch(pid: int) -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable, WORKER,
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "4",
+                "--process-id", str(pid),
+                "--local-devices", "2",
+                "--out", str(out),
+                "--mode", "solve",
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    procs = [launch(i) for i in range(4)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    d = np.load(out)
+    assert int(d["process_count"]) == 4
+
+    from epic_tpu.solver import core
+
+    ref = core.solve(_worker_state())
+    assert int(d["iteration"]) == int(ref.iteration)
+    assert bool(d["converged"])
+    np.testing.assert_allclose(d["u"], np.asarray(ref.u), rtol=0, atol=5e-5)
