@@ -401,3 +401,65 @@ class VolumePlanner:
             wx, wy, wz = self.map_to_world(x, y, z)
             poses.append(PathPose3D(wx, wy, wz, yaw, pitch))
         return poses
+
+    def compute_paths_batch(
+        self,
+        starts_world,
+        step_size: float = 0.05,
+        cd_precision: float = 0.5,
+        max_steps: int = 4096,
+    ) -> list[list[PathPose3D] | None]:
+        """Many 3D streamlines at once through the device walker
+        (:mod:`epic_tpu.solver.batched_path3d`) — the volume analogue of
+        Planner.compute_paths_batch. Entries are None for invalid starts or
+        <= 2-point walks (the per-lane EPIC_ERROR_INVALID_PATH contract)."""
+        import jax.numpy as jnp
+
+        from .solver import batched_path3d
+
+        st = self._require_state()
+        starts_world = list(starts_world)
+        starts_map = []
+        valid_idx = []
+        for i, (wx, wy, wz) in enumerate(starts_world):
+            try:
+                starts_map.append(self.world_to_map(wx, wy, wz))
+                valid_idx.append(i)
+            except InvalidLocationError:
+                continue
+        results: list[list[PathPose3D] | None] = [None] * len(starts_world)
+        if not starts_map:
+            return results
+        # Power-of-two lane padding: one compiled program per size class
+        # (remote compiles cost minutes; see Planner.compute_paths_batch).
+        n_lanes = max(8, 1 << (len(starts_map) - 1).bit_length())
+        padded = starts_map + [(-1.0, -1.0, -1.0)] * (n_lanes - len(starts_map))
+        out = batched_path3d.walk(
+            st.u,
+            st.locked,
+            jnp.asarray(np.asarray(padded, np.float32)),
+            step_size=step_size,
+            cd_precision=cd_precision,
+            max_steps=max_steps,
+        )
+        positions = np.asarray(out["positions"])
+        lengths = np.asarray(out["lengths"])
+        for lane, i in enumerate(valid_idx):
+            n = int(lengths[lane])
+            if n <= 2:
+                continue
+            pts = positions[lane, :n]
+            poses: list[PathPose3D] = []
+            sx, sy, sz = self.map_to_world(*map(float, pts[0]))
+            poses.append(PathPose3D(sx, sy, sz, 0.0, 0.0))
+            for j in range(1, n):
+                x, y, z = map(float, pts[j])
+                dx = x - float(pts[j - 1, 0])
+                dy = y - float(pts[j - 1, 1])
+                dz = z - float(pts[j - 1, 2])
+                yaw = math.atan2(dy, dx)
+                pitch = math.atan2(dz, math.hypot(dx, dy))
+                wx, wy, wz = self.map_to_world(x, y, z)
+                poses.append(PathPose3D(wx, wy, wz, yaw, pitch))
+            results[i] = poses
+        return results

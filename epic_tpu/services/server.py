@@ -236,7 +236,7 @@ class EpicServiceServer:
                 return {"success": True}
             if srv in ("add_goals_3d", "remove_goals_3d", "get_cell_3d",
                        "set_cells_3d", "reset_free_cells_3d", "set_status_3d",
-                       "compute_path_3d"):
+                       "compute_path_3d", "compute_paths_3d"):
                 vol = self.volume_planner
                 if vol is None:
                     return {"success": False,
@@ -258,6 +258,24 @@ class EpicServiceServer:
                     return {"success": vol.reset_free_cells()}
                 if srv == "set_status_3d":
                     return {"success": vol.set_status(bool(req["paused"]))}
+                if srv == "compute_paths_3d":
+                    # Batched multi-start 3D extraction (device walker).
+                    starts = [tuple(map(float, p)) for p in req["starts"]]
+                    results = vol.compute_paths_batch(
+                        starts,
+                        step_size=float(req.get("step_size", 0.05)),
+                        cd_precision=float(req.get("precision", 0.5)),
+                        max_steps=int(req.get("max_steps", 4096)),
+                    )
+                    return {
+                        "success": True,
+                        "paths": [
+                            None if poses is None
+                            else [[p.x, p.y, p.z, p.yaw, p.pitch]
+                                  for p in poses]
+                            for poses in results
+                        ],
+                    }
                 poses = vol.compute_path(
                     (float(req["x"]), float(req["y"]), float(req["z"])),
                     step_size=float(req.get("step_size", 0.05)),

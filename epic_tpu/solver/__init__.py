@@ -1,5 +1,6 @@
 from . import (
     batched,
+    batched_path3d,
     cascade,
     batched_path,
     core,
@@ -17,6 +18,7 @@ from . import (
 
 __all__ = [
     "batched",
+    "batched_path3d",
     "cascade",
     "batched_path",
     "core",

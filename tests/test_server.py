@@ -468,3 +468,34 @@ def test_cli_main_subprocess(tmp_path):
     finally:
         proc.kill()
         proc.wait(timeout=10)
+
+
+def test_compute_paths_3d_batch_verb(server_client):
+    """Batched multi-start 3D extraction over the socket (device walker)."""
+    import time
+
+    server, client = server_client
+    d, h, w = 12, 16, 20
+    vol = np.full((d, h, w), 0, dtype=np.int8)
+    assert client.call("occupancy_volume", depth=d, height=h, width=w,
+                       data=vol.reshape(-1).tolist(), resolution=1.0,
+                       origin=[0.0, 0.0, 0.0])["success"]
+    assert client.call("add_goals_3d", goals=[[10.0, 8.0, 6.0]])["success"]
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        if client.call("info").get("volume", {}).get("iteration", 0) >= 200:
+            break
+        time.sleep(0.1)
+
+    r = client.call("compute_paths_3d",
+                    starts=[[3.0, 12.0, 9.0], [16.0, 3.0, 2.0],
+                            [-99.0, 0.0, 0.0]],
+                    step_size=0.2, precision=0.4)
+    assert r["success"]
+    paths = r["paths"]
+    assert len(paths) == 3
+    assert paths[2] is None  # off-volume start: per-lane invalid contract
+    for p in paths[:2]:
+        assert p is not None and len(p) > 2
+        end = p[-1]
+        assert abs(end[0] - 10) < 2 and abs(end[1] - 8) < 2 and abs(end[2] - 6) < 2
