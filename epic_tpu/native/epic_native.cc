@@ -226,6 +226,12 @@ int epic_sweep2d_f32(float* u, const uint8_t* locked, int h, int w,
   }
   const float log4 = std::log(4.0f);
   float delta = 0.0f;
+  // Red-black parity makes every update in a sweep independent (all four
+  // neighbour reads are the opposite class), so row-parallelism is
+  // bit-exact: disjoint writes, order-free max reduction.
+#ifdef _OPENMP
+#pragma omp parallel for reduction(max : delta) schedule(static)
+#endif
   for (int y = 1; y < h - 1; ++y) {
     // Start column so that (y + x) % 2 != iteration % 2.
     const int x0 = 1 + ((y + iteration) % 2);

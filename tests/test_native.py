@@ -34,6 +34,37 @@ def test_native_sweep_bitmatches_scalar_oracle():
         u = u_p
 
 
+def test_native_sweep_openmp_thread_invariant():
+    """The OpenMP row-parallel sweep must be bit-exact regardless of thread
+    count: red-black parity makes in-sweep updates independent (disjoint
+    writes) and the delta reduction is an order-free max."""
+    import ctypes
+
+    try:
+        gomp = ctypes.CDLL("libgomp.so.1", mode=ctypes.RTLD_GLOBAL)
+    except OSError:
+        pytest.skip("libgomp not present (library built without OpenMP)")
+    img = maps.recursive_maze(96, 128, seed=5)
+    st = epic_tpu.from_occupancy_image(img)
+    u0 = np.asarray(st.u)
+    locked = np.asarray(st.locked)
+    default_threads = gomp.omp_get_max_threads()
+    try:
+        results = []
+        for nthreads in (1, 4):
+            gomp.omp_set_num_threads(ctypes.c_int(nthreads))
+            u = u0.copy()
+            deltas = []
+            for it in range(6):
+                u, d = native.sweep_2d(u, locked, it)
+                deltas.append(d)
+            results.append((u, deltas))
+    finally:
+        gomp.omp_set_num_threads(ctypes.c_int(default_threads))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    assert results[0][1] == results[1][1]
+
+
 @pytest.mark.parametrize("mode", ["reference", "bilinear"])
 def test_native_path_matches_numpy(solved_maze, mode):
     img, u, locked = solved_maze
