@@ -26,6 +26,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
 from . import analysis, checkpoint, config, constants, errors, maps, path, path3d, profiling, viz
 from .grid import (
     GridState,
+    empty_grid_nd,
     empty_state,
     empty_volume,
     from_occupancy_image,
@@ -53,6 +54,7 @@ __all__ = [
     "config",
     "constants",
     "errors",
+    "empty_grid_nd",
     "empty_state",
     "empty_volume",
     "from_occupancy_image",

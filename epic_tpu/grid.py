@@ -90,8 +90,8 @@ def make_state(
     locked = jnp.asarray(locked).astype(jnp.bool_)
     if u.shape != locked.shape:
         raise ValueError(f"u shape {u.shape} != locked shape {locked.shape}")
-    if u.ndim not in (2, 3):
-        raise ValueError(f"only 2D/3D grids supported, got {u.ndim}D")
+    if u.ndim < 2:
+        raise ValueError(f"grids must be at least 2D, got {u.ndim}D")
     return GridState(
         u=u,
         locked=locked,
@@ -131,6 +131,23 @@ def empty_volume(
     locked = np.zeros((depth, height, width), dtype=bool)
     shell = np.ones((depth, height, width), dtype=bool)
     shell[1:-1, 1:-1, 1:-1] = False
+    u[shell] = C.LOG_SPACE_OBSTACLE
+    locked[shell] = True
+    return make_state(u, locked, epsilon)
+
+
+def empty_grid_nd(shape: tuple[int, ...], epsilon: float = C.DEFAULT_EPSILON) -> GridState:
+    """N-dimensional analogue of :func:`empty_state`/:func:`empty_volume`:
+    an all-free rank-n grid with u = 0 and the full boundary shell locked as
+    obstacles. The reference solves 2D/3D only and stubs 4D out
+    (harmonic_cpu.cpp:193-195); the XLA solver (solver/core.py) handles any
+    rank >= 2 with the same update rule and protocol."""
+    if len(shape) < 2 or any(s < 3 for s in shape):
+        raise ValueError(f"need rank >= 2 with every dim >= 3, got {shape}")
+    u = np.zeros(shape, dtype=np.float32)
+    locked = np.zeros(shape, dtype=bool)
+    shell = np.ones(shape, dtype=bool)
+    shell[(slice(1, -1),) * len(shape)] = False
     u[shell] = C.LOG_SPACE_OBSTACLE
     locked[shell] = True
     return make_state(u, locked, epsilon)

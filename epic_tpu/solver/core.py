@@ -30,8 +30,11 @@ import numpy as np
 from .. import constants as C
 from ..grid import GridState
 
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
-_LOG2N_3D = np.float32(np.log(np.float64(6.0)))
+@functools.lru_cache(maxsize=8)
+def _log2n(nd: int) -> np.float32:
+    """log(2n) divisor, f32: log(4) in 2D, log(6) in 3D, log(2n) generally
+    (harmonic_cpu.cpp:124 uses 2.0*n universally — correct for any rank)."""
+    return np.float32(np.log(np.float64(2.0 * nd)))
 
 
 def _interior(u: jax.Array) -> tuple:
@@ -63,8 +66,7 @@ def _neighbor_logsumexp(u: jax.Array) -> jax.Array:
     s = jnp.exp(nbrs[0] - m)
     for nb in nbrs[1:]:
         s = s + jnp.exp(nb - m)
-    log2n = _LOG2N_2D if nd == 2 else _LOG2N_3D
-    return (m + jnp.log(s)) - log2n
+    return (m + jnp.log(s)) - _log2n(nd)
 
 
 @functools.lru_cache(maxsize=64)
@@ -93,7 +95,10 @@ def sweep(u: jax.Array, locked: jax.Array, iteration: jax.Array):
     # offset negation (harmonic_cpu.cpp:96-99) flips it to == t%2 — i.e. the
     # class != (t+1)%2 (cross-validated vs the prebuilt binary,
     # tests/test_reference_binary.py::test_3d_bounded_sweeps_match_binary).
-    flip = 1 if u.ndim == 3 else 0
+    # The reference's loop recursion generalizes to flip = ndim % 2 for any
+    # rank (reference_np.sweep_scalar_nd derives it; the reference itself
+    # stubs 4D out at harmonic_cpu.cpp:193-195).
+    flip = u.ndim % 2
     update = (parity != ((iteration + flip) % 2).astype(jnp.uint8)) & ~locked[inner]
     new_inner = jnp.where(update, val, u[inner])
     delta = jnp.max(jnp.abs(new_inner - u[inner]))

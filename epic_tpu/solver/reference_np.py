@@ -136,6 +136,100 @@ def sweep_3d(u: np.ndarray, locked: np.ndarray, iteration: int):
     return u_new, delta
 
 
+def sweep_scalar_nd(u: np.ndarray, locked: np.ndarray, iteration: int):
+    """One red-black sweep in ANY dimension, literal scalar loop following the
+    reference's loop-structure recursion.
+
+    The reference implements 2D and 3D and stubs 4D out entirely
+    (harmonic_cpu.cpp:193-195 — ``//harmonic_update_4d_cpu`` commented out).
+    Its pattern, though, is mechanical: ``offset = (t % 2) != (x0 % 2)``
+    (harmonic_cpu.cpp:49), negated once per *middle* coordinate that is even
+    (the x1-even negation, harmonic_cpu.cpp:96-99), with the innermost loop
+    running from ``1 + offset`` in steps of 2. This function applies that
+    recursion verbatim for any rank — for n=2 and n=3 it reproduces
+    harmonic_update_{2d,3d}_cpu exactly (tested), which pins down the natural
+    n=4+ extension: cells with ``sum(coords) % 2 != t % 2`` update when n is
+    even, ``== t % 2`` when n is odd.
+
+    Returns (u_new, delta). float32 throughout. Slow; oracle use only.
+    """
+    u = np.array(u, dtype=np.float32)
+    locked = np.asarray(locked)
+    nd = u.ndim
+    log2n = np.float32(np.log(np.float64(2.0 * nd)))
+    delta = np.float32(0.0)
+    lead_shape = u.shape[:-1]
+    w = u.shape[-1]
+    for lead in np.ndindex(*[s - 2 for s in lead_shape]):
+        coords = tuple(c + 1 for c in lead)
+        offset = int((iteration % 2) != (coords[0] % 2))
+        for xj in coords[1:]:
+            if xj % 2 == 0:
+                offset = 1 - offset
+        for xl in range(1 + offset, w - 1, 2):
+            idx = coords + (xl,)
+            if locked[idx]:
+                continue
+            prev = u[idx]
+            nbrs = []
+            for axis in range(nd):
+                for d in (-1, 1):
+                    j = list(idx)
+                    j[axis] += d
+                    nbrs.append(u[tuple(j)])
+            m = nbrs[0]
+            for nb in nbrs[1:]:
+                m = max(m, nb)
+            s = np.float32(np.exp(np.float32(nbrs[0] - m)))
+            for nb in nbrs[1:]:
+                s = np.float32(s + np.exp(np.float32(nb - m)))
+            u[idx] = np.float32(m + np.float32(np.log(s)) - log2n)
+            delta = max(delta, np.float32(abs(prev - u[idx])))
+    return u, delta
+
+
+def sweep_nd(u: np.ndarray, locked: np.ndarray, iteration: int):
+    """One red-black sweep in ANY dimension, vectorized float32.
+
+    Parity class per :func:`sweep_scalar_nd`'s recursion: iteration ``t``
+    updates interior cells with ``sum(coords) % 2 != (t + n%2) % 2`` — the 2D
+    convention for even ranks, the flipped 3D convention for odd ranks.
+    Operation order matches the scalar oracle (max tree, left-associated
+    exponential sum). Returns (u_new, delta).
+    """
+    u = np.asarray(u, dtype=np.float32)
+    locked = np.asarray(locked)
+    nd = u.ndim
+    log2n = np.float32(np.log(np.float64(2.0 * nd)))
+    c = (slice(1, -1),) * nd
+    nbrs = []
+    for axis in range(nd):
+        lo = tuple(slice(0, -2) if a == axis else slice(1, -1) for a in range(nd))
+        hi = tuple(slice(2, None) if a == axis else slice(1, -1) for a in range(nd))
+        nbrs.append(u[lo])
+        nbrs.append(u[hi])
+    m = nbrs[0]
+    for nb in nbrs[1:]:
+        m = np.maximum(m, nb)
+    s = np.exp(nbrs[0] - m)
+    for nb in nbrs[1:]:
+        s = s + np.exp(nb - m)
+    val = (m + np.log(s)) - log2n
+
+    grids = np.meshgrid(*[np.arange(1, n - 1) for n in u.shape], indexing="ij")
+    total = grids[0]
+    for g in grids[1:]:
+        total = total + g
+    parity_mask = (total % 2) != ((iteration + nd % 2) % 2)
+    update = parity_mask & ~locked[c]
+
+    u_new = u.copy()
+    u_new[c] = np.where(update, val, u[c])
+    diffs = np.abs(u_new[c] - u[c])
+    delta = np.float32(diffs.max(initial=np.float32(0.0), where=update))
+    return u_new, delta
+
+
 def solve(
     u: np.ndarray,
     locked: np.ndarray,
@@ -158,7 +252,7 @@ def solve(
     """
     u = np.array(u, dtype=np.float32)
     locked = np.asarray(locked)
-    sweep_fn = sweep if u.ndim == 2 else sweep_3d
+    sweep_fn = {2: sweep, 3: sweep_3d}.get(u.ndim, sweep_nd)
     m_max = max(u.shape)
     iteration = 0
     delta = np.float32(epsilon + 1.0)
