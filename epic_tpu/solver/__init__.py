@@ -35,6 +35,42 @@ __all__ = [
 ]
 
 
+def solve_grid(state, stagger=None, **kw):
+    """Auto-dispatching 2D solve — the library-level twin of the Planner's
+    kernel selection (planner.py::_select_module) and the functional
+    equivalent of Harmonic.solve(process='gpu') with its CPU fallback
+    (libepic/python/epic/harmonic.py:54-107): XLA on CPU hosts, the
+    VMEM-resident Pallas kernel when the grid fits (~2M cells), the banded
+    big-grid kernel otherwise. Protocol identical across all three. Grids of
+    rank != 2 (3D/4D+) go through core.solve on CPU, the 3D kernels via
+    :func:`solve_volume`, and core's generic XLA path otherwise."""
+    import jax as _jax
+
+    from .. import constants as _C
+
+    stagger = _C.DEFAULT_STAGGER if stagger is None else stagger
+    if state.u.ndim == 3:
+        return solve_volume(state, stagger, **kw)
+    if state.u.ndim != 2 or _jax.default_backend() == "cpu":
+        return core.solve(state, stagger, **kw)
+    if pallas_sweep.fits_vmem(state.u.shape):
+        return pallas_sweep.solve(state, stagger, **kw)
+    return pallas_biggrid.solve(state, stagger, **kw)
+
+
+def update_grid(state, num_steps, **kw):
+    """Auto-dispatching 2D anytime stepper; see :func:`solve_grid`."""
+    import jax as _jax
+
+    if state.u.ndim == 3:
+        return update_volume(state, num_steps, **kw)
+    if state.u.ndim != 2 or _jax.default_backend() == "cpu":
+        return core.update_n(state, num_steps)
+    if pallas_sweep.fits_vmem(state.u.shape):
+        return pallas_sweep.update_n(state, num_steps, **kw)
+    return pallas_biggrid.update_n(state, num_steps, **kw)
+
+
 def solve_volume(state, stagger=None, **kw):
     """Auto-dispatching 3D solve (the 3D analogue of PlannerConfig
     backend="auto"): XLA on CPU hosts, the VMEM-resident Pallas kernel when
@@ -67,4 +103,4 @@ def update_volume(state, num_steps, **kw):
     return pallas_biggrid3d.update_n(state, num_steps, **kw)
 
 
-__all__ += ["solve_volume", "update_volume"]
+__all__ += ["solve_grid", "update_grid", "solve_volume", "update_volume"]

@@ -46,3 +46,27 @@ def test_checkpoint_mid_workflow_roundtrip(tmp_path):
     a = core.update_n(state, 25)
     b = core.update_n(resumed, 25)
     np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
+
+def test_solve_grid_auto_dispatch_cpu():
+    """solver.solve_grid / update_grid: the 2D auto-dispatch twins of
+    solve_volume (on the hermetic CPU platform they route to core, which is
+    protocol-identical to the kernels)."""
+    import epic_tpu.solver as S
+
+    img = maps.random_obstacles(48, 64, density=0.1, seed=3)
+    state = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    out = S.solve_grid(state)
+    ref = core.solve(epic_tpu.from_occupancy_image(img, epsilon=1e-2))
+    assert int(out.iteration) == int(ref.iteration)
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(ref.u))
+
+    state = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    out = S.update_grid(state, 7)
+    assert int(out.iteration) == 7
+
+    # 3D routes through the volume dispatcher, 4D through core's generic path.
+    st3 = epic_tpu.empty_volume(5, 6, 7, epsilon=1e-1)
+    assert int(S.update_grid(st3, 3).iteration) == 3
+    st4 = epic_tpu.empty_grid_nd((4, 5, 6, 7), epsilon=1e-1)
+    assert int(S.update_grid(st4, 3).iteration) == 3
