@@ -1,0 +1,364 @@
+"""Big-grid Pallas kernel v3: 2D (row x column) tiled DMA chunks.
+
+The row-banded kernels (pallas_biggrid) keep extended bands under a ~2M-cell
+scoped-VMEM budget, so at 16384-wide grids bands are only 96 rows tall and
+the K-deep halo re-reads 1.33x the grid per chunk (2.0x at 32768) — Mosaic
+rejects every larger band outright (tools/tpu_probe24.py: all >2M-cell ext
+blocks OOM scoped VMEM). This module tiles the other axis too: each grid
+step DMAs a strided slab of ``(band + 2k) x (wt + 256)`` cells (128 guard
+columns per side keep lane alignment; the shrinking-frontier argument needs
+only ``num_sweeps <= min(k, 128)``), so bands stay hundreds of rows tall at
+ANY grid width and total halo redundancy is ``(1 + 2k/band)(1 + 256/wt)``
+~= 1.10 instead of growing with W.
+
+Same temporal-blocking trapezoid as the banded kernels, now in both axes:
+after sweep ``s`` only cells with local row AND column in ``(s, ext-1-s)``
+are bit-equal to ``s`` global sweeps; the chunk writes back only the
+``band x wt`` center, whose cells sit >= k inside both frontiers. Sweep-0
+delta per slab maxes to the exact global delta (halo cells duplicate the
+owning tile's arithmetic).
+
+Chunk semantics are bit-identical to pallas_biggrid.sweep_chunk_* and to K
+global sweeps of the oracle (cross-tested). Replaces the CUDA per-sweep
+stencil + two-stage delta reduction
+(/root/reference/libepic/src/harmonic/harmonic_gpu.cu:39-153) in the
+wide-grid regime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..grid import GridState
+from .pallas_biggrid import EXT_BAND_CELL_BUDGET, _VMEM_LIMIT, _round_up
+
+_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+_HX = 128  # column guard per side (lane-tile aligned; >= any supported k)
+
+
+def tile_layouts(shape: tuple[int, int], chunk_depth: int = 16):
+    """Candidate (band, k, wt) layouts with their total halo redundancy."""
+    h, w = shape
+    out = []
+    for wt in (1024, 2048, 4096, 8192):
+        wext = wt + 2 * _HX
+        for k in (8, 16, 32):
+            if k > chunk_depth:
+                continue
+            ext_max = (EXT_BAND_CELL_BUDGET // wext) // 8 * 8
+            band_max = ext_max - 2 * k
+            if band_max < 8:
+                continue
+            nb = -(-h // band_max)
+            band = _round_up(-(-h // nb), 8)
+            band = max(8, band)
+            red = (band + 2 * k) / band * wext / wt
+            out.append((red, band, k, wt))
+    return sorted(out)
+
+
+def choose_tiled_layout(shape: tuple[int, int], chunk_depth: int = 16):
+    """Lowest-redundancy tiled layout; ties broken toward deeper k (fewer
+    HBM round trips) by the sort on (redundancy, band)."""
+    cands = tile_layouts(shape, chunk_depth)
+    if not cands:
+        raise ValueError(f"no tiled layout fits the VMEM budget for {shape}")
+    _, band, k, wt = cands[0]
+    return band, k, wt
+
+
+def redundancy_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> float:
+    cands = tile_layouts(shape, chunk_depth)
+    return cands[0][0] if cands else float("inf")
+
+
+def _tile_kernel(it_ref, u_hbm, f_hbm, u_out, delta_ref,
+                 u_vmem, f_vmem, sems,
+                 *, num_sweeps, band, k, wt):
+    """num_sweeps guarded sweeps on one (ext_r x wext) slab, double-buffered
+    across the flattened (band, tile) grid: step i prefetches slab i+1's
+    strided HBM slice into the other scratch slot before computing (grid
+    steps run sequentially on TPU)."""
+    j = pl.program_id(0)
+    c = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+    ext_r = band + 2 * k
+    wext = wt + 2 * _HX
+
+    def copies(band_idx, tile_idx, slot):
+        r0 = band_idx * band
+        c0 = tile_idx * wt
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[pl.ds(r0, ext_r), pl.ds(c0, wext)],
+                u_vmem.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(r0, ext_r), pl.ds(c0, wext)],
+                f_vmem.at[slot], sems.at[slot, 1],
+            ),
+        )
+
+    lin = j * nt + c
+    slot = jax.lax.rem(lin, 2)
+
+    @pl.when(lin == 0)
+    def _():
+        cu, cf = copies(0, 0, 0)
+        cu.start()
+        cf.start()
+
+    @pl.when(lin + 1 < nb * nt)
+    def _():
+        nxt = lin + 1
+        cu, cf = copies(nxt // nt, jax.lax.rem(nxt, nt), jax.lax.rem(nxt, 2))
+        cu.start()
+        cf.start()
+
+    cu, cf = copies(j, c, slot)
+    cu.wait()
+    cf.wait()
+
+    t0 = it_ref[0]
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 0)
+    local_col = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 1)
+    # Original coords: row = j*band + lr - k, col = c*wt + lc - _HX; the
+    # -_HX term is even, so parity = (lr + lc + j*band + c*wt + k) % 2.
+    parity = (local_row + local_col + j * band + c * wt + k) % 2
+
+    def sweep(s, u):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, ext_r - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, wext - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (
+            (local_row > s) & (local_row < ext_r - 1 - s)
+            & (local_col > s) & (local_col < wext - 1 - s)
+        )
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[j, c] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+    u_out[:] = u[k : k + band, _HX : _HX + wt]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "band", "k", "wt", "interpret")
+)
+def sweep_chunk_tiled(
+    u_pad: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    band: int,
+    k: int,
+    wt: int,
+    interpret: bool = False,
+):
+    """num_sweeps (<= k) sweeps over the guard-padded grid via 2D tiles.
+
+    u_pad: f32[k + nb*band + k, _HX + nt*wt + _HX]; frozen_pad: int32 same
+    shape (guard ring, boundary ring, and alignment padding frozen).
+    Returns (u_pad', delta of the chunk's first sweep).
+    """
+    hp, wp = u_pad.shape
+    nb = (hp - 2 * k) // band
+    nt = (wp - 2 * _HX) // wt
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert nt * wt + 2 * _HX == wp, (wp, wt)
+    assert num_sweeps <= min(k, _HX)
+    ext_r = band + 2 * k
+    wext = wt + 2 * _HX
+
+    out_u, out_delta = pl.pallas_call(
+        functools.partial(_tile_kernel, num_sweeps=num_sweeps,
+                          band=band, k=k, wt=wt),
+        grid=(nb, nt),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band, nt * wt), jnp.float32),
+            jax.ShapeDtypeStruct((nb, nt), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((band, wt), lambda j, c: (j, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_r, wext), jnp.float32),
+            pltpu.VMEM((2, ext_r, wext), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_pad, frozen_pad)
+
+    u_new = jax.lax.dynamic_update_slice(u_pad, out_u, (k, _HX))
+    return u_new, jnp.max(out_delta)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TiledGrid:
+    u: jax.Array          # f32[k + nb*band + k, _HX + nt*wt + _HX]
+    frozen: jax.Array     # int32 same shape
+    height: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+    band: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    wt: int = dataclasses.field(metadata=dict(static=True))
+
+
+def pad_state(state: GridState, chunk_depth: int = 16,
+              band: int | None = None, k: int | None = None,
+              wt: int | None = None) -> TiledGrid:
+    h, w = state.u.shape
+    if band is None or k is None or wt is None:
+        band, k, wt = choose_tiled_layout((h, w), chunk_depth)
+    nb = -(-h // band)
+    nt = -(-w // wt)
+    hp = nb * band + 2 * k
+    wp = nt * wt + 2 * _HX
+    u = jnp.full((hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
+    u = u.at[k : k + h, _HX : _HX + w].set(state.u)
+    interior = np.zeros((hp, wp), dtype=bool)
+    interior[k + 1 : k + h - 1, _HX + 1 : _HX + w - 1] = True
+    frozen = jnp.ones((hp, wp), dtype=jnp.int32)
+    frozen = frozen.at[k : k + h, _HX : _HX + w].set(
+        state.locked.astype(jnp.int32)
+    )
+    frozen = jnp.where(jnp.asarray(interior), frozen, 1)
+    return TiledGrid(u=u, frozen=frozen, height=h, width=w,
+                     band=band, k=k, wt=wt)
+
+
+def unpad(g: TiledGrid) -> jax.Array:
+    return g.u[g.k : g.k + g.height, _HX : _HX + g.width]
+
+
+def update_n(state: GridState, num_steps: int,
+             chunk_depth: int = 16, interpret: bool | None = None) -> GridState:
+    """Anytime chunk stepper; semantics identical to core.update_n (delta
+    from the overall first sweep)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = pad_state(state, chunk_depth)
+    u = g.u
+    t = 0
+    delta = None
+    while t < num_steps:
+        d = min(g.k, num_steps - t)
+        u, dd = sweep_chunk_tiled(
+            u, g.frozen, state.iteration + t, d, g.band, g.k, g.wt, interpret
+        )
+        if delta is None:
+            delta = dd
+        t += d
+    return dataclasses.replace(
+        state,
+        u=u[g.k : g.k + g.height, _HX : _HX + g.width],
+        iteration=state.iteration + num_steps,
+        delta=delta,
+        converged=(delta < state.epsilon) if num_steps == 1 else jnp.asarray(False),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stagger", "max_iterations", "band", "k", "wt",
+                     "interpret", "height", "width"),
+    donate_argnums=(0,),
+)
+def _solve_tiled(
+    u, frozen, epsilon, stagger: int, max_iterations: int, band: int,
+    k: int, wt: int, interpret: bool, height: int, width: int,
+):
+    """Full solve protocol on the tiled path, one device program (same
+    structure as pallas_biggrid._solve_banded: check sweep = a 1-sweep
+    chunk, then stagger-1 sweeps as a fori over one K-chunk call site)."""
+    m_max = max(height, width)
+    chunk_fn = sweep_chunk_tiled.__wrapped__
+
+    def cond(carry):
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
+
+    def body(carry):
+        u, iteration, _, _ = carry
+        u, delta = chunk_fn(u, frozen, iteration, 1, band, k, wt, interpret)
+        iteration = iteration + 1
+        done = (delta < epsilon) & (iteration >= m_max)
+
+        def run_rest(args):
+            u, iteration = args
+            rest = stagger - 1
+            n_full, rem = divmod(rest, k)
+
+            def chunk_body(i, carry):
+                u, it = carry
+                u, _ = chunk_fn(u, frozen, it, k, band, k, wt, interpret)
+                return u, it + k
+
+            u, iteration = jax.lax.fori_loop(
+                0, n_full, chunk_body, (u, iteration)
+            )
+            if rem:
+                u, _ = chunk_fn(u, frozen, iteration, rem, band, k, wt,
+                                interpret)
+                iteration = iteration + rem
+            return u, iteration
+
+        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
+        return u, iteration, delta, done
+
+    return jax.lax.while_loop(
+        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+    )
+
+
+def solve(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    chunk_depth: int = 16,
+    interpret: bool | None = None,
+) -> GridState:
+    """Relax to convergence; protocol identical to core.solve
+    (harmonic_complete_cpu), 2D-tiled big-grid kernel, one device program."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = pad_state(state, chunk_depth)
+    u, iteration, delta, converged = _solve_tiled(
+        g.u, g.frozen, state.epsilon, stagger, max_iterations, g.band,
+        g.k, g.wt, interpret, g.height, g.width,
+    )
+    return dataclasses.replace(
+        state,
+        u=u[g.k : g.k + g.height, _HX : _HX + g.width],
+        iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )

@@ -1,0 +1,109 @@
+"""Big-grid 2D-tiled DMA kernel (pallas_tiled2d): exactness vs the oracle,
+the banded kernel, and the XLA solver — interpret mode on CPU."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import epic_tpu
+from epic_tpu import maps
+from epic_tpu.solver import core, pallas_biggrid, pallas_tiled2d, reference_np
+
+
+def _state(h, w, seed=0, eps=1e-2):
+    img = maps.random_obstacles(h, w, density=0.12, seed=seed)
+    return epic_tpu.from_occupancy_image(img, epsilon=eps)
+
+
+@pytest.mark.parametrize("h,w,band,k,wt", [
+    (96, 300, 16, 8, 128),    # several bands x several tiles
+    (64, 140, 8, 8, 128),     # k == band, ragged width (padded last tile)
+    (40, 520, 16, 8, 256),    # wide, 256-col tiles
+    (30, 130, 16, 16, 128),   # single band, two tiles
+])
+def test_tiled_chunk_bitmatches_global_sweeps(h, w, band, k, wt):
+    st = _state(h, w, seed=3)
+    g = pallas_tiled2d.pad_state(st, band=band, k=k, wt=wt)
+    u_np = np.asarray(st.u)
+    locked = np.asarray(st.locked)
+
+    u_pad = g.u
+    t = 0
+    # Full chunks and a shallow remainder; total sweeps stay ~20 so the
+    # XLA-CPU-vs-NumPy transcendental drift stays under the 2e-6 bar (the
+    # kernel is bit-exact vs the banded chunks at any depth — next test).
+    for depth in (k, 3, min(k, 20 - k - 3)):
+        u_pad, delta = pallas_tiled2d.sweep_chunk_tiled(
+            u_pad, g.frozen, jnp.int32(t), depth, band, k, wt, True
+        )
+        for s in range(depth):
+            u_np, d_ref = reference_np.sweep(u_np, locked, t + s)
+            if s == 0:
+                assert float(delta) == pytest.approx(float(d_ref), abs=1e-6)
+        t += depth
+        got = np.asarray(
+            u_pad[k : k + h, pallas_tiled2d._HX : pallas_tiled2d._HX + w]
+        )
+        np.testing.assert_allclose(got, u_np, rtol=0, atol=2e-6,
+                                   err_msg=f"after t={t}")
+
+
+@pytest.mark.parametrize("band,k", [(16, 8), (16, 16)])
+def test_tiled_chunk_bitmatches_banded_chunk(band, k):
+    """Tiled and row-banded chunks must produce identical grids (both are
+    bit-exact re-tilings of the same global sweeps) at any chunk depth."""
+    st = _state(72, 280, seed=5)
+    gt = pallas_tiled2d.pad_state(st, band=band, k=k, wt=128)
+    gb = pallas_biggrid.pad_state(st, band=band, k=k)
+    u_t, u_b = gt.u, gb.u
+    t = 0
+    for depth in (k, 1, 5):
+        u_t, del_t = pallas_tiled2d.sweep_chunk_tiled(
+            u_t, gt.frozen, jnp.int32(t), depth, band, k, 128, True
+        )
+        u_b, del_b = pallas_biggrid.sweep_chunk_dma(
+            u_b, gb.frozen, jnp.int32(t), depth, band, k, True
+        )
+        assert float(del_t) == float(del_b)
+        np.testing.assert_array_equal(
+            np.asarray(u_t[k : k + 72, 128 : 128 + 280]),
+            np.asarray(u_b[k : k + 72, :280]),
+        )
+        t += depth
+
+
+def test_update_n_matches_core():
+    st = _state(80, 260, seed=5)
+    out_t = pallas_tiled2d.update_n(st, 37, chunk_depth=16)
+    out_ref = core.update_n(st, 37)
+    np.testing.assert_allclose(
+        np.asarray(out_t.u), np.asarray(out_ref.u), rtol=0, atol=2e-6
+    )
+    assert int(out_t.iteration) == int(out_ref.iteration)
+
+
+def test_solve_matches_core_protocol():
+    st = _state(64, 160, seed=7, eps=1e-2)
+    out_t = pallas_tiled2d.solve(st, stagger=13)
+    out_ref = core.solve(st, stagger=13)
+    assert int(out_t.iteration) == int(out_ref.iteration)
+    assert bool(out_t.converged)
+    np.testing.assert_allclose(
+        np.asarray(out_t.u), np.asarray(out_ref.u), rtol=0, atol=1e-5
+    )
+    assert float(out_t.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
+
+
+def test_layout_chooser_budget_and_redundancy():
+    for shape in [(16384, 16384), (32768, 32768), (8192, 8192),
+                  (4096, 65536)]:
+        band, k, wt = pallas_tiled2d.choose_tiled_layout(shape)
+        assert (band + 2 * k) * (wt + 256) <= pallas_biggrid.EXT_BAND_CELL_BUDGET
+        assert band % 8 == 0 and k in (8, 16) and wt % 128 == 0
+    # The point of the tiled kernel: redundancy stays ~1.1 at widths where
+    # the row-banded layout degrades toward 1.33-2x.
+    red_16k = pallas_tiled2d.redundancy_tiled((16384, 16384))
+    band_b, k_b = pallas_biggrid.choose_layout((16384, 16384))
+    red_band_16k = (band_b + 2 * k_b) / band_b
+    assert red_16k < 1.15 < red_band_16k
+    assert pallas_tiled2d.redundancy_tiled((32768, 32768)) < 1.15
