@@ -187,12 +187,16 @@ class Planner:
 
         if backend != "pallas" and jax.default_backend() != "tpu":
             return None
-        from .solver import pallas_biggrid, pallas_packed, pallas_sweep
+        from .solver import (
+            pallas_biggrid, pallas_packed, pallas_sweep, pallas_tiled2d,
+        )
 
         if pallas_sweep.fits_vmem(st.u.shape):
             if self.solver_config.kernel == "packed":
                 return pallas_packed
             return pallas_sweep
+        if pallas_tiled2d.prefer_tiled(st.u.shape):
+            return pallas_tiled2d
         return pallas_biggrid
 
     def _use_pallas(self) -> bool:
@@ -208,12 +212,14 @@ class Planner:
         if mod is None:
             self.state = core.update_n(self.state, n)
             return
-        from .solver import pallas_biggrid, pallas_sweep
+        from .solver import pallas_biggrid, pallas_sweep, pallas_tiled2d
 
         if mod is pallas_sweep:
             self._update_vmem_cached(n)
         elif mod is pallas_biggrid:
             self._update_biggrid_cached(n)
+        elif mod is pallas_tiled2d:
+            self._update_tiled_cached(n)
         else:
             self.state = mod.update_n(self.state, n)
 
@@ -297,6 +303,47 @@ class Planner:
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
         self._pad_cache = (self.state, (new_g, frozen_arg))
+
+    def _update_tiled_cached(self, n: int) -> None:
+        """2D-tiled-kernel tick (wide grids where the banded layout's halo
+        redundancy degrades, pallas_tiled2d.prefer_tiled) reusing the
+        guard-padded buffers across ticks."""
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from .solver import pallas_tiled2d
+
+        st = self.state
+        if self._pad_cache is not None and self._pad_cache[0] is st:
+            g = self._pad_cache[1]
+        else:
+            g = pallas_tiled2d.pad_state(
+                st, chunk_depth=self.solver_config.tile_depth
+            )
+        interpret = jax.default_backend() == "cpu"
+        u = g.u
+        t = 0
+        delta = None
+        while t < n:
+            d = min(g.k, n - t)
+            u, dd = pallas_tiled2d.sweep_chunk_tiled(
+                u, g.frozen, st.iteration + t, d, g.band, g.k, g.wt, interpret
+            )
+            if delta is None:
+                delta = dd
+            t += d
+        new_g = _dc.replace(g, u=u)
+        hx = pallas_tiled2d._HX
+        self.state = _dc.replace(
+            st,
+            u=u[g.k : g.k + g.height, hx : hx + g.width],
+            iteration=st.iteration + n,
+            delta=delta,
+            converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
+        )
+        self._pad_cache = (self.state, new_g)
 
     def solve(self) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as

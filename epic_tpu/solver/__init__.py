@@ -13,6 +13,7 @@ from . import (
     pallas_sweep,
     pallas_sweep3d,
     pallas_tiled,
+    pallas_tiled2d,
     reference_np,
 )
 
@@ -31,6 +32,7 @@ __all__ = [
     "pallas_sweep",
     "pallas_sweep3d",
     "pallas_tiled",
+    "pallas_tiled2d",
     "reference_np",
 ]
 
@@ -55,6 +57,8 @@ def solve_grid(state, stagger=None, **kw):
         return core.solve(state, stagger, **kw)
     if pallas_sweep.fits_vmem(state.u.shape):
         return pallas_sweep.solve(state, stagger, **kw)
+    if pallas_tiled2d.prefer_tiled(state.u.shape):
+        return pallas_tiled2d.solve(state, stagger, **kw)
     return pallas_biggrid.solve(state, stagger, **kw)
 
 
@@ -68,6 +72,8 @@ def update_grid(state, num_steps, **kw):
         return core.update_n(state, num_steps)
     if pallas_sweep.fits_vmem(state.u.shape):
         return pallas_sweep.update_n(state, num_steps, **kw)
+    if pallas_tiled2d.prefer_tiled(state.u.shape):
+        return pallas_tiled2d.update_n(state, num_steps, **kw)
     return pallas_biggrid.update_n(state, num_steps, **kw)
 
 

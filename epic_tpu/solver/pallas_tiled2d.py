@@ -45,29 +45,32 @@ _HX = 128  # column guard per side (lane-tile aligned; >= any supported k)
 
 
 def tile_layouts(shape: tuple[int, int], chunk_depth: int = 16):
-    """Candidate (band, k, wt) layouts with their total halo redundancy."""
+    """Candidate (band, k, wt) layouts with their total halo redundancy.
+
+    k is pinned to min(16, chunk_depth): probe25 measured k=16 faster than
+    k=8 at every shape despite its slightly higher redundancy (42.6 vs
+    40.3 G updates/s at 16384² — deeper chunks amortize writeback traffic
+    and give the cross-step DMA prefetch more room), matching the banded
+    kernels' K-depth scan (probe10)."""
     h, w = shape
+    k = min(16, max(8, chunk_depth // 8 * 8))
     out = []
     for wt in (1024, 2048, 4096, 8192):
         wext = wt + 2 * _HX
-        for k in (8, 16, 32):
-            if k > chunk_depth:
-                continue
-            ext_max = (EXT_BAND_CELL_BUDGET // wext) // 8 * 8
-            band_max = ext_max - 2 * k
-            if band_max < 8:
-                continue
-            nb = -(-h // band_max)
-            band = _round_up(-(-h // nb), 8)
-            band = max(8, band)
-            red = (band + 2 * k) / band * wext / wt
-            out.append((red, band, k, wt))
+        ext_max = (EXT_BAND_CELL_BUDGET // wext) // 8 * 8
+        band_max = ext_max - 2 * k
+        if band_max < 8:
+            continue
+        nb = -(-h // band_max)
+        band = _round_up(-(-h // nb), 8)
+        band = max(8, band)
+        red = (band + 2 * k) / band * wext / wt
+        out.append((red, band, k, wt))
     return sorted(out)
 
 
 def choose_tiled_layout(shape: tuple[int, int], chunk_depth: int = 16):
-    """Lowest-redundancy tiled layout; ties broken toward deeper k (fewer
-    HBM round trips) by the sort on (redundancy, band)."""
+    """Lowest-redundancy tiled layout at the production chunk depth."""
     cands = tile_layouts(shape, chunk_depth)
     if not cands:
         raise ValueError(f"no tiled layout fits the VMEM budget for {shape}")
@@ -78,6 +81,20 @@ def choose_tiled_layout(shape: tuple[int, int], chunk_depth: int = 16):
 def redundancy_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> float:
     cands = tile_layouts(shape, chunk_depth)
     return cands[0][0] if cands else float("inf")
+
+
+def prefer_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
+    """Production regime selection: the tiled kernel wins only where the
+    row-banded layout's redundancy substantially exceeds the tiled one —
+    its strided slab DMAs cost a little versus the banded kernel's
+    contiguous row slices (probe25: 16384² tiled 42.6 vs banded 38.0 G
+    updates/s, but 8192² banded 42.4 vs tiled 40.3). Rule: tiled iff
+    banded redundancy exceeds tiled by > 0.1 (true from ~12k widths up)."""
+    from .pallas_biggrid import choose_layout
+
+    band_b, k_b = choose_layout(shape, chunk_depth)
+    red_banded = (band_b + 2 * k_b) / band_b
+    return red_banded - redundancy_tiled(shape, chunk_depth) > 0.1
 
 
 def _tile_kernel(it_ref, u_hbm, f_hbm, u_out, delta_ref,

@@ -316,3 +316,24 @@ def test_planner_cascade_solve():
     poses = pl.compute_path(pl.map_to_world(10, 10), step_size=0.2,
                             cd_precision=0.4)
     assert len(poses) > 2
+
+
+def test_tiled_cached_tick_matches_xla():
+    """The wide-grid tiled tick (pallas_tiled2d) through the planner's pad
+    cache matches the XLA path and reuses buffers across ticks."""
+    pl = Planner(PlannerConfig(epsilon=1e-2, backend="pallas"))
+    pl.init(40, 48)
+    pl.add_goals([(20.0, 24.0)])
+    pl._update_tiled_cached(10)
+    c1 = pl._pad_cache
+    assert c1 is not None and c1[0] is pl.state
+    pl._update_tiled_cached(13)
+    assert pl._pad_cache[0] is pl.state and pl._pad_cache is not c1
+    ref = Planner(PlannerConfig(epsilon=1e-2, backend="xla"))
+    ref.init(40, 48)
+    ref.add_goals([(20.0, 24.0)])
+    ref.update(23)
+    np.testing.assert_allclose(
+        np.asarray(pl.state.u), np.asarray(ref.state.u), rtol=0, atol=1e-5
+    )
+    assert int(pl.state.iteration) == int(ref.state.iteration)
