@@ -207,30 +207,9 @@ def _double_shape(shape):
 
 
 def _auto_solver(ndim: int):
-    import jax
+    from . import solve_grid  # type: ignore[attr-defined]
 
-    from . import core
+    def solver(st, stagger, max_iterations):
+        return solve_grid(st, stagger=stagger, max_iterations=max_iterations)
 
-    if ndim == 3:
-        from . import solve_volume  # type: ignore[attr-defined]
-
-        def solver3(st, stagger, max_iterations):
-            return solve_volume(st, stagger=stagger,
-                                max_iterations=max_iterations)
-
-        return solver3
-
-    if jax.default_backend() == "cpu":
-        return lambda st, stagger, max_iterations: core.solve(
-            st, stagger, max_iterations)
-
-    from . import pallas_biggrid, pallas_sweep
-
-    def solver2(st, stagger, max_iterations):
-        if pallas_sweep.fits_vmem(st.u.shape):
-            return pallas_sweep.solve(st, stagger=stagger,
-                                      max_iterations=max_iterations)
-        return pallas_biggrid.solve(st, stagger=stagger,
-                                    max_iterations=max_iterations)
-
-    return solver2
+    return solver
