@@ -97,13 +97,29 @@ def prefer_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
     return red_banded - redundancy_tiled(shape, chunk_depth) > 0.1
 
 
-def _tile_kernel(it_ref, u_hbm, f_hbm, u_out, delta_ref,
-                 u_vmem, f_vmem, sems,
-                 *, num_sweeps, band, k, wt):
+def prefer_tiled_solve(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
+    """Solve-protocol regime selection. SOLVES prefer the tiled path earlier
+    than chunks do: the banded solve loop re-materializes the stacked array
+    (gather chunks) or pays un-overlapped small-band DMA per cycle, so at
+    8192² the tiled solve runs 37.7 G updates/s vs the banded 30.0 even
+    though banded wins the raw chunk race there (probe29/30). Banded still
+    wins solves at 2048² (29.7 vs 17.2 — the tiled layout degenerates to
+    nt=1 with only 3 pipeline steps). Rule: tiled for padded widths >= 4096
+    (measured wins at 4096/8192/16384)."""
+    return _round_up(shape[1], 128) >= 4096 or prefer_tiled(shape, chunk_depth)
+
+
+def _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
+                      u_vmem, f_vmem, sems,
+                      *, num_sweeps, band, k, wt):
     """num_sweeps guarded sweeps on one (ext_r x wext) slab, double-buffered
     across the flattened (band, tile) grid: step i prefetches slab i+1's
     strided HBM slice into the other scratch slot before computing (grid
-    steps run sequentially on TPU)."""
+    steps run sequentially on TPU). When ``u1_out`` is a ref (the check
+    variant), the post-first-sweep center is also written so the solve
+    protocol can fold the staggered convergence check into a full K-chunk
+    and still exit with the exact post-check-sweep state the reference
+    exits with (harmonic_cpu.cpp:158-173)."""
     j = pl.program_id(0)
     c = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -171,8 +187,18 @@ def _tile_kernel(it_ref, u_hbm, f_hbm, u_out, delta_ref,
 
     u1 = sweep(0, u0)
     delta_ref[j, c] = jnp.max(jnp.abs(u1 - u0))
+    if u1_out is not None:
+        u1_out[:] = u1[k : k + band, _HX : _HX + wt]
     u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
     u_out[:] = u[k : k + band, _HX : _HX + wt]
+
+
+def _tile_kernel(it_ref, u_hbm, f_hbm, u_out, delta_ref,
+                 u_vmem, f_vmem, sems,
+                 *, num_sweeps, band, k, wt):
+    _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, None, delta_ref,
+                      u_vmem, f_vmem, sems,
+                      num_sweeps=num_sweeps, band=band, k=k, wt=wt)
 
 
 @functools.partial(
@@ -235,6 +261,76 @@ def sweep_chunk_tiled(
 
     u_new = jax.lax.dynamic_update_slice(u_pad, out_u, (k, _HX))
     return u_new, jnp.max(out_delta)
+
+
+def _tile_kernel_check(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
+                       u_vmem, f_vmem, sems,
+                       *, num_sweeps, band, k, wt):
+    _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
+                      u_vmem, f_vmem, sems,
+                      num_sweeps=num_sweeps, band=band, k=k, wt=wt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "band", "k", "wt", "interpret")
+)
+def sweep_chunk_tiled_check(
+    u_pad: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    band: int,
+    k: int,
+    wt: int,
+    interpret: bool = False,
+):
+    """Check chunk: num_sweeps sweeps, returning the raw center blocks
+    ``(out_uk, out_u1, delta)`` where out_u1 is the post-first-sweep state
+    and delta its residual. The caller dynamic-update-slices whichever
+    center the protocol selects (only one DUS executes under lax.cond)."""
+    hp, wp = u_pad.shape
+    nb = (hp - 2 * k) // band
+    nt = (wp - 2 * _HX) // wt
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert nt * wt + 2 * _HX == wp, (wp, wt)
+    assert num_sweeps <= min(k, _HX)
+    ext_r = band + 2 * k
+    wext = wt + 2 * _HX
+
+    out_uk, out_u1, out_delta = pl.pallas_call(
+        functools.partial(_tile_kernel_check, num_sweeps=num_sweeps,
+                          band=band, k=k, wt=wt),
+        grid=(nb, nt),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band, nt * wt), jnp.float32),
+            jax.ShapeDtypeStruct((nb * band, nt * wt), jnp.float32),
+            jax.ShapeDtypeStruct((nb, nt), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((band, wt), lambda j, c: (j, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, wt), lambda j, c: (j, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_r, wext), jnp.float32),
+            pltpu.VMEM((2, ext_r, wext), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_pad, frozen_pad)
+
+    return out_uk, out_u1, jnp.max(out_delta)
 
 
 @jax.tree_util.register_dataclass
@@ -313,11 +409,21 @@ def _solve_tiled(
     u, frozen, epsilon, stagger: int, max_iterations: int, band: int,
     k: int, wt: int, interpret: bool, height: int, width: int,
 ):
-    """Full solve protocol on the tiled path, one device program (same
-    structure as pallas_biggrid._solve_banded: check sweep = a 1-sweep
-    chunk, then stagger-1 sweeps as a fori over one K-chunk call site)."""
+    """Full solve protocol on the tiled path, one device program.
+
+    Unlike pallas_biggrid._solve_banded (whose staggered check is a
+    dedicated 1-sweep chunk — a full HBM round trip for one sweep), the
+    check here is FOLDED into the first K-deep chunk of each cycle via
+    :func:`sweep_chunk_tiled_check`, which returns both the post-check-sweep
+    and post-K-sweep states. On a passing check the loop exits with the
+    exact post-check-sweep state and ``iteration ≡ 1 (mod stagger)``, as
+    the reference does (harmonic_cpu.cpp:158-173); otherwise the K sweeps
+    already ran and the cycle continues with stagger-K more.
+    """
     m_max = max(height, width)
     chunk_fn = sweep_chunk_tiled.__wrapped__
+    check_fn = sweep_chunk_tiled_check.__wrapped__
+    cd = min(k, stagger)
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -325,13 +431,23 @@ def _solve_tiled(
 
     def body(carry):
         u, iteration, _, _ = carry
-        u, delta = chunk_fn(u, frozen, iteration, 1, band, k, wt, interpret)
-        iteration = iteration + 1
-        done = (delta < epsilon) & (iteration >= m_max)
+        out_uk, out_u1, delta = check_fn(
+            u, frozen, iteration, cd, band, k, wt, interpret
+        )
+        done = (delta < epsilon) & (iteration + 1 >= m_max)
+
+        def finish(args):
+            u, iteration = args
+            return (
+                jax.lax.dynamic_update_slice(u, out_u1, (k, _HX)),
+                iteration + 1,
+            )
 
         def run_rest(args):
             u, iteration = args
-            rest = stagger - 1
+            u = jax.lax.dynamic_update_slice(u, out_uk, (k, _HX))
+            iteration = iteration + cd
+            rest = stagger - cd
             n_full, rem = divmod(rest, k)
 
             def chunk_body(i, carry):
@@ -348,7 +464,7 @@ def _solve_tiled(
                 iteration = iteration + rem
             return u, iteration
 
-        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
+        u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
         return u, iteration, delta, done
 
     return jax.lax.while_loop(

@@ -107,3 +107,19 @@ def test_layout_chooser_budget_and_redundancy():
     red_band_16k = (band_b + 2 * k_b) / band_b
     assert red_16k < 1.15 < red_band_16k
     assert pallas_tiled2d.redundancy_tiled((32768, 32768)) < 1.15
+
+
+@pytest.mark.parametrize("stagger,eps", [(5, 1e-2), (13, 1e-1), (100, 1e-1)])
+def test_solve_check_fold_protocol_edges(stagger, eps):
+    """The folded check chunk must preserve the exit rules exactly across
+    stagger < k, stagger > k with remainders, and early convergence."""
+    st = _state(48, 150, seed=11, eps=eps)
+    out_t = pallas_tiled2d.solve(st, stagger=stagger)
+    out_ref = core.solve(st, stagger=stagger)
+    assert int(out_t.iteration) == int(out_ref.iteration)
+    assert int(out_t.iteration) % stagger == 1
+    assert bool(out_t.converged) == bool(out_ref.converged)
+    np.testing.assert_allclose(
+        np.asarray(out_t.u), np.asarray(out_ref.u), rtol=0, atol=1e-5
+    )
+    assert float(out_t.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
