@@ -351,16 +351,6 @@ class Planner:
         With ``config.cascade`` the solve warm-starts through a resolution
         pyramid (solver.cascade) — same certificate, fewer sweeps."""
         mod = self._kernel_module()
-        if mod is not None and self.state is not None and self.state.u.ndim == 2:
-            # Solve-protocol regime differs from the chunk regime: the tiled
-            # solve wins from 4096-wide grids up even where banded chunks
-            # win (pallas_tiled2d.prefer_tiled_solve, probe29/30).
-            from .solver import pallas_biggrid, pallas_tiled2d
-
-            if mod is pallas_biggrid and pallas_tiled2d.prefer_tiled_solve(
-                self.state.u.shape
-            ):
-                mod = pallas_tiled2d
         solve_fn = getattr(mod, "solve", None) if mod is not None else None
         if solve_fn is None:
             # XLA path, or a kernel module without a solve loop (packed).

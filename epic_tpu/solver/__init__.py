@@ -57,7 +57,7 @@ def solve_grid(state, stagger=None, **kw):
         return core.solve(state, stagger, **kw)
     if pallas_sweep.fits_vmem(state.u.shape):
         return pallas_sweep.solve(state, stagger, **kw)
-    if pallas_tiled2d.prefer_tiled_solve(state.u.shape):
+    if pallas_tiled2d.prefer_tiled(state.u.shape):
         return pallas_tiled2d.solve(state, stagger, **kw)
     return pallas_biggrid.solve(state, stagger, **kw)
 

@@ -78,7 +78,9 @@ def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
     wp = _round_up(w, 128)
     ext_max = max(32, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
     k = min(chunk_depth, ext_max // 4)  # at most half the band is halo
-    k = max(8, k // 8 * 8)
+    # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. a multiple of 4
+    # (k=20 gives stagger-100 solve cycles exactly 5 chunks).
+    k = max(8, k // 4 * 4)
     band_max = ext_max - 2 * k
     nb = -(-h // band_max)
     band = _round_up(-(-h // nb), 8)
@@ -188,9 +190,9 @@ def sweep_chunk_bands(
     return u_new, jnp.max(out_delta)
 
 
-def _band_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
-                     u_vmem, f_vmem, sems,
-                     *, num_sweeps, band, k, w):
+def _band_kernel_dma_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
+                          u_vmem, f_vmem, sems,
+                          *, num_sweeps, band, k, w):
     """DMA variant of :func:`_band_kernel`: extended bands are CONTIGUOUS
     row ranges of the guard-padded grid, so each grid step copies its slice
     straight from HBM into VMEM scratch instead of reading a pre-gathered
@@ -254,8 +256,85 @@ def _band_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
 
     u1 = sweep(0, u0)
     delta_ref[i, 0] = jnp.max(jnp.abs(u1 - u0))
+    if u1_out is not None:
+        # Check variant: also write the post-first-sweep center so the
+        # solve protocol can fold the staggered check into a full K-chunk
+        # (same trick as pallas_tiled2d.sweep_chunk_tiled_check).
+        u1_out[:] = u1[k : k + band, :]
     u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
     u_out[:] = u[k : k + band, :]
+
+
+def _band_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
+                     u_vmem, f_vmem, sems,
+                     *, num_sweeps, band, k, w):
+    _band_kernel_dma_impl(it_ref, u_hbm, f_hbm, u_out, None, delta_ref,
+                          u_vmem, f_vmem, sems,
+                          num_sweeps=num_sweeps, band=band, k=k, w=w)
+
+
+def _band_kernel_dma_check(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
+                           u_vmem, f_vmem, sems,
+                           *, num_sweeps, band, k, w):
+    _band_kernel_dma_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
+                          u_vmem, f_vmem, sems,
+                          num_sweeps=num_sweeps, band=band, k=k, w=w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "band", "k", "interpret")
+)
+def sweep_chunk_dma_check(
+    u_pad: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    band: int,
+    k: int,
+    interpret: bool = False,
+):
+    """Check chunk: num_sweeps sweeps via the manual-DMA banded kernel,
+    returning the raw center blocks ``(out_uk, out_u1, delta)`` where
+    out_u1 is the post-first-sweep state and delta its residual; the
+    caller dynamic-update-slices whichever center the protocol selects."""
+    hp, wp = u_pad.shape
+    nb = (hp - 2 * k) // band
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert num_sweeps <= k
+    ext = band + 2 * k
+
+    out_uk, out_u1, out_delta = pl.pallas_call(
+        functools.partial(_band_kernel_dma_check, num_sweeps=num_sweeps,
+                          band=band, k=k, w=wp),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb * band, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, wp), jnp.float32),
+            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_pad, frozen_pad)
+
+    return out_uk, out_u1, jnp.max(out_delta)
 
 
 @functools.partial(
@@ -381,22 +460,29 @@ def update_n(state: GridState, num_steps: int,
 @functools.partial(
     jax.jit,
     static_argnames=("stagger", "max_iterations", "band", "k", "interpret",
-                     "height", "width", "use_dma"),
+                     "height", "width"),
     donate_argnums=(0,),
 )
 def _solve_banded(
-    u, frozen_arg, epsilon, stagger: int, max_iterations: int, band: int,
-    k: int, interpret: bool, height: int, width: int, use_dma: bool = False,
+    u, frozen_pad, epsilon, stagger: int, max_iterations: int, band: int,
+    k: int, interpret: bool, height: int, width: int,
 ):
     """Full solve protocol on the banded path, one device program.
 
-    Check sweep = a 1-sweep chunk (its delta is the staggered check); the
-    remaining stagger-1 sweeps run as K-deep chunks. ``frozen_arg`` is the
-    un-stacked mask when ``use_dma`` (the DMA chunk slices it itself), the
-    pre-stacked mask otherwise.
+    The staggered check is FOLDED into the first K-chunk of each cycle via
+    :func:`sweep_chunk_dma_check` (which also returns the post-check-sweep
+    state, so a passing check exits with exactly the reference's state and
+    ``iteration ≡ 1 (mod stagger)``, harmonic_cpu.cpp:158-173). The solve
+    loop always runs the manual-DMA chunks: the gather chunk would
+    re-materialize the stacked array inside the loop every chunk — probe32
+    measured the gather solve at 29.7 G updates/s at 2048² vs this loop's
+    DMA+folded structure, despite the gather chunk winning the RAW chunk
+    race at low redundancy (probe19/21).
     """
     m_max = max(height, width)
-    chunk_fn = (sweep_chunk_dma if use_dma else sweep_chunk_bands).__wrapped__
+    chunk_fn = sweep_chunk_dma.__wrapped__
+    check_fn = sweep_chunk_dma_check.__wrapped__
+    cd = min(k, stagger)
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -404,25 +490,33 @@ def _solve_banded(
 
     def body(carry):
         u, iteration, _, _ = carry
-        u, delta = chunk_fn(
-            u, frozen_arg, iteration, 1, band, k, interpret
+        out_uk, out_u1, delta = check_fn(
+            u, frozen_pad, iteration, cd, band, k, interpret
         )
-        iteration = iteration + 1
-        done = (delta < epsilon) & (iteration >= m_max)
+        done = (delta < epsilon) & (iteration + 1 >= m_max)
+
+        def finish(args):
+            u, iteration = args
+            return (
+                jax.lax.dynamic_update_slice(u, out_u1, (k, 0)),
+                iteration + 1,
+            )
 
         def run_rest(args):
-            # stagger-1 plain sweeps as equal K-chunks + one remainder chunk:
-            # a fori over ONE call site keeps the compiled program small
+            # Remaining sweeps as equal K-chunks + one remainder chunk: a
+            # fori over ONE call site keeps the compiled program small
             # (unrolling ceil(stagger/K) pallas calls per body made cold
             # compiles through remote services pathologically slow).
             u, iteration = args
-            rest = stagger - 1
+            u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
+            iteration = iteration + cd
+            rest = stagger - cd
             n_full, rem = divmod(rest, k)
 
             def chunk_body(i, carry):
                 u, it = carry
                 u, _ = chunk_fn(
-                    u, frozen_arg, it, k, band, k, interpret
+                    u, frozen_pad, it, k, band, k, interpret
                 )
                 return u, it + k
 
@@ -431,12 +525,12 @@ def _solve_banded(
             )
             if rem:
                 u, _ = chunk_fn(
-                    u, frozen_arg, iteration, rem, band, k, interpret
+                    u, frozen_pad, iteration, rem, band, k, interpret
                 )
                 iteration = iteration + rem
             return u, iteration
 
-        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
+        u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
         return u, iteration, delta, done
 
     return jax.lax.while_loop(
@@ -456,11 +550,9 @@ def solve(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
-    use_dma = prefer_dma(g.band, g.k)
-    frozen_arg = g.frozen if use_dma else stack_frozen(g.frozen, g.band, g.k)
     u, iteration, delta, converged = _solve_banded(
-        g.u, frozen_arg, state.epsilon, stagger, max_iterations, g.band,
-        g.k, interpret, g.height, g.width, use_dma,
+        g.u, g.frozen, state.epsilon, stagger, max_iterations, g.band,
+        g.k, interpret, g.height, g.width,
     )
     return dataclasses.replace(
         state,

@@ -53,7 +53,8 @@ def tile_layouts(shape: tuple[int, int], chunk_depth: int = 16):
     and give the cross-step DMA prefetch more room), matching the banded
     kernels' K-depth scan (probe10)."""
     h, w = shape
-    k = min(16, max(8, chunk_depth // 8 * 8))
+    # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. k a multiple of 4.
+    k = min(32, max(8, chunk_depth // 4 * 4))
     out = []
     for wt in (1024, 2048, 4096, 8192):
         wext = wt + 2 * _HX
@@ -89,24 +90,17 @@ def prefer_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
     its strided slab DMAs cost a little versus the banded kernel's
     contiguous row slices (probe25: 16384² tiled 42.6 vs banded 38.0 G
     updates/s, but 8192² banded 42.4 vs tiled 40.3). Rule: tiled iff
-    banded redundancy exceeds tiled by > 0.1 (true from ~12k widths up)."""
+    banded redundancy exceeds tiled by > 0.1 (true from ~12k widths up).
+
+    Solves follow the same rule: with the banded solve restructured to
+    always-DMA chunks + the folded check (probe32/33: 33.9/40.7/38.9 G at
+    2048²/4096²/8192², beating the tiled solve's 17.2/37.3/36-38), the
+    crossover where tiled wins solves coincides with the chunk crossover."""
     from .pallas_biggrid import choose_layout
 
     band_b, k_b = choose_layout(shape, chunk_depth)
     red_banded = (band_b + 2 * k_b) / band_b
     return red_banded - redundancy_tiled(shape, chunk_depth) > 0.1
-
-
-def prefer_tiled_solve(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
-    """Solve-protocol regime selection. SOLVES prefer the tiled path earlier
-    than chunks do: the banded solve loop re-materializes the stacked array
-    (gather chunks) or pays un-overlapped small-band DMA per cycle, so at
-    8192² the tiled solve runs 37.7 G updates/s vs the banded 30.0 even
-    though banded wins the raw chunk race there (probe29/30). Banded still
-    wins solves at 2048² (29.7 vs 17.2 — the tiled layout degenerates to
-    nt=1 with only 3 pipeline steps). Rule: tiled for padded widths >= 4096
-    (measured wins at 4096/8192/16384)."""
-    return _round_up(shape[1], 128) >= 4096 or prefer_tiled(shape, chunk_depth)
 
 
 def _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,

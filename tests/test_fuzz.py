@@ -122,3 +122,36 @@ def test_random_grids_biggrid_matches_oracle(seed):
         t += d
     got = np.asarray(u_pad[k : k + h, :w])
     np.testing.assert_allclose(got, u_ref, rtol=2e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_grids_tiled2d_matches_oracle(seed):
+    """The 2D-tiled kernel on random shapes (random band/k/tile layouts,
+    ragged widths across tile boundaries, shallow remainder chunks)."""
+    from epic_tpu.solver import pallas_tiled2d
+
+    rng = np.random.default_rng(400 + seed)
+    h, w = int(rng.integers(24, 90)), int(rng.integers(140, 400))
+    u, locked = _random_grid(rng, h, w)
+    steps = int(rng.integers(3, 40))
+    band = int(rng.integers(1, 4)) * 8
+    k = 8
+    wt = 128
+    u_ref = u.copy()
+    for it in range(steps):
+        u_ref, _ = reference_np.sweep(u_ref, locked, it)
+    st = epic_tpu.make_state(u, locked)
+    g = pallas_tiled2d.pad_state(st, band=band, k=k, wt=wt)
+    import jax.numpy as jnp
+
+    u_pad = g.u
+    t = 0
+    while t < steps:
+        d = min(k, steps - t)
+        u_pad, _ = pallas_tiled2d.sweep_chunk_tiled(
+            u_pad, g.frozen, jnp.int32(t), d, band, k, wt, True
+        )
+        t += d
+    hx = pallas_tiled2d._HX
+    got = np.asarray(u_pad[k : k + h, hx : hx + w])
+    np.testing.assert_allclose(got, u_ref, rtol=2e-6, atol=1e-3)

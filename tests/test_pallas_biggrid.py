@@ -98,3 +98,19 @@ def test_dma_chunk_bitmatches_gather_chunk(h, w, band, k):
         assert float(del_g) == float(del_d)
         np.testing.assert_array_equal(np.asarray(u_g), np.asarray(u_d))
         t += depth
+
+
+@pytest.mark.parametrize("stagger,eps", [(5, 1e-2), (13, 1e-1), (100, 1e-1)])
+def test_solve_check_fold_protocol_edges(stagger, eps):
+    """The folded DMA check chunk must preserve the exit rules exactly
+    across stagger < k, stagger > k with remainders, and early convergence."""
+    st = _state(48, 150, seed=11, eps=eps)
+    out_b = pallas_biggrid.solve(st, stagger=stagger)
+    out_ref = core.solve(st, stagger=stagger)
+    assert int(out_b.iteration) == int(out_ref.iteration)
+    assert int(out_b.iteration) % stagger == 1
+    assert bool(out_b.converged) == bool(out_ref.converged)
+    np.testing.assert_allclose(
+        np.asarray(out_b.u), np.asarray(out_ref.u), rtol=0, atol=1e-5
+    )
+    assert float(out_b.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
