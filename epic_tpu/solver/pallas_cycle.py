@@ -1,0 +1,232 @@
+"""Ping-pong cycle kernel: N banded K-sweep chunks in ONE Pallas dispatch.
+
+The big-grid chunk loops (pallas_biggrid) dispatch one ``pallas_call`` per
+K sweeps and stitch results with a ``dynamic_update_slice``; at 2048²-8192²
+that costs per-chunk pipeline drains plus a full-grid DUS copy per chunk —
+the measured gap between the chunk rate (42.4 G updates/s at 8192²) and
+the redundancy-adjusted compute ceiling (~48 G). This kernel compiles a
+whole CHAIN of chunks into one dispatch over a ``(n_chunks, nb)`` grid:
+
+- two full guard-padded grids ``A``/``B`` ride along as input/output
+  ALIASED buffers; chunk ``c`` reads bands from one and writes centers to
+  the other (ping-pong), so no DUS ever materializes;
+- each band's write-back DMA is waited in the same grid step (~3% of a
+  step's compute), which makes every previously-written row visible to
+  all later reads with no cross-step semaphore bookkeeping;
+- the next band's slab is prefetched during compute as in
+  :func:`pallas_biggrid.sweep_chunk_dma`; the prefetch may cross a chunk
+  boundary only when the first slab of the next chunk cannot overlap the
+  row range this step is about to write (``(nb-2)·band >= k``, checked
+  statically) — otherwise the read simply starts at the next step.
+
+Chunk results are bit-identical to chained ``sweep_chunk_dma`` calls
+(tested, including nb=2 fallback, k == band, and odd/even chain lengths).
+Replaces the CUDA driver's one-launch-per-iteration loop
+(/root/reference/libepic/src/harmonic/harmonic_gpu.cu:266-290) at the
+other extreme: one launch per ~``n_chunks·k`` iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_biggrid import _VMEM_LIMIT
+
+_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+
+
+def _cycle_kernel(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
+                  u_vmem, f_vmem, rsem, wsem,
+                  *, k, band, w, nb, nc):
+    ext = band + 2 * k
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    lin = c * nb + i
+    slot = jax.lax.rem(lin, 2)
+    # Chunk c reads src(c) = A if c even else B, writes the other.
+    cross_prefetch = (nb - 2) * band >= k and nb >= 2
+
+    def start_read(cc, band_idx, rslot):
+        start = band_idx * band
+
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[pl.ds(start, ext), :], u_vmem.at[rslot],
+                rsem.at[rslot, 0],
+            ).start()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(start, ext), :], u_vmem.at[rslot],
+                rsem.at[rslot, 1],
+            ).start()
+
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start, ext), :], f_vmem.at[rslot],
+            rsem.at[rslot, 2],
+        ).start()
+
+    def wait_read(cc, band_idx, rslot):
+        start = band_idx * band
+
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[pl.ds(start, ext), :], u_vmem.at[rslot],
+                rsem.at[rslot, 0],
+            ).wait()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(start, ext), :], u_vmem.at[rslot],
+                rsem.at[rslot, 1],
+            ).wait()
+
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start, ext), :], f_vmem.at[rslot],
+            rsem.at[rslot, 2],
+        ).wait()
+
+    @pl.when(lin == 0)
+    def _():
+        start_read(0, 0, 0)
+
+    # Prefetch the next step's slab.
+    if cross_prefetch:
+        @pl.when(lin + 1 < nc * nb)
+        def _():
+            nxt = lin + 1
+            start_read(nxt // nb, jax.lax.rem(nxt, nb), jax.lax.rem(nxt, 2))
+    else:
+        # Only prefetch within the chunk; the first slab of the next chunk
+        # could overlap rows this step is about to write.
+        @pl.when(i + 1 < nb)
+        def _():
+            start_read(c, i + 1, jax.lax.rem(lin + 1, 2))
+
+        @pl.when((i == 0) & (lin > 0))
+        def _():
+            start_read(c, 0, slot)
+
+    wait_read(c, i, slot)
+
+    t0 = it_ref[0] + c * k
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
+    parity = (local_row + i * band - k + col) % 2
+
+    def sweep(s, u):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, ext - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, w - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (local_row > s) & (local_row < ext - 1 - s)
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[c, i] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, k, sweep, u1)
+    # Write the center back into this slot's scratch, DMA it to dst, and
+    # wait in-step: all written rows are visible to every later read.
+    u_vmem[slot] = u
+
+    def write_to(dst, wslot):
+        return pltpu.make_async_copy(
+            u_vmem.at[slot, pl.ds(k, band), :],
+            dst.at[pl.ds(k + i * band, band), :],
+            wsem.at[wslot],
+        )
+
+    @pl.when(jax.lax.rem(c, 2) == 0)
+    def _():
+        wcp = write_to(b_ref, 0)
+        wcp.start()
+        wcp.wait()
+
+    @pl.when(jax.lax.rem(c, 2) == 1)
+    def _():
+        wcp = write_to(a_ref, 1)
+        wcp.start()
+        wcp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "k", "band", "interpret")
+)
+def sweep_cycle(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    interpret: bool = False,
+):
+    """``n_chunks`` K-sweep chunks (= ``n_chunks * k`` red-black sweeps) in
+    one dispatch.
+
+    ``u_a`` holds the current guard-padded state; ``u_b`` is the ping-pong
+    twin (only its guard rows matter — pass a copy of ``u_a`` or the
+    previous call's other buffer). Returns ``(a', b', deltas)`` where
+    ``deltas[c]`` is the max residual of chunk ``c``'s first sweep; the
+    final state is in ``b'`` when ``n_chunks`` is odd, ``a'`` otherwise.
+    Buffers are aliased in-place; callers must treat the inputs as
+    consumed (jit donation composes).
+    """
+    hp, wp = u_a.shape
+    nb = (hp - 2 * k) // band
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert n_chunks >= 1
+    ext = band + 2 * k
+
+    a_out, b_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel, k=k, band=band, w=wp, nb=nb,
+                          nc=n_chunks),
+        grid=(n_chunks, nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nb), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, wp), jnp.float32),
+            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return a_out, b_out, jnp.max(deltas, axis=1)

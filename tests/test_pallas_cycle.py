@@ -1,0 +1,65 @@
+"""Ping-pong cycle kernel (pallas_cycle): N chunks in one dispatch must be
+bit-identical to chained sweep_chunk_dma calls — interpret mode on CPU."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import epic_tpu
+from epic_tpu import maps
+from epic_tpu.solver import pallas_biggrid, pallas_cycle
+
+
+def _state(h, w, seed=0, eps=1e-2):
+    img = maps.random_obstacles(h, w, density=0.12, seed=seed)
+    return epic_tpu.from_occupancy_image(img, epsilon=eps)
+
+
+@pytest.mark.parametrize("h,w,band,k,n_chunks", [
+    (96, 64, 16, 8, 4),     # nb=6, cross-chunk prefetch path, even chain
+    (96, 64, 16, 8, 3),     # odd chain (final state in B)
+    (40, 200, 16, 16, 5),   # k == band, nb small -> fallback prefetch
+    (34, 72, 16, 8, 2),     # nb=3 ragged height
+    (20, 72, 16, 8, 3),     # nb=2: no cross-chunk prefetch
+])
+def test_cycle_bitmatches_chained_chunks(h, w, band, k, n_chunks):
+    st = _state(h, w, seed=3)
+    g = pallas_biggrid.pad_state(st, band=band, k=k)
+
+    # Reference: chained single-chunk dispatches.
+    u_ref = g.u
+    deltas_ref = []
+    for c in range(n_chunks):
+        u_ref, d = pallas_biggrid.sweep_chunk_dma(
+            u_ref, g.frozen, jnp.int32(c * k), k, band, k, True
+        )
+        deltas_ref.append(float(d))
+
+    a, b, deltas = pallas_cycle.sweep_cycle(
+        g.u, g.u, g.frozen, jnp.int32(0), n_chunks, k, band, True
+    )
+    final = b if n_chunks % 2 else a
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
+
+
+def test_cycle_chains_across_calls():
+    """Consecutive cycle calls (reusing the ping-pong pair) continue the
+    relaxation exactly."""
+    st = _state(48, 80, seed=5)
+    g = pallas_biggrid.pad_state(st, band=16, k=8)
+
+    u_ref = g.u
+    for c in range(5):
+        u_ref, _ = pallas_biggrid.sweep_chunk_dma(
+            u_ref, g.frozen, jnp.int32(c * 8), 8, 16, 8, True
+        )
+
+    a, b, _ = pallas_cycle.sweep_cycle(
+        g.u, g.u, g.frozen, jnp.int32(0), 2, 8, 16, True
+    )
+    # 2 chunks done (final in a); continue with 3 more from iteration 16.
+    a, b, _ = pallas_cycle.sweep_cycle(
+        a, b, g.frozen, jnp.int32(16), 3, 8, 16, True
+    )
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(u_ref))
