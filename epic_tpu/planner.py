@@ -253,47 +253,44 @@ class Planner:
         self._pad_cache = (self.state, new_padded)
 
     def _update_biggrid_cached(self, n: int) -> None:
-        """Banded-kernel tick reusing the guard-padded u and the frozen mask
-        (pre-stacked for the gather chunk; un-stacked for the DMA chunk —
-        chunk selection follows pallas_biggrid.prefer_dma)."""
+        """Banded-kernel tick reusing the guard-padded buffers across ticks.
+        Full K-chunks run as ONE ping-pong cycle dispatch
+        (pallas_cycle.sweep_cycle — probe34); a shallow remainder runs as a
+        single DMA chunk. Typical 50-sweep tick = 2 dispatches."""
         import dataclasses as _dc
 
+        import jax
         import jax.numpy as jnp
 
-        from .solver import pallas_biggrid
+        from .solver import pallas_biggrid, pallas_cycle
 
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
-            g, frozen_arg = self._pad_cache[1]
+            g = self._pad_cache[1]
         else:
             sc = self.solver_config
             g = pallas_biggrid.pad_state(
                 st, chunk_depth=sc.tile_depth,
                 band=sc.tile_band, k=sc.tile_depth if sc.tile_band else None,
             )
-            frozen_arg = (
-                g.frozen if pallas_biggrid.prefer_dma(g.band, g.k)
-                else pallas_biggrid.stack_frozen(g.frozen, g.band, g.k)
-            )
-        import jax
-
         interpret = jax.default_backend() == "cpu"
-        chunk_fn = (
-            pallas_biggrid.sweep_chunk_dma
-            if pallas_biggrid.prefer_dma(g.band, g.k)
-            else pallas_biggrid.sweep_chunk_bands
-        )
         u = g.u
-        t = 0
         delta = None
-        while t < n:
-            d = min(g.k, n - t)
-            u, dd = chunk_fn(
-                u, frozen_arg, st.iteration + t, d, g.band, g.k, interpret
+        t = 0
+        n_full, rem = divmod(n, g.k)
+        if n_full:
+            a, b, deltas = pallas_cycle.sweep_cycle(
+                u, u, g.frozen, st.iteration, n_full, g.k, g.band, interpret
+            )
+            u = b if n_full % 2 else a
+            delta = deltas[0]
+            t = n_full * g.k
+        if rem:
+            u, dd = pallas_biggrid.sweep_chunk_dma(
+                u, g.frozen, st.iteration + t, rem, g.band, g.k, interpret
             )
             if delta is None:
                 delta = dd
-            t += d
         new_g = _dc.replace(g, u=u)
         self.state = _dc.replace(
             st,
@@ -302,7 +299,7 @@ class Planner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, (new_g, frozen_arg))
+        self._pad_cache = (self.state, new_g)
 
     def _update_tiled_cached(self, n: int) -> None:
         """2D-tiled-kernel tick (wide grids where the banded layout's halo
@@ -315,6 +312,8 @@ class Planner:
 
         from .solver import pallas_tiled2d
 
+        from .solver import pallas_cycle
+
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
             g = self._pad_cache[1]
@@ -324,16 +323,24 @@ class Planner:
             )
         interpret = jax.default_backend() == "cpu"
         u = g.u
-        t = 0
         delta = None
-        while t < n:
-            d = min(g.k, n - t)
+        t = 0
+        n_full, rem = divmod(n, g.k)
+        if n_full:
+            a, b, deltas = pallas_cycle.sweep_cycle_tiled(
+                u, u, g.frozen, st.iteration, n_full, g.k, g.band, g.wt,
+                interpret
+            )
+            u = b if n_full % 2 else a
+            delta = deltas[0]
+            t = n_full * g.k
+        if rem:
             u, dd = pallas_tiled2d.sweep_chunk_tiled(
-                u, g.frozen, st.iteration + t, d, g.band, g.k, g.wt, interpret
+                u, g.frozen, st.iteration + t, rem, g.band, g.k, g.wt,
+                interpret
             )
             if delta is None:
                 delta = dd
-            t += d
         new_g = _dc.replace(g, u=u)
         hx = pallas_tiled2d._HX
         self.state = _dc.replace(

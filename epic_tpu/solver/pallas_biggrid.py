@@ -429,25 +429,32 @@ def unpad(g: BandedGrid) -> jax.Array:
 def update_n(state: GridState, num_steps: int,
              chunk_depth: int = 16, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
-    from the overall first sweep). The chunk kernel follows
-    :func:`prefer_dma` (regime-dependent; both are bit-identical)."""
+    from the overall first sweep). Full K-chunks run through the ping-pong
+    cycle kernel (one dispatch for all of them — probe34: 43.8-46.8 G
+    updates/s vs 42.3-44.5 for chained chunk dispatches, bit-identical);
+    a shallow remainder runs as a single DMA chunk."""
+    from . import pallas_cycle
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
     u = g.u
-    use_dma = prefer_dma(g.band, g.k)
-    frozen_arg = g.frozen if use_dma else stack_frozen(g.frozen, g.band, g.k)
-    chunk_fn = sweep_chunk_dma if use_dma else sweep_chunk_bands
-    t = 0
     delta = None
-    while t < num_steps:
-        d = min(g.k, num_steps - t)
-        u, dd = chunk_fn(
-            u, frozen_arg, state.iteration + t, d, g.band, g.k, interpret
+    t = 0
+    n_full, rem = divmod(num_steps, g.k)
+    if n_full:
+        a, b, deltas = pallas_cycle.sweep_cycle(
+            u, u, g.frozen, state.iteration, n_full, g.k, g.band, interpret
+        )
+        u = b if n_full % 2 else a
+        delta = deltas[0]
+        t = n_full * g.k
+    if rem:
+        u, dd = sweep_chunk_dma(
+            u, g.frozen, state.iteration + t, rem, g.band, g.k, interpret
         )
         if delta is None:
             delta = dd
-        t += d
     return dataclasses.replace(
         state,
         u=u[g.k : g.k + g.height, : g.width],
@@ -483,6 +490,11 @@ def _solve_banded(
     chunk_fn = sweep_chunk_dma.__wrapped__
     check_fn = sweep_chunk_dma_check.__wrapped__
     cd = min(k, stagger)
+    # NOTE: the ping-pong cycle kernel (pallas_cycle) is NOT used here on
+    # purpose — carrying its aliased buffer pair through the while loop
+    # makes XLA insert copies at the cond joins that eat the drain/DUS
+    # savings (probe36 in-process A/B: 40.1 vs 41.1 G at 4096²). The cycle
+    # kernel wins only in open chunk chains (update_n, planner ticks).
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -510,8 +522,7 @@ def _solve_banded(
             u, iteration = args
             u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
             iteration = iteration + cd
-            rest = stagger - cd
-            n_full, rem = divmod(rest, k)
+            n_full, rem = divmod(stagger - cd, k)
 
             def chunk_body(i, carry):
                 u, it = carry

@@ -230,3 +230,199 @@ def sweep_cycle(
     )(iteration.reshape(1), u_a, u_b, frozen_pad)
 
     return a_out, b_out, jnp.max(deltas, axis=1)
+
+
+def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                        delta_ref, u_vmem, f_vmem, rsem, wsem,
+                        *, k, band, wt, hx, nb, nt, nc):
+    """2D-tiled ping-pong cycle step: same structure as :func:`_cycle_kernel`
+    but over an (n_chunks, nb, nt) grid with strided (ext_r x wext) slabs
+    (the pallas_tiled2d layout: 128 guard columns per side)."""
+    ext_r = band + 2 * k
+    wext = wt + 2 * hx
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    lin = (c * nb + i) * nt + j
+    slot = jax.lax.rem(lin, 2)
+    # Cross-chunk prefetch reads rows [0, ext_r) of dst while this step is
+    # writing band nb-1's rows: safe iff they cannot overlap.
+    cross_prefetch = (nb - 2) * band >= k and nb >= 2
+
+    def read_copies(src, band_idx, tile_idx, rslot, sem_idx):
+        r0 = band_idx * band
+        c0 = tile_idx * wt
+        return pltpu.make_async_copy(
+            src.at[pl.ds(r0, ext_r), pl.ds(c0, wext)],
+            u_vmem.at[rslot], rsem.at[rslot, sem_idx],
+        )
+
+    def start_read(cc, band_idx, tile_idx, rslot):
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            read_copies(a_ref, band_idx, tile_idx, rslot, 0).start()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            read_copies(b_ref, band_idx, tile_idx, rslot, 1).start()
+
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(band_idx * band, ext_r),
+                     pl.ds(tile_idx * wt, wext)],
+            f_vmem.at[rslot], rsem.at[rslot, 2],
+        ).start()
+
+    def wait_read(cc, band_idx, tile_idx, rslot):
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            read_copies(a_ref, band_idx, tile_idx, rslot, 0).wait()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            read_copies(b_ref, band_idx, tile_idx, rslot, 1).wait()
+
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(band_idx * band, ext_r),
+                     pl.ds(tile_idx * wt, wext)],
+            f_vmem.at[rslot], rsem.at[rslot, 2],
+        ).wait()
+
+    @pl.when(lin == 0)
+    def _():
+        start_read(0, 0, 0, 0)
+
+    steps_per_chunk = nb * nt
+    if cross_prefetch:
+        @pl.when(lin + 1 < nc * steps_per_chunk)
+        def _():
+            nxt = lin + 1
+            cc = nxt // steps_per_chunk
+            r = jax.lax.rem(nxt, steps_per_chunk)
+            start_read(cc, r // nt, jax.lax.rem(r, nt), jax.lax.rem(nxt, 2))
+    else:
+        in_chunk = i * nt + j
+
+        @pl.when(in_chunk + 1 < steps_per_chunk)
+        def _():
+            nxt = in_chunk + 1
+            start_read(c, nxt // nt, jax.lax.rem(nxt, nt),
+                       jax.lax.rem(lin + 1, 2))
+
+        @pl.when((in_chunk == 0) & (lin > 0))
+        def _():
+            start_read(c, 0, 0, slot)
+
+    wait_read(c, i, j, slot)
+
+    t0 = it_ref[0] + c * k
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 0)
+    local_col = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 1)
+    parity = (local_row + local_col + i * band + j * wt + k) % 2
+
+    def sweep(s, u):
+        un = pltpu.roll(u, 1, 0)
+        us = pltpu.roll(u, ext_r - 1, 0)
+        uw = pltpu.roll(u, 1, 1)
+        ue = pltpu.roll(u, wext - 1, 1)
+        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        valid = (
+            (local_row > s) & (local_row < ext_r - 1 - s)
+            & (local_col > s) & (local_col < wext - 1 - s)
+        )
+        update = (parity != ((t0 + s) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[c, i, j] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, k, sweep, u1)
+    u_vmem[slot] = u
+
+    def write_to(dst, wslot):
+        return pltpu.make_async_copy(
+            u_vmem.at[slot, pl.ds(k, band), pl.ds(hx, wt)],
+            dst.at[pl.ds(k + i * band, band), pl.ds(hx + j * wt, wt)],
+            wsem.at[wslot],
+        )
+
+    @pl.when(jax.lax.rem(c, 2) == 0)
+    def _():
+        wcp = write_to(b_ref, 0)
+        wcp.start()
+        wcp.wait()
+
+    @pl.when(jax.lax.rem(c, 2) == 1)
+    def _():
+        wcp = write_to(a_ref, 1)
+        wcp.start()
+        wcp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "k", "band", "wt", "interpret")
+)
+def sweep_cycle_tiled(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    wt: int,
+    interpret: bool = False,
+):
+    """Tiled twin of :func:`sweep_cycle` for the pallas_tiled2d layout
+    (wide grids): ``n_chunks * k`` sweeps in one dispatch over an
+    (n_chunks, nb, nt) grid. Same contract: final state in ``b'`` when
+    ``n_chunks`` is odd, ``a'`` otherwise; deltas[c] is chunk c's
+    first-sweep residual."""
+    from .pallas_tiled2d import _HX
+
+    hp, wp = u_a.shape
+    nb = (hp - 2 * k) // band
+    nt = (wp - 2 * _HX) // wt
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert nt * wt + 2 * _HX == wp, (wp, wt)
+    assert n_chunks >= 1 and k <= _HX
+    ext_r = band + 2 * k
+    wext = wt + 2 * _HX
+
+    a_out, b_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel_tiled, k=k, band=band, wt=wt,
+                          hx=_HX, nb=nb, nt=nt, nc=n_chunks),
+        grid=(n_chunks, nb, nt),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nb, nt), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_r, wext), jnp.float32),
+            pltpu.VMEM((2, ext_r, wext), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return a_out, b_out, jnp.max(deltas.reshape(n_chunks, -1), axis=1)

@@ -47,11 +47,12 @@ _HX = 128  # column guard per side (lane-tile aligned; >= any supported k)
 def tile_layouts(shape: tuple[int, int], chunk_depth: int = 16):
     """Candidate (band, k, wt) layouts with their total halo redundancy.
 
-    k is pinned to min(16, chunk_depth): probe25 measured k=16 faster than
-    k=8 at every shape despite its slightly higher redundancy (42.6 vs
-    40.3 G updates/s at 16384² — deeper chunks amortize writeback traffic
-    and give the cross-step DMA prefetch more room), matching the banded
-    kernels' K-depth scan (probe10)."""
+    The default k is 16: probe25 measured k=16 faster than k=8 at every
+    shape despite its slightly higher redundancy (42.6 vs 40.3 G updates/s
+    at 16384² — deeper chunks amortize writeback traffic and give the
+    cross-step DMA prefetch more room, matching the banded K-scan,
+    probe10), and probe33 rejected stagger-aligned k=20 (redundancy beats
+    dispatch count). ``chunk_depth`` can still pick other multiples of 4."""
     h, w = shape
     # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. k a multiple of 4.
     k = min(32, max(8, chunk_depth // 4 * 4))
@@ -370,20 +371,30 @@ def update_n(state: GridState, num_steps: int,
              chunk_depth: int = 16, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
     from the overall first sweep)."""
+    from . import pallas_cycle
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
     u = g.u
-    t = 0
     delta = None
-    while t < num_steps:
-        d = min(g.k, num_steps - t)
+    t = 0
+    n_full, rem = divmod(num_steps, g.k)
+    if n_full:
+        a, b, deltas = pallas_cycle.sweep_cycle_tiled(
+            u, u, g.frozen, state.iteration, n_full, g.k, g.band, g.wt,
+            interpret
+        )
+        u = b if n_full % 2 else a
+        delta = deltas[0]
+        t = n_full * g.k
+    if rem:
         u, dd = sweep_chunk_tiled(
-            u, g.frozen, state.iteration + t, d, g.band, g.k, g.wt, interpret
+            u, g.frozen, state.iteration + t, rem, g.band, g.k, g.wt,
+            interpret
         )
         if delta is None:
             delta = dd
-        t += d
     return dataclasses.replace(
         state,
         u=u[g.k : g.k + g.height, _HX : _HX + g.width],
@@ -418,6 +429,10 @@ def _solve_tiled(
     chunk_fn = sweep_chunk_tiled.__wrapped__
     check_fn = sweep_chunk_tiled_check.__wrapped__
     cd = min(k, stagger)
+    # NOTE: the ping-pong cycle kernel is NOT used inside this loop —
+    # carrying its aliased buffer pair through the while carry makes XLA
+    # insert copies at the cond joins that eat the drain/DUS savings
+    # (probe36 A/B). The cycle kernel wins only in open chunk chains.
 
     def cond(carry):
         _, iteration, _, converged = carry

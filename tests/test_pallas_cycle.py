@@ -63,3 +63,32 @@ def test_cycle_chains_across_calls():
         a, b, g.frozen, jnp.int32(16), 3, 8, 16, True
     )
     np.testing.assert_array_equal(np.asarray(b), np.asarray(u_ref))
+
+
+@pytest.mark.parametrize("h,w,band,k,wt,n_chunks", [
+    (96, 300, 16, 8, 128, 4),   # nb x nt grid, even chain
+    (96, 300, 16, 8, 128, 3),   # odd chain (final in B)
+    (40, 520, 16, 16, 256, 2),  # k == band, 256-col tiles
+    (20, 260, 16, 8, 128, 3),   # nb=2: no cross-chunk prefetch
+])
+def test_tiled_cycle_bitmatches_chained_tiled_chunks(h, w, band, k, wt,
+                                                     n_chunks):
+    from epic_tpu.solver import pallas_tiled2d
+
+    st = _state(h, w, seed=7)
+    g = pallas_tiled2d.pad_state(st, band=band, k=k, wt=wt)
+
+    u_ref = g.u
+    deltas_ref = []
+    for c in range(n_chunks):
+        u_ref, d = pallas_tiled2d.sweep_chunk_tiled(
+            u_ref, g.frozen, jnp.int32(c * k), k, band, k, wt, True
+        )
+        deltas_ref.append(float(d))
+
+    a, b, deltas = pallas_cycle.sweep_cycle_tiled(
+        g.u, g.u, g.frozen, jnp.int32(0), n_chunks, k, band, wt, True
+    )
+    final = b if n_chunks % 2 else a
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
