@@ -218,19 +218,28 @@ class VolumePlanner:
             g = self._pad_cache[1]
         else:
             g = pallas_biggrid3d.pad_state(st)
+        from .solver import pallas_cycle
+
         interpret = jax.default_backend() == "cpu"
         u = g.u
-        t = 0
         delta = None
-        while t < n:
-            d_sw = min(g.k, n - t)
+        t = 0
+        n_full, rem = divmod(n, g.k)
+        if n_full:
+            a, b, deltas = pallas_cycle.sweep_cycle3d(
+                u, u, g.frozen, st.iteration, n_full, g.k, g.band, g.hp,
+                interpret,
+            )
+            u = b if n_full % 2 else a
+            delta = deltas[0]
+            t = n_full * g.k
+        if rem:
             u, dd = pallas_biggrid3d.sweep_chunk_dma(
-                u, g.frozen, st.iteration + t, d_sw, g.band, g.k, g.hp,
+                u, g.frozen, st.iteration + t, rem, g.band, g.k, g.hp,
                 interpret,
             )
             if delta is None:
                 delta = dd
-            t += d_sw
         new_g = dataclasses.replace(g, u=u)
         dp = u.shape[0] // g.hp
         u3 = u.reshape(dp, g.hp, u.shape[1])

@@ -410,24 +410,37 @@ def unpad(g: BandedVolume) -> jax.Array:
 def update_n(state: GridState, num_steps: int,
              chunk_depth: int = 2, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
-    from the overall first sweep). Production path is the manual-DMA chunk
-    (:func:`sweep_chunk_dma`); the gather chunk is kept for cross-tests."""
+    from the overall first sweep). Full K-chunks run through the 3D
+    ping-pong cycle kernel (pallas_cycle.sweep_cycle3d) — ONE dispatch
+    instead of num_steps/k chained dispatches + full-volume DUS copies
+    (production k is 2, so the old path paid 50 of each per 100 sweeps);
+    a shallow remainder runs as a single DMA chunk."""
+    from . import pallas_cycle
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if state.u.ndim != 3:
         raise ValueError(f"pallas_biggrid3d requires a 3D grid, got {state.u.ndim}D")
     g = pad_state(state, chunk_depth)
     u = g.u
-    t = 0
     delta = None
-    while t < num_steps:
-        d = min(g.k, num_steps - t)
+    t = 0
+    n_full, rem = divmod(num_steps, g.k)
+    if n_full:
+        a, b, deltas = pallas_cycle.sweep_cycle3d(
+            u, u, g.frozen, state.iteration, n_full, g.k, g.band, g.hp,
+            interpret
+        )
+        u = b if n_full % 2 else a
+        delta = deltas[0]
+        t = n_full * g.k
+    if rem:
         u, dd = sweep_chunk_dma(
-            u, g.frozen, state.iteration + t, d, g.band, g.k, g.hp, interpret
+            u, g.frozen, state.iteration + t, rem, g.band, g.k, g.hp,
+            interpret
         )
         if delta is None:
             delta = dd
-        t += d
     dp = u.shape[0] // g.hp
     u3 = u.reshape(dp, g.hp, u.shape[1])
     return dataclasses.replace(
@@ -449,17 +462,29 @@ def _solve_banded(
     u, frozen_pad, epsilon, stagger: int, max_iterations: int, band: int,
     k: int, hp: int, interpret: bool, m_max: int,
 ):
-    """Full solve protocol on the banded 3D path, one device program (same
-    structure as pallas_biggrid._solve_banded: fori over one chunk call
-    site keeps the compiled program small). Chunks go through the
-    manual-DMA kernel."""
+    """Full solve protocol on the banded 3D path, one device program.
+
+    The per-cycle plain sweeps run through the 3D ping-pong cycle kernel
+    (pallas_cycle.sweep_cycle3d): at the production k=2, the chained
+    structure paid ~50 chunk dispatches + 50 full-volume DUS copies per
+    100-sweep cycle. Unlike 2D (where carrying the cycle's aliased buffer
+    pair through the while loop cost more than it saved — probe36), the 3D
+    savings dominate: probe37 in-process A/B measured the cycle-inside
+    solve at 14.2-15.2 G updates/s vs 10.2-11.1 chunked at 256³ (+38%),
+    bit-exact."""
+    from . import pallas_cycle
+
+    cycle_fn = pallas_cycle.sweep_cycle3d.__wrapped__
+    n_full, rem = divmod(stagger - 1, k)
 
     def cond(carry):
-        _, iteration, _, converged = carry
+        _, _, iteration, _, converged = carry
         return ~converged & (iteration < max_iterations)
 
     def body(carry):
-        u, iteration, _, _ = carry
+        # ``alt`` is the ping-pong twin (guards valid; centers overwritten
+        # by every cycle before they are read).
+        u, alt, iteration, _, _ = carry
         u, delta = sweep_chunk_dma.__wrapped__(
             u, frozen_pad, iteration, 1, band, k, hp, interpret
         )
@@ -467,33 +492,30 @@ def _solve_banded(
         done = (delta < epsilon) & (iteration >= m_max)
 
         def run_rest(args):
-            u, iteration = args
-            rest = stagger - 1
-            n_full, rem = divmod(rest, k)
-
-            def chunk_body(i, carry):
-                u, it = carry
-                u, _ = sweep_chunk_dma.__wrapped__(
-                    u, frozen_pad, it, k, band, k, hp, interpret
+            u, alt, iteration = args
+            if n_full:
+                a, b, _ = cycle_fn(
+                    u, alt, frozen_pad, iteration, n_full, k, band, hp,
+                    interpret
                 )
-                return u, it + k
-
-            u, iteration = jax.lax.fori_loop(
-                0, n_full, chunk_body, (u, iteration)
-            )
+                u, alt = (b, a) if n_full % 2 else (a, b)
+                iteration = iteration + n_full * k
             if rem:
                 u, _ = sweep_chunk_dma.__wrapped__(
                     u, frozen_pad, iteration, rem, band, k, hp, interpret
                 )
                 iteration = iteration + rem
-            return u, iteration
+            return u, alt, iteration
 
-        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
-        return u, iteration, delta, done
+        u, alt, iteration = jax.lax.cond(
+            done, lambda a: a, run_rest, (u, alt, iteration)
+        )
+        return u, alt, iteration, delta, done
 
-    return jax.lax.while_loop(
-        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+    u_out, _, iteration, delta, converged = jax.lax.while_loop(
+        cond, body, (u, u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
     )
+    return u_out, iteration, delta, converged
 
 
 def solve(

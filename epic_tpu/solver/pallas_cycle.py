@@ -426,3 +426,204 @@ def sweep_cycle_tiled(
     )(iteration.reshape(1), u_a, u_b, frozen_pad)
 
     return a_out, b_out, jnp.max(deltas.reshape(n_chunks, -1), axis=1)
+
+
+def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
+                    u_vmem, f_vmem, rsem, wsem,
+                    *, k, band, hp, w, nb, nc):
+    """3D ping-pong cycle step over an (n_chunks, nb) grid of plane-banded
+    slabs (the pallas_biggrid3d flattened [D*Hp, Wp] layout; band/k in
+    PLANES). Same structure as :func:`_cycle_kernel`."""
+    ext = band + 2 * k
+    rows = ext * hp
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    lin = c * nb + i
+    slot = jax.lax.rem(lin, 2)
+    cross_prefetch = (nb - 2) * band >= k and nb >= 2
+
+    def start_read(cc, band_idx, rslot):
+        start = band_idx * band * hp
+
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[pl.ds(start, rows), :], u_vmem.at[rslot],
+                rsem.at[rslot, 0],
+            ).start()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(start, rows), :], u_vmem.at[rslot],
+                rsem.at[rslot, 1],
+            ).start()
+
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start, rows), :], f_vmem.at[rslot],
+            rsem.at[rslot, 2],
+        ).start()
+
+    def wait_read(cc, band_idx, rslot):
+        start = band_idx * band * hp
+
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[pl.ds(start, rows), :], u_vmem.at[rslot],
+                rsem.at[rslot, 0],
+            ).wait()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(start, rows), :], u_vmem.at[rslot],
+                rsem.at[rslot, 1],
+            ).wait()
+
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start, rows), :], f_vmem.at[rslot],
+            rsem.at[rslot, 2],
+        ).wait()
+
+    @pl.when(lin == 0)
+    def _():
+        start_read(0, 0, 0)
+
+    if cross_prefetch:
+        @pl.when(lin + 1 < nc * nb)
+        def _():
+            nxt = lin + 1
+            start_read(nxt // nb, jax.lax.rem(nxt, nb), jax.lax.rem(nxt, 2))
+    else:
+        @pl.when(i + 1 < nb)
+        def _():
+            start_read(c, i + 1, jax.lax.rem(lin + 1, 2))
+
+        @pl.when((i == 0) & (lin > 0))
+        def _():
+            start_read(c, 0, slot)
+
+    wait_read(c, i, slot)
+
+    t0 = it_ref[0] + c * k
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    local_plane = local_row // hp
+    y = local_row - local_plane * hp
+    parity = (local_plane + i * band - k + y + col) % 2
+
+    _LOG2N_3D = np.float32(np.log(np.float64(6.0)))
+
+    def sweep(s, u):
+        uzm = pltpu.roll(u, hp, 0)
+        uzp = pltpu.roll(u, rows - hp, 0)
+        uym = pltpu.roll(u, 1, 0)
+        uyp = pltpu.roll(u, rows - 1, 0)
+        uxm = pltpu.roll(u, 1, 1)
+        uxp = pltpu.roll(u, w - 1, 1)
+        m = jnp.maximum(uzm, uzp)
+        m = jnp.maximum(m, uym)
+        m = jnp.maximum(m, uyp)
+        m = jnp.maximum(m, uxm)
+        m = jnp.maximum(m, uxp)
+        ssum = jnp.exp(uzm - m)
+        ssum = ssum + jnp.exp(uzp - m)
+        ssum = ssum + jnp.exp(uym - m)
+        ssum = ssum + jnp.exp(uyp - m)
+        ssum = ssum + jnp.exp(uxm - m)
+        ssum = ssum + jnp.exp(uxp - m)
+        val = (m + jnp.log(ssum)) - _LOG2N_3D
+        valid = (local_plane > s) & (local_plane < ext - 1 - s)
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[c, i] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, k, sweep, u1)
+    u_vmem[slot] = u
+
+    def write_to(dst, wslot):
+        return pltpu.make_async_copy(
+            u_vmem.at[slot, pl.ds(k * hp, band * hp), :],
+            dst.at[pl.ds((k + i * band) * hp, band * hp), :],
+            wsem.at[wslot],
+        )
+
+    @pl.when(jax.lax.rem(c, 2) == 0)
+    def _():
+        wcp = write_to(b_ref, 0)
+        wcp.start()
+        wcp.wait()
+
+    @pl.when(jax.lax.rem(c, 2) == 1)
+    def _():
+        wcp = write_to(a_ref, 1)
+        wcp.start()
+        wcp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "k", "band", "hp", "interpret")
+)
+def sweep_cycle3d(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    hp: int,
+    interpret: bool = False,
+):
+    """3D twin of :func:`sweep_cycle` for the pallas_biggrid3d layout:
+    ``n_chunks * k`` 6-neighbour sweeps in one dispatch. Because 3D chunks
+    are shallow (production k=2), a 100-sweep span is 50 chained dispatches
+    + 50 full-volume DUS copies on the old path — the cycle's best case.
+    Same contract: final state in ``b'`` when ``n_chunks`` is odd."""
+    rp, wp = u_a.shape
+    dp = rp // hp
+    nb = (dp - 2 * k) // band
+    assert nb * band + 2 * k == dp, (dp, band, k)
+    assert n_chunks >= 1
+    ext = band + 2 * k
+
+    a_out, b_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel3d, k=k, band=band, hp=hp, w=wp,
+                          nb=nb, nc=n_chunks),
+        grid=(n_chunks, nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nb), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext * hp, wp), jnp.float32),
+            pltpu.VMEM((2, ext * hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return a_out, b_out, jnp.max(deltas, axis=1)

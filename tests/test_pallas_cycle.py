@@ -92,3 +92,42 @@ def test_tiled_cycle_bitmatches_chained_tiled_chunks(h, w, band, k, wt,
     final = b if n_chunks % 2 else a
     np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
     np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
+
+
+@pytest.mark.parametrize("shape,band,k,n_chunks", [
+    ((14, 12, 40), 2, 2, 5),   # nb=7, production-like k=2, odd chain
+    ((14, 12, 40), 2, 2, 4),   # even chain
+    ((8, 10, 24), 2, 2, 3),    # nb=4
+    ((6, 10, 24), 2, 2, 2),    # nb=3: (nb-2)*band >= k boundary
+])
+def test_cycle3d_bitmatches_chained_chunks(shape, band, k, n_chunks):
+    from epic_tpu.grid import make_state
+    from epic_tpu.solver import pallas_biggrid3d
+
+    rng = np.random.default_rng(9)
+    d, h, w = shape
+    u = np.full(shape, -1e6, dtype=np.float32)
+    locked = np.zeros(shape, dtype=bool)
+    shell = np.ones(shape, dtype=bool)
+    shell[1:-1, 1:-1, 1:-1] = False
+    locked |= shell
+    locked |= rng.random(shape) < 0.1
+    u[d // 2, h // 2, w // 2] = 0.0
+    locked[d // 2, h // 2, w // 2] = True
+    st = make_state(u, locked, epsilon=1e-2)
+    g = pallas_biggrid3d.pad_state(st, band=band, k=k)
+
+    u_ref = g.u
+    deltas_ref = []
+    for c in range(n_chunks):
+        u_ref, dd = pallas_biggrid3d.sweep_chunk_dma(
+            u_ref, g.frozen, jnp.int32(c * k), k, band, k, g.hp, True
+        )
+        deltas_ref.append(float(dd))
+
+    a, b, deltas = pallas_cycle.sweep_cycle3d(
+        g.u, g.u, g.frozen, jnp.int32(0), n_chunks, k, band, g.hp, True
+    )
+    final = b if n_chunks % 2 else a
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
