@@ -195,7 +195,11 @@ class Planner:
             if self.solver_config.kernel == "packed":
                 return pallas_packed
             return pallas_sweep
-        if pallas_tiled2d.prefer_tiled(st.u.shape):
+        # Evaluate the regime rule at the SAME chunk depth the tick will
+        # pad with, so a non-default tile_depth can't select one kernel
+        # for the other's layout.
+        if pallas_tiled2d.prefer_tiled(st.u.shape,
+                                       self.solver_config.tile_depth):
             return pallas_tiled2d
         return pallas_biggrid
 
@@ -208,6 +212,8 @@ class Planner:
         if self.state is None or self.paused:
             return
         n = num_steps if num_steps is not None else self.config.steps_per_update
+        if n < 1:
+            return
         mod = self._kernel_module()
         if mod is None:
             self.state = core.update_n(self.state, n)
@@ -266,24 +272,24 @@ class Planner:
 
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
-            g = self._pad_cache[1]
+            g, alt = self._pad_cache[1]
         else:
             sc = self.solver_config
             g = pallas_biggrid.pad_state(
                 st, chunk_depth=sc.tile_depth,
                 band=sc.tile_band, k=sc.tile_depth if sc.tile_band else None,
             )
+            alt = None  # run_chain creates the ping-pong twin once
         interpret = jax.default_backend() == "cpu"
         u = g.u
         delta = None
         t = 0
         n_full, rem = divmod(n, g.k)
         if n_full:
-            a, b, deltas = pallas_cycle.sweep_cycle(
-                u, u, g.frozen, st.iteration, n_full, g.k, g.band, interpret
+            u, alt, delta = pallas_cycle.run_chain(
+                pallas_cycle.sweep_cycle, u, alt, g.frozen, st.iteration,
+                n_full, g.k, g.band, interpret=interpret,
             )
-            u = b if n_full % 2 else a
-            delta = deltas[0]
             t = n_full * g.k
         if rem:
             u, dd = pallas_biggrid.sweep_chunk_dma(
@@ -299,7 +305,7 @@ class Planner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, new_g)
+        self._pad_cache = (self.state, (new_g, alt))
 
     def _update_tiled_cached(self, n: int) -> None:
         """2D-tiled-kernel tick (wide grids where the banded layout's halo
@@ -310,29 +316,26 @@ class Planner:
         import jax
         import jax.numpy as jnp
 
-        from .solver import pallas_tiled2d
-
-        from .solver import pallas_cycle
+        from .solver import pallas_cycle, pallas_tiled2d
 
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
-            g = self._pad_cache[1]
+            g, alt = self._pad_cache[1]
         else:
             g = pallas_tiled2d.pad_state(
                 st, chunk_depth=self.solver_config.tile_depth
             )
+            alt = None
         interpret = jax.default_backend() == "cpu"
         u = g.u
         delta = None
         t = 0
         n_full, rem = divmod(n, g.k)
         if n_full:
-            a, b, deltas = pallas_cycle.sweep_cycle_tiled(
-                u, u, g.frozen, st.iteration, n_full, g.k, g.band, g.wt,
-                interpret
+            u, alt, delta = pallas_cycle.run_chain(
+                pallas_cycle.sweep_cycle_tiled, u, alt, g.frozen,
+                st.iteration, n_full, g.k, g.band, g.wt, interpret=interpret,
             )
-            u = b if n_full % 2 else a
-            delta = deltas[0]
             t = n_full * g.k
         if rem:
             u, dd = pallas_tiled2d.sweep_chunk_tiled(
@@ -350,7 +353,7 @@ class Planner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, new_g)
+        self._pad_cache = (self.state, (new_g, alt))
 
     def solve(self) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as

@@ -167,6 +167,8 @@ class VolumePlanner:
         if self.state is None or self.paused:
             return
         n = num_steps if num_steps is not None else self.config.steps_per_update
+        if n < 1:
+            return
         mod = self._kernel_module()
         if mod is None:
             self.state = core.update_n(self.state, n)
@@ -213,25 +215,24 @@ class VolumePlanner:
 
         from .solver import pallas_biggrid3d
 
-        st = self.state
-        if self._pad_cache is not None and self._pad_cache[0] is st:
-            g = self._pad_cache[1]
-        else:
-            g = pallas_biggrid3d.pad_state(st)
         from .solver import pallas_cycle
 
+        st = self.state
+        if self._pad_cache is not None and self._pad_cache[0] is st:
+            g, alt = self._pad_cache[1]
+        else:
+            g = pallas_biggrid3d.pad_state(st)
+            alt = None  # run_chain creates the ping-pong twin once
         interpret = jax.default_backend() == "cpu"
         u = g.u
         delta = None
         t = 0
         n_full, rem = divmod(n, g.k)
         if n_full:
-            a, b, deltas = pallas_cycle.sweep_cycle3d(
-                u, u, g.frozen, st.iteration, n_full, g.k, g.band, g.hp,
-                interpret,
+            u, alt, delta = pallas_cycle.run_chain(
+                pallas_cycle.sweep_cycle3d, u, alt, g.frozen, st.iteration,
+                n_full, g.k, g.band, g.hp, interpret=interpret,
             )
-            u = b if n_full % 2 else a
-            delta = deltas[0]
             t = n_full * g.k
         if rem:
             u, dd = pallas_biggrid3d.sweep_chunk_dma(
@@ -250,7 +251,7 @@ class VolumePlanner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, new_g)
+        self._pad_cache = (self.state, (new_g, alt))
 
     def solve(self) -> None:
         """Blocking solve-to-convergence through the auto-dispatching 3D

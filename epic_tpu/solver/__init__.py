@@ -45,7 +45,14 @@ def solve_grid(state, stagger=None, **kw):
     VMEM-resident Pallas kernel when the grid fits (~2M cells), the banded
     big-grid kernel otherwise. Protocol identical across all three. Grids of
     rank != 2 (3D/4D+) go through core.solve on CPU, the 3D kernels via
-    :func:`solve_volume`, and core's generic XLA path otherwise."""
+    :func:`solve_volume`, and core's generic XLA path otherwise.
+
+    NOTE for tunnelled/remote-worker TPU environments: a solve is ONE device
+    dispatch; on mega-grids (>= 16k wide) the protocol's >= max(H, W)-sweep
+    floor can exceed a remote worker's dispatch watchdog (~60 s — see
+    docs/BENCH_NOTES.md). Cap ``max_iterations`` so a single dispatch stays
+    under ~45 s there and loop on ``converged`` from the host; real hosts
+    need no cap."""
     import jax as _jax
 
     from .. import constants as _C
@@ -54,6 +61,9 @@ def solve_grid(state, stagger=None, **kw):
     if state.u.ndim == 3:
         return solve_volume(state, stagger, **kw)
     if state.u.ndim != 2 or _jax.default_backend() == "cpu":
+        # core.solve knows nothing of kernel tiling; drop kernel-only
+        # kwargs so the same call works on every backend.
+        kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
         return core.solve(state, stagger, **kw)
     if pallas_sweep.fits_vmem(state.u.shape):
         return pallas_sweep.solve(state, stagger, **kw)
@@ -69,7 +79,7 @@ def update_grid(state, num_steps, **kw):
     if state.u.ndim == 3:
         return update_volume(state, num_steps, **kw)
     if state.u.ndim != 2 or _jax.default_backend() == "cpu":
-        return core.update_n(state, num_steps)
+        return core.update_n(state, num_steps)  # kernel-only kwargs dropped
     if pallas_sweep.fits_vmem(state.u.shape):
         return pallas_sweep.update_n(state, num_steps, **kw)
     if pallas_tiled2d.prefer_tiled(state.u.shape):
@@ -90,6 +100,7 @@ def solve_volume(state, stagger=None, **kw):
         raise ValueError(f"solve_volume requires a 3D grid, got {state.u.ndim}D")
     stagger = _C.DEFAULT_STAGGER if stagger is None else stagger
     if _jax.default_backend() == "cpu":
+        kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
         return core.solve(state, stagger, **kw)
     if pallas_sweep3d.fits_vmem(state.u.shape):
         return pallas_sweep3d.solve(state, stagger, **kw)

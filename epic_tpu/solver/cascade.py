@@ -160,7 +160,7 @@ def solve_cascade(
     entirely); defaults to ``solver``.
     """
     if solver is None:
-        solver = _auto_solver(state.u.ndim)
+        solver = _auto_solver()
     if coarse_solver is None:
         coarse_solver = solver
 
@@ -206,7 +206,7 @@ def _double_shape(shape):
     return tuple(2 * s for s in shape)
 
 
-def _auto_solver(ndim: int):
+def _auto_solver():
     from . import solve_grid  # type: ignore[attr-defined]
 
     def solver(st, stagger, max_iterations):

@@ -119,7 +119,12 @@ def update_n(state: GridState, num_steps: int) -> GridState:
     NOTE: the input state's buffers are DONATED (the anytime loop is
     zero-copy); the passed-in state must not be used after the call — keep
     only the returned state. Same for :func:`solve`.
+
+    ``num_steps`` must be >= 1 (the reference's update() always sweeps;
+    a zero-step call would have no delta to report).
     """
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     u0, delta = sweep(state.u, state.locked, state.iteration)
     converged = delta < state.epsilon
 

@@ -43,8 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..grid import GridState
-
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+from ._sweep_body import lse4
 
 # Extended-band VMEM budget in f32 cells. Mosaic's scoped-VMEM footprint is
 # ~3.5x the extended block; the 16 MB default limit rejects wide bands, but
@@ -102,13 +101,7 @@ def _band_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
     parity = (local_row + i * band - k + col) % 2
 
     def sweep(s, u):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, ext - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        val = lse4(u, ext, w)
         valid = (local_row > s) & (local_row < ext - 1 - s)
         update = (parity != ((t0 + s) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
@@ -243,13 +236,7 @@ def _band_kernel_dma_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
     parity = (local_row + i * band - k + col) % 2
 
     def sweep(s, u):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, ext - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        val = lse4(u, ext, w)
         valid = (local_row > s) & (local_row < ext - 1 - s)
         update = (parity != ((t0 + s) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
@@ -435,6 +422,8 @@ def update_n(state: GridState, num_steps: int,
     a shallow remainder runs as a single DMA chunk."""
     from . import pallas_cycle
 
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
@@ -443,11 +432,10 @@ def update_n(state: GridState, num_steps: int,
     t = 0
     n_full, rem = divmod(num_steps, g.k)
     if n_full:
-        a, b, deltas = pallas_cycle.sweep_cycle(
-            u, u, g.frozen, state.iteration, n_full, g.k, g.band, interpret
+        u, _, delta = pallas_cycle.run_chain(
+            pallas_cycle.sweep_cycle, u, None, g.frozen, state.iteration,
+            n_full, g.k, g.band, interpret=interpret,
         )
-        u = b if n_full % 2 else a
-        delta = deltas[0]
         t = n_full * g.k
     if rem:
         u, dd = sweep_chunk_dma(

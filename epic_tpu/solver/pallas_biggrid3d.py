@@ -61,8 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..grid import GridState
-
-_LOG2N_3D = np.float32(np.log(np.float64(6.0)))
+from ._sweep_body import lse6
 
 EXT_BAND_CELL_BUDGET = 2 * 1024 * 1024
 _VMEM_LIMIT = 128 * 1024 * 1024
@@ -113,24 +112,7 @@ def _band3d_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
     parity = (local_plane + i * band - k + y + col) % 2
 
     def sweep(s, u):
-        uzm = pltpu.roll(u, hp, 0)
-        uzp = pltpu.roll(u, rows - hp, 0)
-        uym = pltpu.roll(u, 1, 0)
-        uyp = pltpu.roll(u, rows - 1, 0)
-        uxm = pltpu.roll(u, 1, 1)
-        uxp = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(uzm, uzp)
-        m = jnp.maximum(m, uym)
-        m = jnp.maximum(m, uyp)
-        m = jnp.maximum(m, uxm)
-        m = jnp.maximum(m, uxp)
-        ssum = jnp.exp(uzm - m)
-        ssum = ssum + jnp.exp(uzp - m)
-        ssum = ssum + jnp.exp(uym - m)
-        ssum = ssum + jnp.exp(uyp - m)
-        ssum = ssum + jnp.exp(uxm - m)
-        ssum = ssum + jnp.exp(uxp - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_3D
+        val = lse6(u, rows, w, hp)
         valid = (local_plane > s) & (local_plane < ext - 1 - s)
         # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
         update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
@@ -272,24 +254,7 @@ def _band3d_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
     parity = (local_plane + i * band - k + y + col) % 2
 
     def sweep(s, u):
-        uzm = pltpu.roll(u, hp, 0)
-        uzp = pltpu.roll(u, rows - hp, 0)
-        uym = pltpu.roll(u, 1, 0)
-        uyp = pltpu.roll(u, rows - 1, 0)
-        uxm = pltpu.roll(u, 1, 1)
-        uxp = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(uzm, uzp)
-        m = jnp.maximum(m, uym)
-        m = jnp.maximum(m, uyp)
-        m = jnp.maximum(m, uxm)
-        m = jnp.maximum(m, uxp)
-        ssum = jnp.exp(uzm - m)
-        ssum = ssum + jnp.exp(uzp - m)
-        ssum = ssum + jnp.exp(uym - m)
-        ssum = ssum + jnp.exp(uyp - m)
-        ssum = ssum + jnp.exp(uxm - m)
-        ssum = ssum + jnp.exp(uxp - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_3D
+        val = lse6(u, rows, w, hp)
         valid = (local_plane > s) & (local_plane < ext - 1 - s)
         # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
         update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
@@ -417,6 +382,8 @@ def update_n(state: GridState, num_steps: int,
     a shallow remainder runs as a single DMA chunk."""
     from . import pallas_cycle
 
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if state.u.ndim != 3:
@@ -427,12 +394,10 @@ def update_n(state: GridState, num_steps: int,
     t = 0
     n_full, rem = divmod(num_steps, g.k)
     if n_full:
-        a, b, deltas = pallas_cycle.sweep_cycle3d(
-            u, u, g.frozen, state.iteration, n_full, g.k, g.band, g.hp,
-            interpret
+        u, _, delta = pallas_cycle.run_chain(
+            pallas_cycle.sweep_cycle3d, u, None, g.frozen, state.iteration,
+            n_full, g.k, g.band, g.hp, interpret=interpret,
         )
-        u = b if n_full % 2 else a
-        delta = deltas[0]
         t = n_full * g.k
     if rem:
         u, dd = sweep_chunk_dma(

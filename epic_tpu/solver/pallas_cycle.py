@@ -37,8 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_biggrid import _VMEM_LIMIT
-
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+from ._sweep_body import lse4, lse6
 
 
 def _cycle_kernel(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
@@ -127,13 +126,7 @@ def _cycle_kernel(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
     parity = (local_row + i * band - k + col) % 2
 
     def sweep(s, u):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, ext - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        val = lse4(u, ext, w)
         valid = (local_row > s) & (local_row < ext - 1 - s)
         update = (parity != ((t0 + s) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
@@ -166,7 +159,8 @@ def _cycle_kernel(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "k", "band", "interpret")
+    jax.jit, static_argnames=("n_chunks", "k", "band", "interpret"),
+    donate_argnums=(0, 1),
 )
 def sweep_cycle(
     u_a: jax.Array,
@@ -182,12 +176,13 @@ def sweep_cycle(
     one dispatch.
 
     ``u_a`` holds the current guard-padded state; ``u_b`` is the ping-pong
-    twin (only its guard rows matter — pass a copy of ``u_a`` or the
-    previous call's other buffer). Returns ``(a', b', deltas)`` where
-    ``deltas[c]`` is the max residual of chunk ``c``'s first sweep; the
-    final state is in ``b'`` when ``n_chunks`` is odd, ``a'`` otherwise.
-    Buffers are aliased in-place; callers must treat the inputs as
-    consumed (jit donation composes).
+    twin (only its guard rows matter — ``jnp.copy(u_a)`` on the first call,
+    the previous call's other buffer afterwards; the two must be DISTINCT
+    buffers). Returns ``(a', b', deltas)`` where ``deltas[c]`` is the max
+    residual of chunk ``c``'s first sweep; the final state is in ``b'``
+    when ``n_chunks`` is odd, ``a'`` otherwise. BOTH inputs are DONATED
+    (aliased in-place, zero-copy chaining across calls); do not reuse them.
+    Use :func:`run_chain` for the standard chained-call pattern.
     """
     hp, wp = u_a.shape
     nb = (hp - 2 * k) // band
@@ -322,13 +317,7 @@ def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
     parity = (local_row + local_col + i * band + j * wt + k) % 2
 
     def sweep(s, u):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, ext_r - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, wext - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        val = lse4(u, ext_r, wext)
         valid = (
             (local_row > s) & (local_row < ext_r - 1 - s)
             & (local_col > s) & (local_col < wext - 1 - s)
@@ -362,7 +351,8 @@ def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "k", "band", "wt", "interpret")
+    jax.jit, static_argnames=("n_chunks", "k", "band", "wt", "interpret"),
+    donate_argnums=(0, 1),
 )
 def sweep_cycle_tiled(
     u_a: jax.Array,
@@ -515,27 +505,8 @@ def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
     y = local_row - local_plane * hp
     parity = (local_plane + i * band - k + y + col) % 2
 
-    _LOG2N_3D = np.float32(np.log(np.float64(6.0)))
-
     def sweep(s, u):
-        uzm = pltpu.roll(u, hp, 0)
-        uzp = pltpu.roll(u, rows - hp, 0)
-        uym = pltpu.roll(u, 1, 0)
-        uyp = pltpu.roll(u, rows - 1, 0)
-        uxm = pltpu.roll(u, 1, 1)
-        uxp = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(uzm, uzp)
-        m = jnp.maximum(m, uym)
-        m = jnp.maximum(m, uyp)
-        m = jnp.maximum(m, uxm)
-        m = jnp.maximum(m, uxp)
-        ssum = jnp.exp(uzm - m)
-        ssum = ssum + jnp.exp(uzp - m)
-        ssum = ssum + jnp.exp(uym - m)
-        ssum = ssum + jnp.exp(uyp - m)
-        ssum = ssum + jnp.exp(uxm - m)
-        ssum = ssum + jnp.exp(uxp - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_3D
+        val = lse6(u, rows, w, hp)
         valid = (local_plane > s) & (local_plane < ext - 1 - s)
         # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
         update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
@@ -567,7 +538,8 @@ def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "k", "band", "hp", "interpret")
+    jax.jit, static_argnames=("n_chunks", "k", "band", "hp", "interpret"),
+    donate_argnums=(0, 1),
 )
 def sweep_cycle3d(
     u_a: jax.Array,
@@ -627,3 +599,41 @@ def sweep_cycle3d(
     )(iteration.reshape(1), u_a, u_b, frozen_pad)
 
     return a_out, b_out, jnp.max(deltas, axis=1)
+
+
+def chain_lengths(n_full: int) -> list[int]:
+    """Decompose a chunk count into descending powers of two, so every
+    distinct total reuses a log-sized set of compiled cycle programs
+    instead of baking each n_chunks into its own program (the remote
+    compile service costs minutes per distinct jaxpr — CLAUDE.md
+    environment hazards)."""
+    out = []
+    b = 1 << (n_full.bit_length() - 1) if n_full > 0 else 0
+    while n_full:
+        if n_full >= b:
+            out.append(b)
+            n_full -= b
+        b >>= 1
+    return out
+
+
+def run_chain(cycle_fn, u, alt, frozen, iteration, n_full, *layout,
+              interpret=False):
+    """Run ``n_full`` K-chunks through ``cycle_fn`` as a power-of-two chain
+    of cycle dispatches, ping-ponging (current, twin) across calls.
+
+    ``alt`` may be None (a twin is created with ``jnp.copy`` — one copy);
+    pass the previous chain's twin to stay zero-copy across anytime ticks.
+    Returns ``(u_final, twin, delta_of_first_sweep)``.
+    """
+    if alt is None:
+        alt = jnp.copy(u)
+    delta = None
+    for nc in chain_lengths(n_full):
+        a, b, deltas = cycle_fn(u, alt, frozen, iteration, nc, *layout,
+                                interpret)
+        u, alt = (b, a) if nc % 2 else (a, b)
+        if delta is None:
+            delta = deltas[0]
+        iteration = iteration + nc * layout[0]
+    return u, alt, delta

@@ -206,6 +206,8 @@ def _is_cpu() -> bool:
 def update_n(state: GridState, num_steps: int, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper on the Pallas path; semantics identical to
     :func:`epic_tpu.solver.core.update_n` (delta from the first sweep)."""
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     if interpret is None:
         interpret = _is_cpu()
     if not interpret and not fits_vmem(state.u.shape):

@@ -242,6 +242,8 @@ def _check_shape(state: GridState, interpret: bool) -> None:
 def update_n(state: GridState, num_steps: int, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper on the 3D Pallas path; semantics identical to
     :func:`epic_tpu.solver.core.update_n` (delta from the first sweep)."""
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     if interpret is None:
         interpret = _is_cpu()
     _check_shape(state, interpret)

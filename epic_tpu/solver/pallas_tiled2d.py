@@ -39,8 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as C
 from ..grid import GridState
 from .pallas_biggrid import EXT_BAND_CELL_BUDGET, _VMEM_LIMIT, _round_up
-
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+from ._sweep_body import lse4
 _HX = 128  # column guard per side (lane-tile aligned; >= any supported k)
 
 
@@ -166,13 +165,7 @@ def _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
     parity = (local_row + local_col + j * band + c * wt + k) % 2
 
     def sweep(s, u):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, ext_r - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, wext - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        val = lse4(u, ext_r, wext)
         valid = (
             (local_row > s) & (local_row < ext_r - 1 - s)
             & (local_col > s) & (local_col < wext - 1 - s)
@@ -373,6 +366,8 @@ def update_n(state: GridState, num_steps: int,
     from the overall first sweep)."""
     from . import pallas_cycle
 
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
@@ -381,12 +376,10 @@ def update_n(state: GridState, num_steps: int,
     t = 0
     n_full, rem = divmod(num_steps, g.k)
     if n_full:
-        a, b, deltas = pallas_cycle.sweep_cycle_tiled(
-            u, u, g.frozen, state.iteration, n_full, g.k, g.band, g.wt,
-            interpret
+        u, _, delta = pallas_cycle.run_chain(
+            pallas_cycle.sweep_cycle_tiled, u, None, g.frozen,
+            state.iteration, n_full, g.k, g.band, g.wt, interpret=interpret,
         )
-        u = b if n_full % 2 else a
-        delta = deltas[0]
         t = n_full * g.k
     if rem:
         u, dd = sweep_chunk_tiled(

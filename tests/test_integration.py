@@ -70,3 +70,31 @@ def test_solve_grid_auto_dispatch_cpu():
     assert int(S.update_grid(st3, 3).iteration) == 3
     st4 = epic_tpu.empty_grid_nd((4, 5, 6, 7), epsilon=1e-1)
     assert int(S.update_grid(st4, 3).iteration) == 3
+
+
+def test_update_entries_reject_zero_steps_and_filter_kwargs():
+    """Review findings: num_steps < 1 must raise everywhere (core previously
+    applied one silent sweep), and kernel-only kwargs must not crash the
+    CPU/core dispatch route."""
+    import pytest
+
+    import epic_tpu.solver as S
+    from epic_tpu.solver import (
+        pallas_biggrid, pallas_biggrid3d, pallas_sweep, pallas_tiled2d,
+    )
+
+    img = maps.random_obstacles(32, 40, density=0.1, seed=1)
+    state = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    for fn in (core.update_n, pallas_sweep.update_n, pallas_biggrid.update_n,
+               pallas_tiled2d.update_n):
+        with pytest.raises(ValueError):
+            fn(state, 0)
+    st3 = epic_tpu.empty_volume(5, 6, 7, epsilon=1e-1)
+    with pytest.raises(ValueError):
+        pallas_biggrid3d.update_n(st3, 0)
+
+    # Kernel-only kwargs are dropped on the core route (hermetic CPU here).
+    out = S.solve_grid(state, chunk_depth=8, interpret=True, max_iterations=50)
+    # the cap is coarse (checked at stagger-cycle boundaries); the point
+    # here is that kernel-only kwargs didn't crash the core route.
+    assert int(out.iteration) >= 1

@@ -36,7 +36,7 @@ def test_cycle_bitmatches_chained_chunks(h, w, band, k, n_chunks):
         deltas_ref.append(float(d))
 
     a, b, deltas = pallas_cycle.sweep_cycle(
-        g.u, g.u, g.frozen, jnp.int32(0), n_chunks, k, band, True
+        g.u, jnp.copy(g.u), g.frozen, jnp.int32(0), n_chunks, k, band, True
     )
     final = b if n_chunks % 2 else a
     np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
@@ -56,7 +56,7 @@ def test_cycle_chains_across_calls():
         )
 
     a, b, _ = pallas_cycle.sweep_cycle(
-        g.u, g.u, g.frozen, jnp.int32(0), 2, 8, 16, True
+        g.u, jnp.copy(g.u), g.frozen, jnp.int32(0), 2, 8, 16, True
     )
     # 2 chunks done (final in a); continue with 3 more from iteration 16.
     a, b, _ = pallas_cycle.sweep_cycle(
@@ -87,7 +87,7 @@ def test_tiled_cycle_bitmatches_chained_tiled_chunks(h, w, band, k, wt,
         deltas_ref.append(float(d))
 
     a, b, deltas = pallas_cycle.sweep_cycle_tiled(
-        g.u, g.u, g.frozen, jnp.int32(0), n_chunks, k, band, wt, True
+        g.u, jnp.copy(g.u), g.frozen, jnp.int32(0), n_chunks, k, band, wt, True
     )
     final = b if n_chunks % 2 else a
     np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
@@ -126,7 +126,7 @@ def test_cycle3d_bitmatches_chained_chunks(shape, band, k, n_chunks):
         deltas_ref.append(float(dd))
 
     a, b, deltas = pallas_cycle.sweep_cycle3d(
-        g.u, g.u, g.frozen, jnp.int32(0), n_chunks, k, band, g.hp, True
+        g.u, jnp.copy(g.u), g.frozen, jnp.int32(0), n_chunks, k, band, g.hp, True
     )
     final = b if n_chunks % 2 else a
     np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))

@@ -288,7 +288,7 @@ def test_biggrid_tile_config_wiring():
     pl.init(64, 64)
     pl.add_goals([(32.0, 32.0)])
     pl._update_biggrid_cached(8)
-    g = pl._pad_cache[1]
+    g = pl._pad_cache[1][0]
     assert (g.band, g.k) == (24, 8)
     # And the result still matches the XLA path exactly.
     ref = Planner(PlannerConfig(epsilon=pl.config.epsilon, backend="xla"))

@@ -65,7 +65,7 @@ def run(h, w, sweeps_target):
     # Cycle kernel.
     try:
         t0 = time.perf_counter()
-        a, b, _ = pc.sweep_cycle(g.u, g.u, g.frozen, jnp.int32(0),
+        a, b, _ = pc.sweep_cycle(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
                                  reps, k, band, False)
         final = b if reps % 2 else a
         _ = np.asarray(final[0, 0])
@@ -73,7 +73,7 @@ def run(h, w, sweeps_target):
         # exactness vs the chained result
         md = float(np.asarray(jnp.max(jnp.abs(final - out_c))))
         t0 = time.perf_counter()
-        a, b, _ = pc.sweep_cycle(g.u, g.u, g.frozen, jnp.int32(0),
+        a, b, _ = pc.sweep_cycle(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
                                  reps, k, band, False)
         final = b if reps % 2 else a
         _ = np.asarray(final[0, 0])

@@ -117,7 +117,7 @@ def main():
         _ = np.asarray(oc[0, 0])
         dt_c = time.perf_counter() - t0
         t0 = time.perf_counter()
-        a, b, _ = pc.sweep_cycle3d(g.u, g.u, g.frozen, jnp.int32(0),
+        a, b, _ = pc.sweep_cycle3d(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
                                    reps, k, band, g.hp, False)
         fin = b if reps % 2 else a
         _ = np.asarray(fin[0, 0])
