@@ -59,16 +59,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def prefer_dma(band: int, k: int) -> bool:
-    """Production chunk selection for 2D: the double-buffered DMA chunk
-    (:func:`sweep_chunk_dma`) wins in the redundancy-limited regime
-    (2K/band >= 1/4 — measured 38.0 vs 35.4 G updates/s at 16384² where
-    band=96/k=16), while the stacking gather stays marginally ahead for the
-    low-overlap layouts of <= 8192-wide grids (41.5 vs 40.7 at 4096²;
-    tools/tpu_probe19/21)."""
-    return 8 * k >= band
-
-
 def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
     """Pick (band, k) for a grid: the deepest K <= chunk_depth whose extended
     band fits the VMEM budget, with rows spread evenly over the bands so
