@@ -23,7 +23,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     except Exception:  # config name drift across jax versions — best effort
         pass
 
-from . import analysis, checkpoint, config, constants, errors, maps, path, path3d, profiling, viz
+from . import analysis, checkpoint, config, constants, errors, maps, path, path3d, path_nd, profiling, viz
 from .grid import (
     GridState,
     empty_grid_nd,
@@ -63,6 +63,7 @@ __all__ = [
     "maps",
     "path",
     "path3d",
+    "path_nd",
     "profiling",
     "reset_free_cells",
     "set_cells",
