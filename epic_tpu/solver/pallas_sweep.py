@@ -41,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..grid import GridState
+from ._sweep_body import lse4
 
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
 
 # VMEM budget: Mosaic's scoped-VMEM footprint for the whole-array kernel is
 # ~20 MB per 1M cells (measured via scoped-vmem OOM sizes, round-2 probes).
@@ -79,14 +79,7 @@ def make_sweep_fn(u0, not_frozen, t0):
     parity = (row + col) % 2
 
     def sweep(u, k):
-        # pltpu.roll requires non-negative shifts; h-1 == circular -1.
-        un = pltpu.roll(u, 1, 0)        # value from row above
-        us = pltpu.roll(u, h - 1, 0)    # value from row below
-        uw = pltpu.roll(u, 1, 1)        # value from column left
-        ue = pltpu.roll(u, w - 1, 1)    # value from column right
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(s)) - _LOG2N_2D
+        val = lse4(u, h, w)
         update = (parity != ((t0 + k) % 2)) & not_frozen
         return jnp.where(update, val, u)
 

@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..grid import GridState
+from ._sweep_body import lse6
 
-_LOG2N_3D = np.float32(np.log(np.float64(6.0)))
 
 # Same scoped-VMEM model as the 2D kernel (~20 MB per 1M cells, measured in
 # round 2); the volume + frozen mask + stencil temporaries must stay resident.
@@ -75,24 +75,7 @@ def make_sweep3d_fn(u0, not_frozen, t0, hp: int):
     def sweep(u, k):
         # Neighbour order matches reference_np.sweep_3d (z-, z+, y-, y+, x-, x+)
         # so the max tree and exp-sum association are bit-identical.
-        uzm = pltpu.roll(u, hp, 0)      # value from plane below (z-1)
-        uzp = pltpu.roll(u, r - hp, 0)  # value from plane above (z+1)
-        uym = pltpu.roll(u, 1, 0)       # row above within the slab
-        uyp = pltpu.roll(u, r - 1, 0)   # row below within the slab
-        uxm = pltpu.roll(u, 1, 1)
-        uxp = pltpu.roll(u, w - 1, 1)
-        m = jnp.maximum(uzm, uzp)
-        m = jnp.maximum(m, uym)
-        m = jnp.maximum(m, uyp)
-        m = jnp.maximum(m, uxm)
-        m = jnp.maximum(m, uxp)
-        s = jnp.exp(uzm - m)
-        s = s + jnp.exp(uzp - m)
-        s = s + jnp.exp(uym - m)
-        s = s + jnp.exp(uyp - m)
-        s = s + jnp.exp(uxm - m)
-        s = s + jnp.exp(uxp - m)
-        val = (m + jnp.log(s)) - _LOG2N_3D
+        val = lse6(u, r, w, hp)
         # 3D updates the class == t%2 (the x1-even offset negation flips the
         # 2D convention, harmonic_cpu.cpp:96-99; reference_np.sweep_3d).
         update = (parity != ((t0 + k + 1) % 2)) & not_frozen
