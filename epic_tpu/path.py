@@ -33,16 +33,7 @@ from .errors import (
 )
 
 
-def _cell_index(v: float) -> int:
-    """(unsigned int)(v + 0.5f): truncation toward zero of non-negative v.
-
-    Negative arguments are undefined behaviour in the reference; we map them
-    to -1 so the bounds check below rejects them deterministically.
-    """
-    f = np.float32(v) + np.float32(0.5)
-    if f < 0:
-        return -1
-    return int(f)
+from .path_common import cell_index as _cell_index  # noqa: E402
 
 
 def _check_location(u: np.ndarray, locked: np.ndarray, x: float, y: float) -> tuple[int, int]:

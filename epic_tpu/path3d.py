@@ -40,12 +40,7 @@ from .errors import (
 )
 
 
-def _cell_index(v: float) -> int:
-    """(unsigned int)(v + 0.5f) truncation, as the 2D walker (path.py)."""
-    f = np.float32(v) + np.float32(0.5)
-    if f < 0:
-        return -1
-    return int(f)
+from .path_common import cell_index as _cell_index  # noqa: E402
 
 
 def _check_location(

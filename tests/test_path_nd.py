@@ -6,7 +6,11 @@ import pytest
 
 import epic_tpu
 from epic_tpu import path3d, path_nd
-from epic_tpu.errors import InvalidLocationError, InvalidPathError
+from epic_tpu.errors import (
+    InvalidGradientError,
+    InvalidLocationError,
+    InvalidPathError,
+)
 from epic_tpu.solver import core
 
 
@@ -70,5 +74,5 @@ def test_nd_walker_contracts():
     ll = np.asarray(st.locked).copy()
     uu[3, 3, 3] = 0.0
     ll[3, 3, 3] = True
-    with pytest.raises((InvalidPathError, Exception)):
+    with pytest.raises((InvalidPathError, InvalidGradientError)):
         path_nd.compute_path(uu, ll, (1.2, 1.2, 1.2))

@@ -50,9 +50,14 @@ def main():
         _ = np.asarray(cur[0, 0])
         dt = time.perf_counter() - t0
         it = it + n_full * k
-        report(f"tick{tick}", warm_s=round(dt, 3),
-               g_updates_per_s=round(sweeps_per_tick * cells / 2 / dt / 1e9, 1),
-               delta=float(np.asarray(delta)))
+        if tick == 0:
+            # tick0 includes the cold compiles of every power-of-two cycle
+            # program in the chain — never fold it into throughput numbers.
+            report("tick0_cold", compile_and_run_s=round(dt, 1))
+        else:
+            report(f"tick{tick}", warm_s=round(dt, 3),
+                   g_updates_per_s=round(sweeps_per_tick * cells / 2 / dt / 1e9, 1),
+                   delta=float(np.asarray(delta)))
 
 
 if __name__ == "__main__":
