@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import constants as C
 from ..grid import GridState
 
-_LOG2N_2D = np.float32(np.log(np.float64(4.0)))
+from ..solver._sweep_body import LOG2N_2D as _LOG2N_2D, lse4
 
 
 def make_mesh(shape: tuple[int, int] | None = None, devices=None) -> Mesh:
@@ -90,10 +90,6 @@ def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
     """Pallas twin of :func:`_sweep_k_local`: K guarded sweeps on one
     shard's K-extended block, VMEM-resident (the per-shard compute of the
     shard_map + Pallas composition; scal = [t0, row0, col0])."""
-    import functools as _ft  # noqa: F401 - keep signature parity
-
-    from jax.experimental.pallas import tpu as pltpu
-
     t0 = scal_ref[0]
     row0 = scal_ref[1]
     col0 = scal_ref[2]
@@ -104,13 +100,7 @@ def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
     parity = (lr + row0 + lc + col0) % 2
 
     def sweep(s, u):
-        un = pltpu.roll(u, 1, 0)
-        us = pltpu.roll(u, he - 1, 0)
-        uw = pltpu.roll(u, 1, 1)
-        ue = pltpu.roll(u, we - 1, 1)
-        m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-        ssum = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_2D
+        val = lse4(u, he, we)
         valid = (lr >= s + 1) & (lr < he - 1 - s) & (lc >= s + 1) & (lc < we - 1 - s)
         update = (parity != ((t0 + s) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)

@@ -40,7 +40,7 @@ from .. import constants as C
 from ..grid import GridState
 from .sharded import _neighbor_perm, make_mesh  # noqa: F401  (re-export mesh helper)
 
-_LOG2N_3D = np.float32(np.log(np.float64(6.0)))
+from ..solver._sweep_body import LOG2N_3D as _LOG2N_3D, lse6
 
 
 def _exchange_halos_k(u: jax.Array, mesh: Mesh, k: int):
@@ -127,24 +127,7 @@ def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
     parity = (lz + ly + y0 + lc + x0) % 2
 
     def sweep(s, u):
-        uzm = pltpu.roll(u, he, 0)
-        uzp = pltpu.roll(u, rows - he, 0)
-        uym = pltpu.roll(u, 1, 0)
-        uyp = pltpu.roll(u, rows - 1, 0)
-        uxm = pltpu.roll(u, 1, 1)
-        uxp = pltpu.roll(u, we - 1, 1)
-        m = jnp.maximum(uzm, uzp)
-        m = jnp.maximum(m, uym)
-        m = jnp.maximum(m, uyp)
-        m = jnp.maximum(m, uxm)
-        m = jnp.maximum(m, uxp)
-        ssum = jnp.exp(uzm - m)
-        ssum = ssum + jnp.exp(uzp - m)
-        ssum = ssum + jnp.exp(uym - m)
-        ssum = ssum + jnp.exp(uyp - m)
-        ssum = ssum + jnp.exp(uxm - m)
-        ssum = ssum + jnp.exp(uxp - m)
-        val = (m + jnp.log(ssum)) - _LOG2N_3D
+        val = lse6(u, rows, we, he)
         valid = (ly >= s + 1) & (ly < he - 1 - s) & (lc >= s + 1) & (lc < we - 1 - s)
         # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
         update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
