@@ -123,3 +123,26 @@ def test_solve_check_fold_protocol_edges(stagger, eps):
         np.asarray(out_t.u), np.asarray(out_ref.u), rtol=0, atol=1e-5
     )
     assert float(out_t.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["tiled", "banded"])
+def test_host_solve_matches_compiled_protocol(variant):
+    """The host-driven (watchdog-safe) solve must reproduce the compiled
+    protocol exactly and surface per-check deltas."""
+    from epic_tpu.solver import host_solve
+
+    st = _state(64, 160, seed=7, eps=1e-2)
+    checks = []
+    fn = (host_solve.solve_py_tiled if variant == "tiled"
+          else host_solve.solve_py_banded)
+    out_h = fn(st, stagger=13,
+               on_check=lambda it, d: checks.append((it, d)))
+    out_ref = core.solve(st, stagger=13)
+    assert int(out_h.iteration) == int(out_ref.iteration)
+    assert bool(out_h.converged)
+    np.testing.assert_allclose(
+        np.asarray(out_h.u), np.asarray(out_ref.u), rtol=0, atol=1e-5
+    )
+    assert float(out_h.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
+    # one observed residual per stagger cycle, at check iterations 0, 13, ...
+    assert [it for it, _ in checks] == list(range(0, int(out_h.iteration), 13))
