@@ -1,5 +1,6 @@
 from . import (
     batched,
+    host_solve,
     batched_path3d,
     cascade,
     batched_path,
@@ -19,6 +20,7 @@ from . import (
 
 __all__ = [
     "batched",
+    "host_solve",
     "batched_path3d",
     "cascade",
     "batched_path",
