@@ -106,7 +106,13 @@ def solve_volume(state, stagger=None, **kw):
         return core.solve(state, stagger, **kw)
     if pallas_sweep3d.fits_vmem(state.u.shape):
         return pallas_sweep3d.solve(state, stagger, **kw)
-    return pallas_biggrid3d.solve(state, stagger, **kw)
+    if pallas_biggrid3d.feasible(state.u.shape):
+        return pallas_biggrid3d.solve(state, stagger, **kw)
+    # Wide-plane volumes (a single padded plane > ~700k cells) cannot fit
+    # even a minimal 3-plane extended band in scoped VMEM (probe24 wall);
+    # run the XLA path rather than crash Mosaic.
+    kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
+    return core.solve(state, stagger, **kw)
 
 
 def update_volume(state, num_steps, **kw):
@@ -119,7 +125,9 @@ def update_volume(state, num_steps, **kw):
         return core.update_n(state, num_steps)
     if pallas_sweep3d.fits_vmem(state.u.shape):
         return pallas_sweep3d.update_n(state, num_steps, **kw)
-    return pallas_biggrid3d.update_n(state, num_steps, **kw)
+    if pallas_biggrid3d.feasible(state.u.shape):
+        return pallas_biggrid3d.update_n(state, num_steps, **kw)
+    return core.update_n(state, num_steps)  # wide-plane fallback
 
 
 __all__ += ["solve_grid", "update_grid", "solve_volume", "update_volume"]

@@ -92,6 +92,21 @@ def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 2):
     return band, k
 
 
+def feasible(shape: tuple[int, int, int], chunk_depth: int = 2) -> bool:
+    """Whether the plane-banded layout fits the Mosaic scoped-VMEM wall.
+
+    Banding happens at whole-plane granularity, so the minimum extended
+    band is 3 planes (1 centre + 1 guard each side); once a single padded
+    plane exceeds ~EXT_BAND_CELL_BUDGET/3 cells (~700k, e.g. 1024x1024
+    planes are 1.05M), every band OOMs scoped VMEM (probe24 measured the
+    ~2M-cell ext-band wall). Wide-plane volumes must use a different
+    decomposition — the auto-dispatch falls back to the XLA path."""
+    d, h, w = shape
+    plane = _round_up(h, 8) * _round_up(w, 128)
+    band, k = choose_layout(shape, chunk_depth)
+    return (band + 2 * k) * plane <= EXT_BAND_CELL_BUDGET
+
+
 def _band3d_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
                    *, num_sweeps, band, k, hp, w):
     """K guarded sweeps on one extended plane-band of the stacked layout."""

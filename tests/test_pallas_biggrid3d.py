@@ -87,6 +87,23 @@ def test_choose_layout_budget():
         assert nb * band >= shape[0]
 
 
+def test_feasible_wide_plane_cutoff():
+    # Deep, modest-plane volumes fit the plane-banded layout ...
+    assert pallas_biggrid3d.feasible((256, 256, 256))
+    assert pallas_biggrid3d.feasible((128, 512, 512))
+    # ... wide-plane volumes exceed the 3-plane minimum ext band (probe24's
+    # ~2M-cell scoped-VMEM wall) and must fall back (solver.solve_volume).
+    assert not pallas_biggrid3d.feasible((4, 1024, 1024))
+    assert not pallas_biggrid3d.feasible((64, 4096, 4096))
+    # The auto-dispatch honors the predicate even off-CPU: the wide-plane
+    # shape would pick a 3-plane band whose pad_state alone is fine but
+    # whose kernel cannot compile; the cutoff is what keeps solve_volume
+    # from routing there.
+    band, k = pallas_biggrid3d.choose_layout((4, 1024, 1024))
+    plane = -(-1024 // 8) * 8 * (-(-1024 // 128) * 128)
+    assert (band + 2 * k) * plane > pallas_biggrid3d.EXT_BAND_CELL_BUDGET
+
+
 def test_rejects_2d():
     img = np.full((8, 8), 128, dtype=np.uint8)
     st2 = make_state(np.full((8, 8), -1e6, np.float32), np.zeros((8, 8), bool), 1e-2)
