@@ -464,15 +464,22 @@ def _solve_banded(
     DMA+folded structure, despite the gather chunk winning the RAW chunk
     race at low redundancy (probe19/21).
     """
+    from .pallas_cycle import sweep_cycle
+
     m_max = max(height, width)
     chunk_fn = sweep_chunk_dma.__wrapped__
     check_fn = sweep_chunk_dma_check.__wrapped__
+    cycle_fn = sweep_cycle.__wrapped__
     cd = min(k, stagger)
-    # NOTE: the ping-pong cycle kernel (pallas_cycle) is NOT used here on
-    # purpose — carrying its aliased buffer pair through the while loop
-    # makes XLA insert copies at the cond joins that eat the drain/DUS
-    # savings (probe36 in-process A/B: 40.1 vs 41.1 G at 4096²). The cycle
-    # kernel wins only in open chunk chains (update_n, planner ticks).
+    # The post-check sweeps of each stagger cycle run through the ping-pong
+    # cycle kernel (pallas_cycle) with a FRESH ``jnp.full(-1e6)`` twin
+    # created inside the loop body. Carrying the aliased buffer pair through
+    # the while loop instead loses (XLA copies at the cond joins — probe36:
+    # 40.1 vs 41.1 G at 4096²), but the twin only needs valid guard rows —
+    # every center row is written before it is read — so a fill (no read
+    # traffic, no carry) captures the cycle's drain/DUS savings without the
+    # join copies: 40.6 vs 40.1 G at 4096² in the pre-padded loop-vs-loop
+    # A/B, delta-bit-equal (probe40/42).
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -493,25 +500,18 @@ def _solve_banded(
             )
 
         def run_rest(args):
-            # Remaining sweeps as equal K-chunks + one remainder chunk: a
-            # fori over ONE call site keeps the compiled program small
-            # (unrolling ceil(stagger/K) pallas calls per body made cold
-            # compiles through remote services pathologically slow).
             u, iteration = args
             u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
             iteration = iteration + cd
             n_full, rem = divmod(stagger - cd, k)
-
-            def chunk_body(i, carry):
-                u, it = carry
-                u, _ = chunk_fn(
-                    u, frozen_pad, it, k, band, k, interpret
-                )
-                return u, it + k
-
-            u, iteration = jax.lax.fori_loop(
-                0, n_full, chunk_body, (u, iteration)
-            )
+            if n_full:
+                # Twin with valid guard rows only (the pad/boundary value);
+                # centers are write-before-read inside the cycle kernel.
+                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+                a, b, _ = cycle_fn(u, alt, frozen_pad, iteration, n_full,
+                                   k, band, interpret)
+                u = b if n_full % 2 else a
+                iteration = iteration + n_full * k
             if rem:
                 u, _ = chunk_fn(
                     u, frozen_pad, iteration, rem, band, k, interpret

@@ -447,24 +447,22 @@ def _solve_banded(
     The per-cycle plain sweeps run through the 3D ping-pong cycle kernel
     (pallas_cycle.sweep_cycle3d): at the production k=2, the chained
     structure paid ~50 chunk dispatches + 50 full-volume DUS copies per
-    100-sweep cycle. Unlike 2D (where carrying the cycle's aliased buffer
-    pair through the while loop cost more than it saved — probe36), the 3D
-    savings dominate: probe37 in-process A/B measured the cycle-inside
-    solve at 14.2-15.2 G updates/s vs 10.2-11.1 chunked at 256³ (+38%),
-    bit-exact."""
+    100-sweep cycle (probe37: +38% at 256³, bit-exact). The twin is a
+    FRESH ``jnp.full(-1e6)`` created inside the loop body — only its guard
+    planes are ever read (centers are write-before-read), and keeping it
+    out of the while carry avoids XLA copies at the cond joins (probe42
+    A/B: 18.7 vs 18.2 G updates/s at 256³, delta-bit-equal)."""
     from . import pallas_cycle
 
     cycle_fn = pallas_cycle.sweep_cycle3d.__wrapped__
     n_full, rem = divmod(stagger - 1, k)
 
     def cond(carry):
-        _, _, iteration, _, converged = carry
+        _, iteration, _, converged = carry
         return ~converged & (iteration < max_iterations)
 
     def body(carry):
-        # ``alt`` is the ping-pong twin (guards valid; centers overwritten
-        # by every cycle before they are read).
-        u, alt, iteration, _, _ = carry
+        u, iteration, _, _ = carry
         u, delta = sweep_chunk_dma.__wrapped__(
             u, frozen_pad, iteration, 1, band, k, hp, interpret
         )
@@ -472,28 +470,30 @@ def _solve_banded(
         done = (delta < epsilon) & (iteration >= m_max)
 
         def run_rest(args):
-            u, alt, iteration = args
+            u, iteration = args
             if n_full:
+                # Twin with valid guard planes only (the pad value).
+                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
                 a, b, _ = cycle_fn(
                     u, alt, frozen_pad, iteration, n_full, k, band, hp,
                     interpret
                 )
-                u, alt = (b, a) if n_full % 2 else (a, b)
+                u = b if n_full % 2 else a
                 iteration = iteration + n_full * k
             if rem:
                 u, _ = sweep_chunk_dma.__wrapped__(
                     u, frozen_pad, iteration, rem, band, k, hp, interpret
                 )
                 iteration = iteration + rem
-            return u, alt, iteration
+            return u, iteration
 
-        u, alt, iteration = jax.lax.cond(
-            done, lambda a: a, run_rest, (u, alt, iteration)
+        u, iteration = jax.lax.cond(
+            done, lambda a: a, run_rest, (u, iteration)
         )
-        return u, alt, iteration, delta, done
+        return u, iteration, delta, done
 
-    u_out, _, iteration, delta, converged = jax.lax.while_loop(
-        cond, body, (u, u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+    u_out, iteration, delta, converged = jax.lax.while_loop(
+        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
     )
     return u_out, iteration, delta, converged
 

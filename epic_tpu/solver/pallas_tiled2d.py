@@ -418,14 +418,21 @@ def _solve_tiled(
     the reference does (harmonic_cpu.cpp:158-173); otherwise the K sweeps
     already ran and the cycle continues with stagger-K more.
     """
+    from .pallas_cycle import sweep_cycle_tiled
+
     m_max = max(height, width)
     chunk_fn = sweep_chunk_tiled.__wrapped__
     check_fn = sweep_chunk_tiled_check.__wrapped__
+    cycle_fn = sweep_cycle_tiled.__wrapped__
     cd = min(k, stagger)
-    # NOTE: the ping-pong cycle kernel is NOT used inside this loop —
-    # carrying its aliased buffer pair through the while carry makes XLA
-    # insert copies at the cond joins that eat the drain/DUS savings
-    # (probe36 A/B). The cycle kernel wins only in open chunk chains.
+    # The post-check sweeps of each stagger cycle run through the ping-pong
+    # cycle kernel with a FRESH fill twin created inside the loop body
+    # (only the twin's guard rows/cols are ever read — every center tile is
+    # written before it is read). Carrying the aliased pair through the
+    # while carry instead loses to XLA copies at the cond joins (probe36);
+    # the fill twin keeps the cycle's drain/DUS savings without a carry:
+    # 33.1 vs 31.3 G updates/s at 16384² in the pre-padded loop-vs-loop
+    # A/B, delta-bit-equal (probe40/42).
 
     def cond(carry):
         _, iteration, _, converged = carry
@@ -451,15 +458,13 @@ def _solve_tiled(
             iteration = iteration + cd
             rest = stagger - cd
             n_full, rem = divmod(rest, k)
-
-            def chunk_body(i, carry):
-                u, it = carry
-                u, _ = chunk_fn(u, frozen, it, k, band, k, wt, interpret)
-                return u, it + k
-
-            u, iteration = jax.lax.fori_loop(
-                0, n_full, chunk_body, (u, iteration)
-            )
+            if n_full:
+                # Twin with valid guard rows/cols only (the pad value).
+                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+                a, b, _ = cycle_fn(u, alt, frozen, iteration, n_full,
+                                   k, band, wt, interpret)
+                u = b if n_full % 2 else a
+                iteration = iteration + n_full * k
             if rem:
                 u, _ = chunk_fn(u, frozen, iteration, rem, band, k, wt,
                                 interpret)

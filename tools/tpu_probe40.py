@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""TPU probe 40: cycle-in-solve WITHOUT carrying the ping-pong twin.
+
+probe36 showed carrying (u, alt) through the solve while-loop costs more
+than the cycle saves (XLA copies at the cond joins). But the twin only
+needs valid GUARD rows — everything else is overwritten before it is read
+— so a fresh jnp.full(-1e6) INSIDE run_rest (a fill, no read traffic, no
+carry) should capture the cycle's drain/DUS savings without the join
+copies. A/B at 4096² and 8192² vs the production chunked solve."""
+
+import functools
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from epic_tpu.grid import make_state  # noqa: E402
+from epic_tpu.solver import pallas_biggrid as bg  # noqa: E402
+from epic_tpu.solver import pallas_cycle as pc  # noqa: E402
+from tools.tpu_probe30 import _grid_device  # noqa: E402
+
+
+def report(name, **kw):
+    print(json.dumps(dict(name=name, **kw)), flush=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stagger", "max_iterations", "band", "k", "height",
+                     "width"),
+    donate_argnums=(0,),
+)
+def _solve_banded_cyclefill(u, frozen_pad, epsilon, stagger, max_iterations,
+                            band, k, height, width):
+    m_max = max(height, width)
+    chunk_fn = bg.sweep_chunk_dma.__wrapped__
+    check_fn = bg.sweep_chunk_dma_check.__wrapped__
+    cycle_fn = pc.sweep_cycle.__wrapped__
+    cd = min(k, stagger)
+    n_full, rem = divmod(stagger - cd, k)
+
+    def cond(carry):
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
+
+    def body(carry):
+        u, iteration, _, _ = carry
+        out_uk, out_u1, delta = check_fn(u, frozen_pad, iteration, cd,
+                                         band, k, False)
+        done = (delta < epsilon) & (iteration + 1 >= m_max)
+
+        def finish(args):
+            u, iteration = args
+            return (jax.lax.dynamic_update_slice(u, out_u1, (k, 0)),
+                    iteration + 1)
+
+        def run_rest(args):
+            u, iteration = args
+            u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
+            iteration = iteration + cd
+            if n_full:
+                # Twin with valid guards only; centers are write-before-read.
+                alt = jnp.full_like(u, jnp.float32(-1e6))
+                a, b, _ = cycle_fn(u, alt, frozen_pad, iteration, n_full,
+                                   k, band, False)
+                u = b if n_full % 2 else a
+                iteration = iteration + n_full * k
+            if rem:
+                u, _ = chunk_fn(u, frozen_pad, iteration, rem, band, k, False)
+                iteration = iteration + rem
+            return u, iteration
+
+        u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
+        return u, iteration, delta, done
+
+    return jax.lax.while_loop(
+        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+    )
+
+
+def run_ab(h, w, cap):
+    u, locked = _grid_device(h, w)
+    rows = []
+    checks = {}
+    for rep in range(3):
+        st = make_state(u, locked, epsilon=1e-2)
+        t0 = time.perf_counter()
+        out = bg.solve(st, max_iterations=cap)
+        it1 = int(out.iteration)
+        checks["prod"] = float(np.asarray(out.delta))
+        dt_p = time.perf_counter() - t0
+        st = make_state(u, locked, epsilon=1e-2)
+        g = bg.pad_state(st)
+        t0 = time.perf_counter()
+        u2, it2, d2, _ = _solve_banded_cyclefill(
+            g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, h, w)
+        it2 = int(it2)
+        checks["cyclefill"] = float(np.asarray(d2))
+        dt_c = time.perf_counter() - t0
+        if rep > 0:
+            rows.append((dt_p, dt_c))
+            report(f"ab_{h}_rep{rep}", prod_s=round(dt_p, 2),
+                   cyclefill_s=round(dt_c, 2),
+                   prod_g=round(it1 * h * w / 2 / dt_p / 1e9, 1),
+                   cyclefill_g=round(it2 * h * w / 2 / dt_c / 1e9, 1))
+    assert checks["prod"] == checks["cyclefill"], checks
+    report(f"verdict_{h}", deltas_equal=True,
+           prod_g=round(cap * h * w / 2 / min(r[0] for r in rows) / 1e9, 1),
+           cyclefill_g=round(cap * h * w / 2 / min(r[1] for r in rows) / 1e9, 1))
+
+
+def main():
+    report("env", backend=jax.default_backend())
+    run_ab(4096, 4096, 10_000)
+    run_ab(8192, 8192, 10_000)
+
+
+if __name__ == "__main__":
+    main()
