@@ -155,12 +155,16 @@ class VolumePlanner:
 
         if backend != "pallas" and jax.default_backend() != "tpu":
             return None
-        from .solver import pallas_biggrid3d, pallas_sweep3d
+        from .solver import pallas_biggrid3d, pallas_sweep3d, pallas_tiled3d
 
         st = self._require_state()
         if pallas_sweep3d.fits_vmem(st.u.shape):
             return pallas_sweep3d
-        return pallas_biggrid3d
+        if pallas_biggrid3d.feasible(st.u.shape):
+            return pallas_biggrid3d
+        if pallas_tiled3d.feasible(st.u.shape):
+            return pallas_tiled3d
+        return None  # tiny-dim wide-plane volumes: XLA fallback
 
     def update(self, num_steps: int | None = None) -> None:
         """Run a chunk of relaxation sweeps (no-op when paused / uninit)."""
@@ -177,8 +181,10 @@ class VolumePlanner:
 
         if mod is pallas_sweep3d:
             self._update_vmem_cached(n)
-        else:
+        elif mod is pallas_biggrid3d:
             self._update_biggrid_cached(n)
+        else:
+            self._update_tiled3d_cached(n)
 
     def _update_vmem_cached(self, n: int) -> None:
         """VMEM-3D-kernel tick reusing padded buffers across ticks."""
@@ -252,6 +258,43 @@ class VolumePlanner:
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
         self._pad_cache = (self.state, (new_g, alt))
+
+    def _update_tiled3d_cached(self, n: int) -> None:
+        """Wide-plane (z, y, x)-tiled tick reusing the guard-padded
+        buffers across ticks (the regime the plane-banded kernel cannot
+        compile for — pallas_biggrid3d.feasible)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .solver import pallas_tiled3d
+
+        st = self.state
+        if self._pad_cache is not None and self._pad_cache[0] is st:
+            g = self._pad_cache[1]
+        else:
+            g = pallas_tiled3d.pad_state(st)
+        interpret = jax.default_backend() == "cpu"
+        u = g.u
+        delta = None
+        t = 0
+        while t < n:
+            ns = min(g.k, n - t)
+            u, dd = pallas_tiled3d.sweep_chunk_tiled3d(
+                u, g.frozen, st.iteration + t, ns, g.band, g.k, g.yt,
+                g.wt, g.hp2, interpret,
+            )
+            if delta is None:
+                delta = dd
+            t += ns
+        new_g = dataclasses.replace(g, u=u)
+        self.state = dataclasses.replace(
+            st,
+            u=pallas_tiled3d.unpad(new_g),
+            iteration=st.iteration + n,
+            delta=delta,
+            converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
+        )
+        self._pad_cache = (self.state, new_g)
 
     def solve(self) -> None:
         """Blocking solve-to-convergence through the auto-dispatching 3D

@@ -15,6 +15,7 @@ from . import (
     pallas_sweep3d,
     pallas_tiled,
     pallas_tiled2d,
+    pallas_tiled3d,
     reference_np,
 )
 
@@ -35,6 +36,7 @@ __all__ = [
     "pallas_sweep3d",
     "pallas_tiled",
     "pallas_tiled2d",
+    "pallas_tiled3d",
     "reference_np",
 ]
 
@@ -110,7 +112,9 @@ def solve_volume(state, stagger=None, **kw):
         return pallas_biggrid3d.solve(state, stagger, **kw)
     # Wide-plane volumes (a single padded plane > ~700k cells) cannot fit
     # even a minimal 3-plane extended band in scoped VMEM (probe24 wall);
-    # run the XLA path rather than crash Mosaic.
+    # run the (z, y, x)-tiled kernel there, XLA as the last resort.
+    if pallas_tiled3d.feasible(state.u.shape):
+        return pallas_tiled3d.solve(state, stagger, **kw)
     kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
     return core.solve(state, stagger, **kw)
 
@@ -127,7 +131,9 @@ def update_volume(state, num_steps, **kw):
         return pallas_sweep3d.update_n(state, num_steps, **kw)
     if pallas_biggrid3d.feasible(state.u.shape):
         return pallas_biggrid3d.update_n(state, num_steps, **kw)
-    return core.update_n(state, num_steps)  # wide-plane fallback
+    if pallas_tiled3d.feasible(state.u.shape):
+        return pallas_tiled3d.update_n(state, num_steps, **kw)
+    return core.update_n(state, num_steps)  # tiny-dim wide-plane fallback
 
 
 __all__ += ["solve_grid", "update_grid", "solve_volume", "update_volume"]

@@ -121,6 +121,31 @@ def test_forced_biggrid_tick_matches_xla(monkeypatch):
     assert int(p_b.state.iteration) == 18
 
 
+def test_forced_tiled3d_tick_matches_xla(monkeypatch):
+    """Wide-plane volumes (plane-banded layout infeasible) route ticks
+    through the (z, y, x)-tiled kernel; force that path on a small volume
+    and check bit-parity + pad-cache reuse across ticks."""
+    from epic_tpu.solver import pallas_biggrid3d, pallas_sweep3d
+
+    monkeypatch.setattr(pallas_sweep3d, "fits_vmem", lambda shape: False)
+    monkeypatch.setattr(pallas_biggrid3d, "feasible",
+                        lambda shape, chunk_depth=2: False)
+    p_x = VolumePlanner(VolumePlannerConfig(epsilon=1e-2, backend="xla"))
+    p_t = VolumePlanner(VolumePlannerConfig(epsilon=1e-2, backend="pallas"))
+    for p in (p_t, p_x):
+        p.init(140, 34, 8)  # h=34 >= the smallest y-tile, w=140 >= 1 x-tile
+        p.add_goals([(70.0, 17.0, 4.0)])
+        p.update(5)
+        p.update(5)
+    from epic_tpu.solver import pallas_tiled3d
+
+    assert p_t._kernel_module() is pallas_tiled3d
+    np.testing.assert_array_equal(
+        np.asarray(p_x.state.u), np.asarray(p_t.state.u)
+    )
+    assert int(p_t.state.iteration) == 10
+
+
 def test_solve_to_convergence_and_protocol(planner):
     planner.add_goals([(12.0, 10.0, 8.0)])
     planner.solve()
