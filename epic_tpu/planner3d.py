@@ -266,26 +266,33 @@ class VolumePlanner:
         import jax
         import jax.numpy as jnp
 
-        from .solver import pallas_tiled3d
+        from .solver import pallas_cycle, pallas_tiled3d
 
         st = self.state
         if self._pad_cache is not None and self._pad_cache[0] is st:
-            g = self._pad_cache[1]
+            g, alt = self._pad_cache[1]
         else:
             g = pallas_tiled3d.pad_state(st)
+            alt = None  # run_chain creates the ping-pong twin once
         interpret = jax.default_backend() == "cpu"
         u = g.u
         delta = None
         t = 0
-        while t < n:
-            ns = min(g.k, n - t)
+        n_full, rem = divmod(n, g.k)
+        if n_full:
+            u, alt, delta = pallas_cycle.run_chain(
+                pallas_cycle.sweep_cycle_tiled3d, u, alt, g.frozen,
+                st.iteration, n_full, g.k, g.band, g.yt, g.wt, g.hp2,
+                interpret=interpret,
+            )
+            t = n_full * g.k
+        if rem:
             u, dd = pallas_tiled3d.sweep_chunk_tiled3d(
-                u, g.frozen, st.iteration + t, ns, g.band, g.k, g.yt,
+                u, g.frozen, st.iteration + t, rem, g.band, g.k, g.yt,
                 g.wt, g.hp2, interpret,
             )
             if delta is None:
                 delta = dd
-            t += ns
         new_g = dataclasses.replace(g, u=u)
         self.state = dataclasses.replace(
             st,
@@ -294,7 +301,7 @@ class VolumePlanner:
             delta=delta,
             converged=(delta < st.epsilon) if n == 1 else jnp.asarray(False),
         )
-        self._pad_cache = (self.state, new_g)
+        self._pad_cache = (self.state, (new_g, alt))
 
     def solve(self) -> None:
         """Blocking solve-to-convergence through the auto-dispatching 3D

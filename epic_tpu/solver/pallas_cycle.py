@@ -601,6 +601,248 @@ def sweep_cycle3d(
     return a_out, b_out, jnp.max(deltas, axis=1)
 
 
+def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                          delta_ref, u_vmem, f_vmem, rsem, wsem,
+                          *, k, band, yt, wt, hy, hx, hp2, nb, ny, nx, nc):
+    """3D (z, y, x)-tiled ping-pong cycle step over an (n_chunks, nsteps)
+    grid (nsteps = nb*ny*nx slabs, linearized — the pallas_tiled3d
+    wide-plane layout). Each slab is ext_z contiguous row-ranges of the
+    flattened padded volume, copied plane by plane like
+    pallas_tiled3d._tile3d_kernel_impl; chunk parity picks the source
+    buffer, centres are written plane by plane to the other (waited
+    in-step)."""
+    ext_z = band + 2 * k
+    yext = yt + 2 * hy
+    wext = wt + 2 * hx
+    rows = ext_z * yext
+    c = pl.program_id(0)
+    step = pl.program_id(1)
+    nsteps = nb * ny * nx
+    lin = c * nsteps + step
+    slot = jax.lax.rem(lin, 2)
+    i = step // (ny * nx)
+    r = jax.lax.rem(step, ny * nx)
+    j = r // nx
+    cx = jax.lax.rem(r, nx)
+    # Cross-chunk prefetch reads planes [0, ext_z) of dst while this step
+    # writes band nb-1's planes [k + (nb-1)*band, ...): disjoint iff
+    # (nb-2)*band >= k (same derivation as the 2D tiled cycle).
+    cross_prefetch = (nb - 2) * band >= k and nb >= 2
+
+    def read_copies(src, band_idx, jy, cxx, rslot, sem_idx):
+        r0y = jy * yt
+        c0 = cxx * wt
+        cs = []
+        for p in range(ext_z):
+            src_row = (band_idx * band + p) * hp2 + r0y
+            cs.append(pltpu.make_async_copy(
+                src.at[pl.ds(src_row, yext), pl.ds(c0, wext)],
+                u_vmem.at[rslot, pl.ds(p * yext, yext), :],
+                rsem.at[rslot, sem_idx, p],
+            ))
+        return cs
+
+    def frozen_copies(band_idx, jy, cxx, rslot):
+        r0y = jy * yt
+        c0 = cxx * wt
+        cs = []
+        for p in range(ext_z):
+            src_row = (band_idx * band + p) * hp2 + r0y
+            cs.append(pltpu.make_async_copy(
+                f_hbm.at[pl.ds(src_row, yext), pl.ds(c0, wext)],
+                f_vmem.at[rslot, pl.ds(p * yext, yext), :],
+                rsem.at[rslot, 2, p],
+            ))
+        return cs
+
+    def start_read(cc, band_idx, jy, cxx, rslot):
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            for cp in read_copies(a_ref, band_idx, jy, cxx, rslot, 0):
+                cp.start()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            for cp in read_copies(b_ref, band_idx, jy, cxx, rslot, 1):
+                cp.start()
+
+        for cp in frozen_copies(band_idx, jy, cxx, rslot):
+            cp.start()
+
+    def wait_read(cc, band_idx, jy, cxx, rslot):
+        @pl.when(jax.lax.rem(cc, 2) == 0)
+        def _():
+            for cp in read_copies(a_ref, band_idx, jy, cxx, rslot, 0):
+                cp.wait()
+
+        @pl.when(jax.lax.rem(cc, 2) == 1)
+        def _():
+            for cp in read_copies(b_ref, band_idx, jy, cxx, rslot, 1):
+                cp.wait()
+
+        for cp in frozen_copies(band_idx, jy, cxx, rslot):
+            cp.wait()
+
+    def decompose(stp):
+        bi = stp // (ny * nx)
+        rr = jax.lax.rem(stp, ny * nx)
+        return bi, rr // nx, jax.lax.rem(rr, nx)
+
+    @pl.when(lin == 0)
+    def _():
+        start_read(0, 0, 0, 0, 0)
+
+    if cross_prefetch:
+        @pl.when(lin + 1 < nc * nsteps)
+        def _():
+            nxt = lin + 1
+            cc = nxt // nsteps
+            bi, jy, cxx = decompose(jax.lax.rem(nxt, nsteps))
+            start_read(cc, bi, jy, cxx, jax.lax.rem(nxt, 2))
+    else:
+        @pl.when(step + 1 < nsteps)
+        def _():
+            bi, jy, cxx = decompose(step + 1)
+            start_read(c, bi, jy, cxx, jax.lax.rem(lin + 1, 2))
+
+        @pl.when((step == 0) & (lin > 0))
+        def _():
+            start_read(c, 0, 0, 0, slot)
+
+    wait_read(c, i, j, cx, slot)
+
+    t0 = it_ref[0] + c * k
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
+    local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, wext), 0)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (rows, wext), 1)
+    lz = local_row // yext
+    ly = local_row - lz * yext
+    parity = (lz + i * band - k + ly + j * yt + lx + cx * wt) % 2
+
+    def sweep(s, u):
+        val = lse6(u, rows, wext, yext)
+        valid = (
+            (lz > s) & (lz < ext_z - 1 - s)
+            & (ly > s) & (ly < yext - 1 - s)
+            & (lx > s) & (lx < wext - 1 - s)
+        )
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[c, step] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, k, sweep, u1)
+    u_vmem[slot] = u
+
+    def write_to(dst, wslot):
+        cs = []
+        for p in range(band):
+            dst_row = (k + i * band + p) * hp2 + hy + j * yt
+            cs.append(pltpu.make_async_copy(
+                u_vmem.at[slot, pl.ds((k + p) * yext + hy, yt),
+                          pl.ds(hx, wt)],
+                dst.at[pl.ds(dst_row, yt), pl.ds(hx + cx * wt, wt)],
+                wsem.at[wslot, p],
+            ))
+        return cs
+
+    @pl.when(jax.lax.rem(c, 2) == 0)
+    def _():
+        for wcp in write_to(b_ref, 0):
+            wcp.start()
+        for wcp in write_to(b_ref, 0):
+            wcp.wait()
+
+    @pl.when(jax.lax.rem(c, 2) == 1)
+    def _():
+        for wcp in write_to(a_ref, 1):
+            wcp.start()
+        for wcp in write_to(a_ref, 1):
+            wcp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "k", "band", "yt", "wt", "hp2",
+                     "interpret"),
+    donate_argnums=(0, 1),
+)
+def sweep_cycle_tiled3d(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    yt: int,
+    wt: int,
+    hp2: int,
+    interpret: bool = False,
+):
+    """(z, y, x)-tiled 3D twin of :func:`sweep_cycle` for the
+    pallas_tiled3d wide-plane layout: ``n_chunks * k`` 6-neighbour sweeps
+    in one dispatch. Wide-plane chunks are shallow (production k=2) with
+    many slabs per chunk, so the chained path pays ~50 dispatches + 50
+    full-volume paste copies per 100-sweep span — the cycle's best case.
+    Same contract as every cycle kernel: final state in ``b'`` when
+    ``n_chunks`` is odd, both inputs DONATED."""
+    from .pallas_tiled3d import _HX, _HY
+
+    rp, wp = u_a.shape
+    dp = rp // hp2
+    nb = (dp - 2 * k) // band
+    ny = (hp2 - 2 * _HY) // yt
+    nx = (wp - 2 * _HX) // wt
+    assert nb * band + 2 * k == dp, (dp, band, k)
+    assert ny * yt + 2 * _HY == hp2, (hp2, yt)
+    assert nx * wt + 2 * _HX == wp, (wp, wt)
+    assert n_chunks >= 1 and k <= min(_HY, _HX)
+    ext_z = band + 2 * k
+    yext = yt + 2 * _HY
+    wext = wt + 2 * _HX
+    nsteps = nb * ny * nx
+
+    a_out, b_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel_tiled3d, k=k, band=band, yt=yt,
+                          wt=wt, hy=_HY, hx=_HX, hp2=hp2, nb=nb, ny=ny,
+                          nx=nx, nc=n_chunks),
+        grid=(n_chunks, nsteps),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nsteps), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_z * yext, wext), jnp.float32),
+            pltpu.VMEM((2, ext_z * yext, wext), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3, ext_z)),
+            pltpu.SemaphoreType.DMA((2, band)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return a_out, b_out, jnp.max(deltas, axis=1)
+
+
 def chain_lengths(n_full: int) -> list[int]:
     """Decompose a chunk count into descending powers of two, so every
     distinct total reuses a log-sized set of compiled cycle programs

@@ -376,7 +376,11 @@ def unpad(g: TiledVolume) -> jax.Array:
 def update_n(state: GridState, num_steps: int,
              chunk_depth: int = 2, interpret: bool | None = None) -> GridState:
     """Anytime chunk stepper; semantics identical to core.update_n (delta
-    from the overall first sweep)."""
+    from the overall first sweep). Full K-chunks run through the
+    (z, y, x)-tiled ping-pong cycle kernel (one dispatch per power-of-two
+    span instead of one per K sweeps + a full-volume paste each)."""
+    from . import pallas_cycle
+
     if num_steps < 1:
         raise ValueError(f"num_steps must be >= 1, got {num_steps}")
     if interpret is None:
@@ -387,14 +391,20 @@ def update_n(state: GridState, num_steps: int,
     u = g.u
     delta = None
     t = 0
-    while t < num_steps:
-        ns = min(g.k, num_steps - t)
+    n_full, rem = divmod(num_steps, g.k)
+    if n_full:
+        u, _, delta = pallas_cycle.run_chain(
+            pallas_cycle.sweep_cycle_tiled3d, u, None, g.frozen,
+            state.iteration, n_full, g.k, g.band, g.yt, g.wt, g.hp2,
+            interpret=interpret,
+        )
+        t = n_full * g.k
+    if rem:
         u, dd = sweep_chunk_tiled3d(
-            u, g.frozen, state.iteration + t, ns, g.band, g.k, g.yt, g.wt,
+            u, g.frozen, state.iteration + t, rem, g.band, g.k, g.yt, g.wt,
             g.hp2, interpret)
         if delta is None:
             delta = dd
-        t += ns
     return dataclasses.replace(
         state,
         u=unpad(dataclasses.replace(g, u=u)),
@@ -416,9 +426,17 @@ def _solve_tiled3d(
 ):
     """Full solve protocol on the 3D-tiled path, one device program, with
     the staggered check folded into the first K-chunk of each cycle
-    (harmonic_cpu.cpp:158-173 exit-state semantics)."""
+    (harmonic_cpu.cpp:158-173 exit-state semantics). The post-check sweeps
+    run through the (z, y, x)-tiled ping-pong cycle kernel with a fresh
+    fill twin (probe40/42 pattern; at the production k=2 the chunked fori
+    paid ~50 dispatches + 50 full-volume pastes per 100-sweep cycle —
+    probe43 measured that structure at 5.9 G updates/s vs the 19.5 G
+    chunk-chain rate)."""
+    from .pallas_cycle import sweep_cycle_tiled3d
+
     chunk_fn = sweep_chunk_tiled3d.__wrapped__
     check_fn = sweep_chunk_tiled3d_check.__wrapped__
+    cycle_fn = sweep_cycle_tiled3d.__wrapped__
     cd = min(k, stagger)
 
     def paste(uu, center):
@@ -443,15 +461,13 @@ def _solve_tiled3d(
             u = paste(u, out_uk)
             iteration = iteration + cd
             n_full, rem = divmod(stagger - cd, k)
-
-            def chunk_body(i, carry):
-                u, it = carry
-                u, _ = chunk_fn(u, frozen_pad, it, k, band, k, yt, wt, hp2,
-                                interpret)
-                return u, it + k
-
-            u, iteration = jax.lax.fori_loop(0, n_full, chunk_body,
-                                             (u, iteration))
+            if n_full:
+                # Twin with valid guard planes/rows/cols only (pad value).
+                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+                a, b, _ = cycle_fn(u, alt, frozen_pad, iteration, n_full,
+                                   k, band, yt, wt, hp2, interpret)
+                u = b if n_full % 2 else a
+                iteration = iteration + n_full * k
             if rem:
                 u, _ = chunk_fn(u, frozen_pad, iteration, rem, band, k, yt,
                                 wt, hp2, interpret)

@@ -129,6 +129,45 @@ def test_solve_matches_core_protocol():
     np.testing.assert_allclose(got, np.asarray(ref.u), atol=2e-6)
 
 
+@pytest.mark.parametrize("n_chunks", [1, 2, 3])
+def test_cycle_bitmatches_chained_chunks(n_chunks):
+    """The (z, y, x)-tiled ping-pong cycle kernel must reproduce chained
+    sweep_chunk_tiled3d calls bit-exactly (odd AND even chain lengths —
+    the final state lands in different buffers)."""
+    from epic_tpu.solver import pallas_cycle
+
+    d, h, w, band, k, yt, wt = 10, 20, 150, 2, 2, 8, 128
+    st = _volume(d, h, w, seed=11)
+    g = pallas_tiled3d.pad_state(st, band=band, k=k, yt=yt, wt=wt)
+
+    u_ref = g.u
+    deltas_ref = []
+    for c in range(n_chunks):
+        u_ref, dd = pallas_tiled3d.sweep_chunk_tiled3d(
+            u_ref, g.frozen, jnp.int32(c * k), k, band, k, yt, wt, g.hp2,
+            True)
+        deltas_ref.append(float(dd))
+
+    a, b, deltas = pallas_cycle.sweep_cycle_tiled3d(
+        g.u, jnp.copy(g.u), g.frozen, jnp.int32(0), n_chunks, k, band, yt,
+        wt, g.hp2, True)
+    out = b if n_chunks % 2 else a
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(u_ref))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref, rtol=0)
+
+
+def test_update_n_cycle_path_matches_core():
+    """update_n (which routes full K-chunks through the cycle chain) must
+    stay exact vs the XLA oracle, including a remainder sweep."""
+    st = _volume(10, 34, 140, density=0.05, seed=13)
+    ref = core.update_n(_volume(10, 34, 140, density=0.05, seed=13), 5)
+    out = pallas_tiled3d.update_n(st, 5)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), atol=1e-5)
+    assert float(out.delta) == pytest.approx(float(ref.delta), abs=1e-6)
+    assert int(out.iteration) == int(ref.iteration)
+
+
 def test_layout_chooser_budget_and_coverage():
     for shape in [(64, 4096, 4096), (4, 1024, 1024), (16, 2048, 8192),
                   (128, 512, 512)]:
