@@ -99,6 +99,15 @@ def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 2):
 
 
 def feasible(shape: tuple[int, int, int], chunk_depth: int = 2) -> bool:
+    """This kernel serves the regime where plane-banding cannot compile.
+
+    Where BOTH layouts fit (mid-plane volumes, e.g. 128x512x512 where the
+    banded layout degenerates to band=2, k=1), the banded kernel keeps
+    production anyway: its cycle-kernel structure removes the per-sweep
+    paste that k=1 would otherwise pay, and it wins both chains (16.3 vs
+    15.6 G updates/s) and solves (14.0 vs 11.7 G) — probe45/46. A
+    per-sweep traffic heuristic ((red+1)/k) predicts the opposite and is
+    deliberately NOT wired into dispatch."""
     return bool(tile_layouts(shape, chunk_depth))
 
 
