@@ -355,11 +355,18 @@ class Planner:
         )
         self._pad_cache = (self.state, (new_g, alt))
 
-    def solve(self) -> None:
+    def solve(self, max_iterations: int | None = None) -> None:
         """Blocking solve-to-convergence (harmonic_complete semantics), as
         the nav_core plugin does per makePlan (epic_nav_core_plugin.cpp:256).
         With ``config.cascade`` the solve warm-starts through a resolution
-        pyramid (solver.cascade) — same certificate, fewer sweeps."""
+        pyramid (solver.cascade) — same certificate, fewer sweeps.
+
+        ``max_iterations`` caps the single solve dispatch (the watchdog
+        escape hatch documented on solver.solve_grid): loop on
+        ``state.converged`` from the host when a remote-worker stack
+        limits dispatch wall time; a converged verdict from any capped
+        segment is protocol-sound."""
+        cap = 1_000_000 if max_iterations is None else int(max_iterations)
         mod = self._kernel_module()
         solve_fn = getattr(mod, "solve", None) if mod is not None else None
         if solve_fn is None:
@@ -370,7 +377,7 @@ class Planner:
 
             def final(st, stagger, max_iterations):
                 return solve_fn(st, stagger=stagger,
-                                max_iterations=max_iterations)
+                                max_iterations=min(max_iterations, cap))
 
             coarse = (_cascade.native_solver
                       if _native_available() else final)
@@ -379,7 +386,8 @@ class Planner:
                 solver=final, coarse_solver=coarse)
         else:
             self.state = solve_fn(self._require_state(),
-                                  stagger=self.config.stagger)
+                                  stagger=self.config.stagger,
+                                  max_iterations=cap)
 
     # -- service verbs -----------------------------------------------------
 

@@ -303,17 +303,28 @@ class VolumePlanner:
         )
         self._pad_cache = (self.state, (new_g, alt))
 
-    def solve(self) -> None:
+    def solve(self, max_iterations: int | None = None) -> None:
         """Blocking solve-to-convergence through the auto-dispatching 3D
-        solve (harmonic_complete semantics)."""
+        solve (harmonic_complete semantics).
+
+        ``max_iterations`` is the watchdog escape hatch documented on
+        solver.solve_grid: a solve is ONE device dispatch, so on
+        tunnelled/remote-worker TPU stacks cap it to keep a single
+        dispatch under ~45 s and loop on ``state.converged`` from the
+        host (a converged verdict from any capped segment is sound — it
+        passed a staggered check with the full propagation guard within
+        that segment)."""
         from . import solver as S
 
+        cap = 1_000_000 if max_iterations is None else int(max_iterations)
         st = self._require_state()
         self._pad_cache = None  # the solve donates/replaces the state
         if self.config.backend == "xla":
-            self.state = core.solve(st, stagger=self.config.stagger)
+            self.state = core.solve(st, stagger=self.config.stagger,
+                                    max_iterations=cap)
         else:
-            self.state = S.solve_volume(st, stagger=self.config.stagger)
+            self.state = S.solve_volume(st, stagger=self.config.stagger,
+                                        max_iterations=cap)
 
     # -- service verbs -----------------------------------------------------
 

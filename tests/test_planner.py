@@ -126,6 +126,26 @@ def test_warm_restart_faster_than_cold():
     assert warm_iters < cold_iters
 
 
+def test_solve_cap_then_host_loop_converges():
+    """solve(max_iterations=...) is the single-dispatch watchdog escape
+    hatch: a cap below the propagation guard cannot converge; looping
+    capped segments from the host reaches a protocol-sound verdict."""
+    img = maps.open_room(64, 64, goal=(50, 30))
+    p = Planner(PlannerConfig(epsilon=1e-2))
+    p.init(64, 64)
+    p.update_occupancy(_occupancy_from_img(img))
+    p.add_goals([(50.0, 30.0)])
+    p.solve(max_iterations=5)  # < max(H, W): guard forbids convergence
+    assert not bool(p.state.converged)
+    for _ in range(50):
+        p.solve(max_iterations=200)
+        if bool(p.state.converged):
+            break
+    assert bool(p.state.converged)
+    assert int(p.state.iteration) % C.DEFAULT_STAGGER == 1
+    assert int(p.state.iteration) >= 64
+
+
 def test_occupancy_refresh_keeps_goals_unless_resized(node):
     node.srv_add_goals(msg.ModifyGoalsRequest(goals=[msg.PoseStamped(20.0, 20.0)]))
     img = maps.open_room(40, 40)

@@ -155,6 +155,20 @@ def test_solve_to_convergence_and_protocol(planner):
     assert int(st.iteration) >= max(st.u.shape)
 
 
+def test_solve_cap_then_host_loop_converges(planner):
+    """VolumePlanner.solve(max_iterations=...) mirrors the 2D escape
+    hatch: capped segments loop from the host to a sound verdict."""
+    planner.add_goals([(12.0, 10.0, 8.0)])
+    planner.solve(max_iterations=3)
+    assert not bool(planner.state.converged)
+    for _ in range(50):
+        planner.solve(max_iterations=200)
+        if bool(planner.state.converged):
+            break
+    assert bool(planner.state.converged)
+    assert int(planner.state.iteration) % C.DEFAULT_STAGGER == 1
+
+
 def test_set_cells_voxel_coords_skip_invalid(planner):
     planner.set_cells(
         [(3, 4, 5), (999, 4, 5), (-1, 2, 2), (3, 4, 5)],
