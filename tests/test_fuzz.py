@@ -155,3 +155,50 @@ def test_random_grids_tiled2d_matches_oracle(seed):
     hx = pallas_tiled2d._HX
     got = np.asarray(u_pad[k : k + h, hx : hx + w])
     np.testing.assert_allclose(got, u_ref, rtol=2e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_volumes_tiled3d_matches_oracle(seed):
+    """The wide-plane (z, y, x)-tiled 3D kernel on random volumes (random
+    band/yt layouts, ragged dims across every tile axis, shallow
+    remainder chunks)."""
+    import jax.numpy as jnp
+
+    from epic_tpu.solver import pallas_tiled3d
+
+    rng = np.random.default_rng(500 + seed)
+    d = int(rng.integers(6, 20))
+    h = int(rng.integers(18, 40))
+    w = int(rng.integers(130, 300))
+    u = np.full((d, h, w), -1e6, dtype=np.float32)
+    locked = np.zeros((d, h, w), dtype=bool)
+    locked[0], locked[-1] = True, True
+    locked[:, 0], locked[:, -1] = True, True
+    locked[:, :, 0], locked[:, :, -1] = True, True
+    locked |= rng.random((d, h, w)) < 0.15
+    gz, gy, gx = (int(rng.integers(1, n - 1)) for n in (d, h, w))
+    u[gz, gy, gx] = 0.0
+    locked[gz, gy, gx] = True
+    steps = int(rng.integers(3, 12))
+    band = int(rng.choice([2, 4]))
+    k = 2
+    yt = int(rng.choice([8, 16]))
+    wt = 128
+    u_ref = u.copy()
+    for it in range(steps):
+        u_ref, _ = reference_np.sweep_3d(u_ref, locked, it)
+    st = epic_tpu.make_state(u, locked)
+    g = pallas_tiled3d.pad_state(st, band=band, k=k, yt=yt, wt=wt)
+    u_pad = g.u
+    t = 0
+    while t < steps:
+        dd = min(k, steps - t)
+        u_pad, _ = pallas_tiled3d.sweep_chunk_tiled3d(
+            u_pad, g.frozen, jnp.int32(t), dd, band, k, yt, wt, g.hp2, True
+        )
+        t += dd
+    got = np.asarray(pallas_tiled3d.unpad(
+        pallas_tiled3d.TiledVolume(
+            u=u_pad, frozen=g.frozen, depth=d, height=h, width=w,
+            hp2=g.hp2, band=band, k=k, yt=yt, wt=wt)))
+    np.testing.assert_allclose(got, u_ref, rtol=2e-6, atol=1e-3)
