@@ -1,5 +1,9 @@
 """Banded big-grid kernel: BlockSpec row bands + precomputed halo inputs.
 
+SUPERSEDED: production big-grid paths are :mod:`pallas_biggrid` (banded
+DMA chunks, no per-pass halo rebuild) and :mod:`pallas_tiled2d` (wide
+grids — this variant OOMs scoped VMEM there); kept as a tested variant.
+
 The collage-style successor to :mod:`epic_tpu.solver.pallas_tiled` (whose
 manual per-band DMA costs ~8 ms of fixed overhead per grid step). Here the
 grid is split into non-overlapping row bands served by ordinary BlockSpec

@@ -1,5 +1,10 @@
 """Parity-packed Pallas kernel: compute only the active checkerboard half.
 
+SUPERSEDED: measured SLOWER than the masked VMEM kernel on v5e (the sweep
+is VMEM-bandwidth-bound there, not transcendental-bound — see
+docs/BENCH_NOTES.md); :mod:`pallas_sweep` is production. Kept as a tested
+variant for exp-bound hardware generations.
+
 The masked VMEM kernel (:mod:`epic_tpu.solver.pallas_sweep`) evaluates the
 logsumexp for *every* cell and throws half away with the parity mask — the
 sweep is transcendental-bound, so that's a 2x waste. This kernel stores the

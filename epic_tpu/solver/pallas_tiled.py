@@ -1,5 +1,9 @@
 """Tiled Pallas kernel for grids larger than VMEM: temporal row-band blocking.
 
+SUPERSEDED: production big-grid paths are :mod:`pallas_biggrid` (banded
+DMA chunks), :mod:`pallas_tiled2d` (wide grids), and :mod:`pallas_cycle`
+(chunk chains); this variant is kept as a tested historical baseline.
+
 The VMEM-resident kernel (:mod:`epic_tpu.solver.pallas_sweep`) needs the
 whole grid on-chip; beyond ~1M cells it cannot apply. A plain per-sweep
 stencil at that scale is HBM-bandwidth-bound (read u + frozen + write u every
