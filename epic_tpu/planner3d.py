@@ -146,8 +146,11 @@ class VolumePlanner:
     def _kernel_module(self):
         """Solver-path selection, mirroring Planner._kernel_module: "xla"
         forces solver.core; "auto" uses the Pallas 3D kernels on TPU (VMEM
-        kernel when the volume fits, banded big-volume kernel above);
-        "pallas" forces them anywhere (interpret mode off-TPU)."""
+        kernel when the volume fits, plane-banded big-volume kernel when
+        its layout fits scoped VMEM, (z, y, x)-tiled kernel for wide-plane
+        volumes, and ``None`` — the XLA path — for tiny-dim wide-plane
+        shapes no tiled layout covers); "pallas" forces the Pallas kernels
+        anywhere (interpret mode off-TPU)."""
         backend = self.config.backend
         if backend == "xla":
             return None

@@ -70,6 +70,9 @@ def solve_grid(state, stagger=None, **kw):
         kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
         return core.solve(state, stagger, **kw)
     if pallas_sweep.fits_vmem(state.u.shape):
+        # The VMEM kernel has no tiling layout; drop big-grid-only kwargs
+        # so one call site works across the dispatch regimes.
+        kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
         return pallas_sweep.solve(state, stagger, **kw)
     if pallas_tiled2d.prefer_tiled(state.u.shape):
         return pallas_tiled2d.solve(state, stagger, **kw)
@@ -85,6 +88,7 @@ def update_grid(state, num_steps, **kw):
     if state.u.ndim != 2 or _jax.default_backend() == "cpu":
         return core.update_n(state, num_steps)  # kernel-only kwargs dropped
     if pallas_sweep.fits_vmem(state.u.shape):
+        kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
         return pallas_sweep.update_n(state, num_steps, **kw)
     if pallas_tiled2d.prefer_tiled(state.u.shape):
         return pallas_tiled2d.update_n(state, num_steps, **kw)
@@ -93,9 +97,12 @@ def update_grid(state, num_steps, **kw):
 
 def solve_volume(state, stagger=None, **kw):
     """Auto-dispatching 3D solve (the 3D analogue of PlannerConfig
-    backend="auto"): XLA on CPU hosts, the VMEM-resident Pallas kernel when
-    the volume fits (~2M cells), the banded big-volume kernel otherwise.
-    Protocol identical across all three (harmonic_complete_cpu)."""
+    backend="auto"): XLA on CPU hosts; on TPU the VMEM-resident kernel
+    when the volume fits (~2M cells), the plane-banded big-volume kernel
+    when its layout fits scoped VMEM, the (z, y, x)-tiled kernel for
+    wide-plane volumes, and XLA as the last resort (tiny-dim wide-plane
+    shapes no tiled layout covers). Protocol identical across all paths
+    (harmonic_complete_cpu)."""
     import jax as _jax
 
     from .. import constants as _C
@@ -107,6 +114,7 @@ def solve_volume(state, stagger=None, **kw):
         kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
         return core.solve(state, stagger, **kw)
     if pallas_sweep3d.fits_vmem(state.u.shape):
+        kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
         return pallas_sweep3d.solve(state, stagger, **kw)
     if pallas_biggrid3d.feasible(state.u.shape):
         return pallas_biggrid3d.solve(state, stagger, **kw)
@@ -128,6 +136,7 @@ def update_volume(state, num_steps, **kw):
     if _jax.default_backend() == "cpu":
         return core.update_n(state, num_steps)
     if pallas_sweep3d.fits_vmem(state.u.shape):
+        kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
         return pallas_sweep3d.update_n(state, num_steps, **kw)
     if pallas_biggrid3d.feasible(state.u.shape):
         return pallas_biggrid3d.update_n(state, num_steps, **kw)

@@ -464,7 +464,7 @@ def _solve_banded(
     DMA+folded structure, despite the gather chunk winning the RAW chunk
     race at low redundancy (probe19/21).
     """
-    from .pallas_cycle import sweep_cycle
+    from .pallas_cycle import cycle_fill, sweep_cycle
 
     m_max = max(height, width)
     chunk_fn = sweep_chunk_dma.__wrapped__
@@ -505,12 +505,8 @@ def _solve_banded(
             iteration = iteration + cd
             n_full, rem = divmod(stagger - cd, k)
             if n_full:
-                # Twin with valid guard rows only (the pad/boundary value);
-                # centers are write-before-read inside the cycle kernel.
-                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-                a, b, _ = cycle_fn(u, alt, frozen_pad, iteration, n_full,
-                                   k, band, interpret)
-                u = b if n_full % 2 else a
+                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                  n_full, k, band, interpret=interpret)
                 iteration = iteration + n_full * k
             if rem:
                 u, _ = chunk_fn(

@@ -452,9 +452,9 @@ def _solve_banded(
     planes are ever read (centers are write-before-read), and keeping it
     out of the while carry avoids XLA copies at the cond joins (probe42
     A/B: 18.7 vs 18.2 G updates/s at 256³, delta-bit-equal)."""
-    from . import pallas_cycle
+    from .pallas_cycle import cycle_fill, sweep_cycle3d
 
-    cycle_fn = pallas_cycle.sweep_cycle3d.__wrapped__
+    cycle_fn = sweep_cycle3d.__wrapped__
     n_full, rem = divmod(stagger - 1, k)
 
     def cond(carry):
@@ -472,13 +472,8 @@ def _solve_banded(
         def run_rest(args):
             u, iteration = args
             if n_full:
-                # Twin with valid guard planes only (the pad value).
-                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-                a, b, _ = cycle_fn(
-                    u, alt, frozen_pad, iteration, n_full, k, band, hp,
-                    interpret
-                )
-                u = b if n_full % 2 else a
+                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                  n_full, k, band, hp, interpret=interpret)
                 iteration = iteration + n_full * k
             if rem:
                 u, _ = sweep_chunk_dma.__wrapped__(

@@ -859,6 +859,25 @@ def chain_lengths(n_full: int) -> list[int]:
     return out
 
 
+def cycle_fill(cycle_fn, u, frozen, iteration, n_full, *layout,
+               interpret=False):
+    """Trace-time helper for SOLVE loop bodies: run ``n_full`` K-chunks
+    through ``cycle_fn`` with a FRESH fill twin and return
+    ``(u', deltas)``.
+
+    The twin only needs valid guard cells — every centre is written before
+    it is read — so a ``jnp.full(-1e6)`` created inside the loop body (no
+    read traffic, no while-carry) captures the cycle's drain/DUS savings
+    without the cond-join copies a carried pair costs (probe36 vs
+    probe40/42). Pass the UNJITTED kernel (``.__wrapped__``); ``layout``
+    is the kernel's static tail with ``layout[0] == k``. The odd/even
+    output-buffer selection lives here and in :func:`run_chain` only."""
+    alt = jnp.full_like(u, jnp.float32(-1e6))
+    a, b, deltas = cycle_fn(u, alt, frozen, iteration, n_full, *layout,
+                            interpret)
+    return (b if n_full % 2 else a), deltas
+
+
 def run_chain(cycle_fn, u, alt, frozen, iteration, n_full, *layout,
               interpret=False):
     """Run ``n_full`` K-chunks through ``cycle_fn`` as a power-of-two chain

@@ -418,7 +418,7 @@ def _solve_tiled(
     the reference does (harmonic_cpu.cpp:158-173); otherwise the K sweeps
     already ran and the cycle continues with stagger-K more.
     """
-    from .pallas_cycle import sweep_cycle_tiled
+    from .pallas_cycle import cycle_fill, sweep_cycle_tiled
 
     m_max = max(height, width)
     chunk_fn = sweep_chunk_tiled.__wrapped__
@@ -459,11 +459,8 @@ def _solve_tiled(
             rest = stagger - cd
             n_full, rem = divmod(rest, k)
             if n_full:
-                # Twin with valid guard rows/cols only (the pad value).
-                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-                a, b, _ = cycle_fn(u, alt, frozen, iteration, n_full,
-                                   k, band, wt, interpret)
-                u = b if n_full % 2 else a
+                u, _ = cycle_fill(cycle_fn, u, frozen, iteration, n_full,
+                                  k, band, wt, interpret=interpret)
                 iteration = iteration + n_full * k
             if rem:
                 u, _ = chunk_fn(u, frozen, iteration, rem, band, k, wt,

@@ -441,7 +441,7 @@ def _solve_tiled3d(
     paid ~50 dispatches + 50 full-volume pastes per 100-sweep cycle —
     probe43 measured that structure at 5.9 G updates/s vs the 19.5 G
     chunk-chain rate)."""
-    from .pallas_cycle import sweep_cycle_tiled3d
+    from .pallas_cycle import cycle_fill, sweep_cycle_tiled3d
 
     chunk_fn = sweep_chunk_tiled3d.__wrapped__
     check_fn = sweep_chunk_tiled3d_check.__wrapped__
@@ -471,11 +471,9 @@ def _solve_tiled3d(
             iteration = iteration + cd
             n_full, rem = divmod(stagger - cd, k)
             if n_full:
-                # Twin with valid guard planes/rows/cols only (pad value).
-                alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-                a, b, _ = cycle_fn(u, alt, frozen_pad, iteration, n_full,
-                                   k, band, yt, wt, hp2, interpret)
-                u = b if n_full % 2 else a
+                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                  n_full, k, band, yt, wt, hp2,
+                                  interpret=interpret)
                 iteration = iteration + n_full * k
             if rem:
                 u, _ = chunk_fn(u, frozen_pad, iteration, rem, band, k, yt,
