@@ -121,6 +121,59 @@ def solve_py_tiled(
     )
 
 
+def solve_py_tiled3d(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    chunk_depth: int = 2,
+    interpret: bool | None = None,
+    on_check: Callable[[int, float], None] | None = None,
+) -> GridState:
+    """Host-driven wide-plane 3D solve; semantics identical to
+    :func:`pallas_tiled3d.solve`.
+
+    Needed where the compiled solve cannot run at all: a deep wide-plane
+    volume's convergence floor is ``>= max(shape)`` sweeps (e.g. a
+    64x4096x4096 volume needs >= 4096, ~2 minutes of device work in ONE
+    dispatch at the kernel's ~19.5 G updates/s), which both exceeds
+    remote-worker watchdogs AND cannot be split into capped compiled
+    segments — a segment shorter than the propagation guard can never
+    return a converged verdict."""
+    from . import pallas_tiled3d as t3
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = t3.pad_state(state, chunk_depth)
+
+    def check_fn(u, it, ns):
+        return t3.sweep_chunk_tiled3d_check(
+            u, g.frozen, it, ns, g.band, g.k, g.yt, g.wt, g.hp2, interpret)
+
+    def paste_fn(u, center):
+        return t3._paste(u, center, g.k, g.hp2)
+
+    def chunk_fn(u, it, ns):
+        return t3.sweep_chunk_tiled3d(
+            u, g.frozen, it, ns, g.band, g.k, g.yt, g.wt, g.hp2, interpret)
+
+    def cycle_fn(u, alt, frozen, it, nc, k, _unused_interpret=False):
+        return pallas_cycle.sweep_cycle_tiled3d(
+            u, alt, frozen, it, nc, k, g.band, g.yt, g.wt, g.hp2, interpret)
+
+    u, it, delta, converged = _host_protocol(
+        g.u, g.frozen, float(np.asarray(state.epsilon)), stagger,
+        max_iterations, max(state.u.shape), g.k,
+        check_fn, paste_fn, chunk_fn, cycle_fn, on_check,
+    )
+    return dataclasses.replace(
+        state,
+        u=t3.unpad(dataclasses.replace(g, u=u)),
+        iteration=jnp.int32(it),
+        delta=jnp.float32(delta),
+        converged=jnp.asarray(converged),
+    )
+
+
 def solve_py_banded(
     state: GridState,
     stagger: int = C.DEFAULT_STAGGER,

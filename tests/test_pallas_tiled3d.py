@@ -168,6 +168,28 @@ def test_update_n_cycle_path_matches_core():
     assert int(out.iteration) == int(ref.iteration)
 
 
+def test_host_solve_matches_compiled_protocol():
+    """The host-driven (watchdog-safe) wide-plane solve must reproduce the
+    compiled protocol exactly and surface per-check deltas — it is the
+    ONLY way to convergence when the volume's >= max(shape) propagation
+    floor exceeds a single-dispatch budget."""
+    from epic_tpu.solver import host_solve
+
+    st = _volume(8, 34, 140, density=0.05, seed=9, eps=1e-1)
+    checks = []
+    out_h = host_solve.solve_py_tiled3d(
+        st, stagger=13, on_check=lambda it, d: checks.append((it, d)))
+    out_ref = core.solve(_volume(8, 34, 140, density=0.05, seed=9, eps=1e-1),
+                         stagger=13)
+    assert int(out_h.iteration) == int(out_ref.iteration)
+    assert bool(out_h.converged)
+    np.testing.assert_allclose(
+        np.asarray(out_h.u), np.asarray(out_ref.u), rtol=0, atol=1e-5
+    )
+    assert float(out_h.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
+    assert [it for it, _ in checks] == list(range(0, int(out_h.iteration), 13))
+
+
 def test_layout_chooser_budget_and_coverage():
     for shape in [(64, 4096, 4096), (4, 1024, 1024), (16, 2048, 8192),
                   (128, 512, 512)]:
