@@ -55,8 +55,10 @@ def solve_grid(state, stagger=None, **kw):
     dispatch; on mega-grids (>= 16k wide) the protocol's >= max(H, W)-sweep
     floor can exceed a remote worker's dispatch watchdog (~60 s — see
     docs/BENCH_NOTES.md). Cap ``max_iterations`` so a single dispatch stays
-    under ~45 s there and loop on ``converged`` from the host; real hosts
-    need no cap."""
+    under ~45 s there and loop on ``converged`` from the host — or, when
+    the convergence floor itself exceeds one dispatch, use the host-driven
+    protocol loop (:mod:`epic_tpu.solver.host_solve`). Real hosts need no
+    cap."""
     import jax as _jax
 
     from .. import constants as _C
