@@ -464,59 +464,100 @@ def _solve_banded(
     DMA+folded structure, despite the gather chunk winning the RAW chunk
     race at low redundancy (probe19/21).
     """
-    from .pallas_cycle import cycle_fill, sweep_cycle
+    from .pallas_cycle import cycle_fill, sweep_cycle, sweep_cycle_check
 
     m_max = max(height, width)
     chunk_fn = sweep_chunk_dma.__wrapped__
     check_fn = sweep_chunk_dma_check.__wrapped__
     cycle_fn = sweep_cycle.__wrapped__
-    cd = min(k, stagger)
-    # The post-check sweeps of each stagger cycle run through the ping-pong
-    # cycle kernel (pallas_cycle) with a FRESH ``jnp.full(-1e6)`` twin
-    # created inside the loop body. Carrying the aliased buffer pair through
-    # the while loop instead loses (XLA copies at the cond joins — probe36:
-    # 40.1 vs 41.1 G at 4096²), but the twin only needs valid guard rows —
-    # every center row is written before it is read — so a fill (no read
-    # traffic, no carry) captures the cycle's drain/DUS savings without the
-    # join copies: 40.6 vs 40.1 G at 4096² in the pre-padded loop-vs-loop
-    # A/B, delta-bit-equal (probe40/42).
+    cycle_check_fn = sweep_cycle_check.__wrapped__
+    # Each stagger cycle runs through the ping-pong cycle kernel with a
+    # FRESH ``jnp.full(-1e6)`` twin created inside the loop body (carrying
+    # the aliased pair loses to XLA copies at the cond joins — probe36 vs
+    # probe40/42). With stagger >= k the staggered check is folded into
+    # chunk 0 OF THE CYCLE (sweep_cycle_check): the whole cycle is ONE
+    # dispatch with no separate check chunk and no per-cycle paste — on a
+    # passing check the exit state is u1 pasted into either output buffer
+    # (every non-centre cell of both buffers is the constant pad value;
+    # the fill twin guarantees it for b). The final cycle's post-check
+    # sweeps are computed and discarded — one cycle of spare work per
+    # SOLVE versus two full-grid pastes per cycle.
 
     def cond(carry):
         _, iteration, _, converged = carry
         return ~converged & (iteration < max_iterations)
 
-    def body(carry):
-        u, iteration, _, _ = carry
-        out_uk, out_u1, delta = check_fn(
-            u, frozen_pad, iteration, cd, band, k, interpret
-        )
-        done = (delta < epsilon) & (iteration + 1 >= m_max)
+    if stagger >= k:
+        n_cycle, rem = divmod(stagger, k)
 
-        def finish(args):
-            u, iteration = args
-            return (
-                jax.lax.dynamic_update_slice(u, out_u1, (k, 0)),
-                iteration + 1,
+        def body(carry):
+            u, iteration, _, _ = carry
+            alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+            a, b, u1, deltas = cycle_check_fn(
+                u, alt, frozen_pad, iteration, n_cycle, k, band, interpret
             )
+            u_end = b if n_cycle % 2 else a
+            delta = deltas[0]
+            done = (delta < epsilon) & (iteration + 1 >= m_max)
 
-        def run_rest(args):
-            u, iteration = args
-            u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
-            iteration = iteration + cd
-            n_full, rem = divmod(stagger - cd, k)
-            if n_full:
-                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
-                                  n_full, k, band, interpret=interpret)
-                iteration = iteration + n_full * k
-            if rem:
-                u, _ = chunk_fn(
-                    u, frozen_pad, iteration, rem, band, k, interpret
+            def finish(args):
+                u_end, iteration = args
+                return (
+                    jax.lax.dynamic_update_slice(u_end, u1, (k, 0)),
+                    iteration + 1,
                 )
-                iteration = iteration + rem
-            return u, iteration
 
-        u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
-        return u, iteration, delta, done
+            def run_rest(args):
+                u_end, iteration = args
+                iteration = iteration + n_cycle * k
+                if rem:
+                    u_end, _ = chunk_fn(
+                        u_end, frozen_pad, iteration, rem, band, k,
+                        interpret
+                    )
+                    iteration = iteration + rem
+                return u_end, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u_end, iteration))
+            return u, iteration, delta, done
+
+    else:
+        cd = min(k, stagger)
+
+        def body(carry):
+            u, iteration, _, _ = carry
+            out_uk, out_u1, delta = check_fn(
+                u, frozen_pad, iteration, cd, band, k, interpret
+            )
+            done = (delta < epsilon) & (iteration + 1 >= m_max)
+
+            def finish(args):
+                u, iteration = args
+                return (
+                    jax.lax.dynamic_update_slice(u, out_u1, (k, 0)),
+                    iteration + 1,
+                )
+
+            def run_rest(args):
+                u, iteration = args
+                u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
+                iteration = iteration + cd
+                n_full, rem = divmod(stagger - cd, k)
+                if n_full:
+                    u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                      n_full, k, band, interpret=interpret)
+                    iteration = iteration + n_full * k
+                if rem:
+                    u, _ = chunk_fn(
+                        u, frozen_pad, iteration, rem, band, k, interpret
+                    )
+                    iteration = iteration + rem
+                return u, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u, iteration))
+            return u, iteration, delta, done
 
     return jax.lax.while_loop(
         cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))

@@ -43,6 +43,22 @@ from ._sweep_body import lse4, lse6
 def _cycle_kernel(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
                   u_vmem, f_vmem, rsem, wsem,
                   *, k, band, w, nb, nc):
+    _cycle_kernel_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, None,
+                       delta_ref, u_vmem, f_vmem, rsem, wsem, None, None,
+                       k=k, band=band, w=w, nb=nb, nc=nc)
+
+
+def _cycle_kernel_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                        u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
+                        u1_vmem, usem, *, k, band, w, nb, nc):
+    _cycle_kernel_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, u1_ref,
+                       delta_ref, u_vmem, f_vmem, rsem, wsem, u1_vmem,
+                       usem, k=k, band=band, w=w, nb=nb, nc=nc)
+
+
+def _cycle_kernel_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, u1_ref,
+                       delta_ref, u_vmem, f_vmem, rsem, wsem, u1_vmem,
+                       usem, *, k, band, w, nb, nc):
     ext = band + 2 * k
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -133,6 +149,21 @@ def _cycle_kernel(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
 
     u1 = sweep(0, u0)
     delta_ref[c, i] = jnp.max(jnp.abs(u1 - u0))
+    if u1_ref is not None:
+        # Check variant: chunk 0's post-first-sweep centres are the exact
+        # state a passing staggered check exits with
+        # (harmonic_cpu.cpp:158-173); stage them in scratch and DMA out.
+        @pl.when(c == 0)
+        def _():
+            u1_vmem[:] = u1[k : k + band, :]
+            ucp = pltpu.make_async_copy(
+                u1_vmem,
+                u1_ref.at[pl.ds(i * band, band), :],
+                usem.at[jax.lax.rem(i, 2)],
+            )
+            ucp.start()
+            ucp.wait()
+
     u = jax.lax.fori_loop(1, k, sweep, u1)
     # Write the center back into this slot's scratch, DMA it to dst, and
     # wait in-step: all written rows are visible to every later read.
@@ -225,6 +256,77 @@ def sweep_cycle(
     )(iteration.reshape(1), u_a, u_b, frozen_pad)
 
     return a_out, b_out, jnp.max(deltas, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "k", "band", "interpret"),
+    donate_argnums=(0, 1),
+)
+def sweep_cycle_check(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    interpret: bool = False,
+):
+    """:func:`sweep_cycle` with the staggered check FOLDED into chunk 0.
+
+    Returns ``(a', b', u1, deltas)``: the usual ping-pong pair plus
+    ``u1`` — chunk 0's post-first-sweep centre rows (nb*band x wp), the
+    exact state a passing check exits with — and per-chunk first-sweep
+    deltas (``deltas[0]`` is the check residual). Lets a solve loop run a
+    WHOLE stagger cycle as one dispatch with no separate check chunk and
+    no paste: on a passing check the exit state is ``u1`` pasted into
+    either output buffer (every non-centre cell of both buffers is the
+    constant frozen pad value — buffer b starts as the fill twin)."""
+    hp, wp = u_a.shape
+    nb = (hp - 2 * k) // band
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert n_chunks >= 1
+    ext = band + 2 * k
+
+    a_out, b_out, u1_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel_check, k=k, band=band, w=wp,
+                          nb=nb, nc=n_chunks),
+        grid=(n_chunks, nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb * band, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nb), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, wp), jnp.float32),
+            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((band, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return a_out, b_out, u1_out, jnp.max(deltas, axis=1)
 
 
 def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,

@@ -2,6 +2,7 @@
 bit-identical to chained sweep_chunk_dma calls — interpret mode on CPU."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -41,6 +42,45 @@ def test_cycle_bitmatches_chained_chunks(h, w, band, k, n_chunks):
     final = b if n_chunks % 2 else a
     np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
     np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
+
+
+@pytest.mark.parametrize("h,w,band,k,n_chunks", [
+    (96, 64, 16, 8, 4),     # even chain (final state in A)
+    (34, 72, 16, 8, 3),     # odd chain, ragged height
+    (20, 72, 16, 8, 2),     # nb=2: no cross-chunk prefetch
+])
+def test_cycle_check_bitmatches_chunks_and_exposes_u1(h, w, band, k,
+                                                      n_chunks):
+    """sweep_cycle_check must reproduce the plain cycle bit-exactly AND
+    surface chunk 0's post-first-sweep centres (the staggered-check exit
+    state) plus its residual, with a fill twin (only guards read)."""
+    st = _state(h, w, seed=5)
+    g = pallas_biggrid.pad_state(st, band=band, k=k)
+
+    u_ref = g.u
+    deltas_ref = []
+    for c in range(n_chunks):
+        u_ref, d = pallas_biggrid.sweep_chunk_dma(
+            u_ref, g.frozen, jnp.int32(c * k), k, band, k, True
+        )
+        deltas_ref.append(float(d))
+    u1_ref, d1_ref = pallas_biggrid.sweep_chunk_dma(
+        g.u, g.frozen, jnp.int32(0), 1, band, k, True
+    )
+
+    alt = jnp.full_like(g.u, jnp.float32(-1e6))
+    a, b, u1, deltas = pallas_cycle.sweep_cycle_check(
+        g.u, alt, g.frozen, jnp.int32(0), n_chunks, k, band, True
+    )
+    final = b if n_chunks % 2 else a
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
+    assert float(deltas[0]) == float(d1_ref)
+    # u1 pasted into EITHER output buffer reconstructs the exact 1-sweep
+    # state (non-centre cells of both buffers are the constant pad value).
+    for buf in (a, b):
+        pasted = jax.lax.dynamic_update_slice(buf, u1, (k, 0))
+        np.testing.assert_array_equal(np.asarray(pasted), np.asarray(u1_ref))
 
 
 def test_cycle_chains_across_calls():
