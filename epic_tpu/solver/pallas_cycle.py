@@ -332,9 +332,31 @@ def sweep_cycle_check(
 def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                         delta_ref, u_vmem, f_vmem, rsem, wsem,
                         *, k, band, wt, hx, nb, nt, nc):
+    _cycle_kernel_tiled_impl(
+        it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, None, delta_ref,
+        u_vmem, f_vmem, rsem, wsem, None, None,
+        k=k, band=band, wt=wt, hx=hx, nb=nb, nt=nt, nc=nc)
+
+
+def _cycle_kernel_tiled_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                              u1_ref, delta_ref, u_vmem, f_vmem, rsem,
+                              wsem, u1_vmem, usem,
+                              *, k, band, wt, hx, nb, nt, nc):
+    _cycle_kernel_tiled_impl(
+        it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, u1_ref, delta_ref,
+        u_vmem, f_vmem, rsem, wsem, u1_vmem, usem,
+        k=k, band=band, wt=wt, hx=hx, nb=nb, nt=nt, nc=nc)
+
+
+def _cycle_kernel_tiled_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                             u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
+                             u1_vmem, usem,
+                             *, k, band, wt, hx, nb, nt, nc):
     """2D-tiled ping-pong cycle step: same structure as :func:`_cycle_kernel`
     but over an (n_chunks, nb, nt) grid with strided (ext_r x wext) slabs
-    (the pallas_tiled2d layout: 128 guard columns per side)."""
+    (the pallas_tiled2d layout: 128 guard columns per side). With
+    ``u1_ref`` (the check variant), chunk 0's post-first-sweep centres are
+    staged and DMA'd out per tile."""
     ext_r = band + 2 * k
     wext = wt + 2 * hx
     c = pl.program_id(0)
@@ -429,6 +451,18 @@ def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 
     u1 = sweep(0, u0)
     delta_ref[c, i, j] = jnp.max(jnp.abs(u1 - u0))
+    if u1_ref is not None:
+        @pl.when(c == 0)
+        def _():
+            u1_vmem[:] = u1[k : k + band, hx : hx + wt]
+            ucp = pltpu.make_async_copy(
+                u1_vmem,
+                u1_ref.at[pl.ds(i * band, band), pl.ds(j * wt, wt)],
+                usem.at[jax.lax.rem(i * nt + j, 2)],
+            )
+            ucp.start()
+            ucp.wait()
+
     u = jax.lax.fori_loop(1, k, sweep, u1)
     u_vmem[slot] = u
 
@@ -520,12 +554,103 @@ def sweep_cycle_tiled(
     return a_out, b_out, jnp.max(deltas.reshape(n_chunks, -1), axis=1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "k", "band", "wt", "interpret"),
+    donate_argnums=(0, 1),
+)
+def sweep_cycle_tiled_check(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    wt: int,
+    interpret: bool = False,
+):
+    """:func:`sweep_cycle_tiled` with the staggered check folded into
+    chunk 0 (see :func:`sweep_cycle_check`): returns
+    ``(a', b', u1, deltas)`` where ``u1`` is the (nb*band x nt*wt) centre
+    block of the post-first-sweep state."""
+    from .pallas_tiled2d import _HX
+
+    hp, wp = u_a.shape
+    nb = (hp - 2 * k) // band
+    nt = (wp - 2 * _HX) // wt
+    assert nb * band + 2 * k == hp, (hp, band, k)
+    assert nt * wt + 2 * _HX == wp, (wp, wt)
+    assert n_chunks >= 1 and k <= _HX
+    ext_r = band + 2 * k
+    wext = wt + 2 * _HX
+
+    a_out, b_out, u1_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel_tiled_check, k=k, band=band, wt=wt,
+                          hx=_HX, nb=nb, nt=nt, nc=n_chunks),
+        grid=(n_chunks, nb, nt),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb * band, nt * wt), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nb, nt), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_r, wext), jnp.float32),
+            pltpu.VMEM((2, ext_r, wext), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((band, wt), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return (a_out, b_out, u1_out,
+            jnp.max(deltas.reshape(n_chunks, -1), axis=1))
+
+
 def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
                     u_vmem, f_vmem, rsem, wsem,
                     *, k, band, hp, w, nb, nc):
+    _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, None,
+                         delta_ref, u_vmem, f_vmem, rsem, wsem, None, None,
+                         k=k, band=band, hp=hp, w=w, nb=nb, nc=nc)
+
+
+def _cycle_kernel3d_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                          u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
+                          u1_vmem, usem, *, k, band, hp, w, nb, nc):
+    _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                         u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
+                         u1_vmem, usem,
+                         k=k, band=band, hp=hp, w=w, nb=nb, nc=nc)
+
+
+def _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
+                         u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
+                         u1_vmem, usem, *, k, band, hp, w, nb, nc):
     """3D ping-pong cycle step over an (n_chunks, nb) grid of plane-banded
     slabs (the pallas_biggrid3d flattened [D*Hp, Wp] layout; band/k in
-    PLANES). Same structure as :func:`_cycle_kernel`."""
+    PLANES). Same structure as :func:`_cycle_kernel`; with ``u1_ref`` (the
+    check variant) chunk 0's post-first-sweep centre planes are staged and
+    DMA'd out."""
     ext = band + 2 * k
     rows = ext * hp
     c = pl.program_id(0)
@@ -616,6 +741,18 @@ def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
 
     u1 = sweep(0, u0)
     delta_ref[c, i] = jnp.max(jnp.abs(u1 - u0))
+    if u1_ref is not None:
+        @pl.when(c == 0)
+        def _():
+            u1_vmem[:] = u1[k * hp : (k + band) * hp, :]
+            ucp = pltpu.make_async_copy(
+                u1_vmem,
+                u1_ref.at[pl.ds(i * band * hp, band * hp), :],
+                usem.at[jax.lax.rem(i, 2)],
+            )
+            ucp.start()
+            ucp.wait()
+
     u = jax.lax.fori_loop(1, k, sweep, u1)
     u_vmem[slot] = u
 
@@ -701,6 +838,75 @@ def sweep_cycle3d(
     )(iteration.reshape(1), u_a, u_b, frozen_pad)
 
     return a_out, b_out, jnp.max(deltas, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "k", "band", "hp", "interpret"),
+    donate_argnums=(0, 1),
+)
+def sweep_cycle3d_check(
+    u_a: jax.Array,
+    u_b: jax.Array,
+    frozen_pad: jax.Array,
+    iteration: jax.Array,
+    n_chunks: int,
+    k: int,
+    band: int,
+    hp: int,
+    interpret: bool = False,
+):
+    """:func:`sweep_cycle3d` with the staggered check folded into chunk 0
+    (see :func:`sweep_cycle_check`): returns ``(a', b', u1, deltas)``
+    where ``u1`` is the (nb*band*hp x wp) centre-plane block of the
+    post-first-sweep state. At the production k=2, stagger=100 this makes
+    the WHOLE 100-sweep cycle one dispatch (50 chunks, remainder
+    absorbed), replacing a 1-sweep check chunk + paste per cycle."""
+    rp, wp = u_a.shape
+    dp = rp // hp
+    nb = (dp - 2 * k) // band
+    assert nb * band + 2 * k == dp, (dp, band, k)
+    assert n_chunks >= 1
+    ext = band + 2 * k
+
+    a_out, b_out, u1_out, deltas = pl.pallas_call(
+        functools.partial(_cycle_kernel3d_check, k=k, band=band, hp=hp,
+                          w=wp, nb=nb, nc=n_chunks),
+        grid=(n_chunks, nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb * band * hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, nb), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext * hp, wp), jnp.float32),
+            pltpu.VMEM((2, ext * hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((band * hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(iteration.reshape(1), u_a, u_b, frozen_pad)
+
+    return a_out, b_out, u1_out, jnp.max(deltas, axis=1)
 
 
 def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,

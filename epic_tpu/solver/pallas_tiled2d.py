@@ -418,58 +418,98 @@ def _solve_tiled(
     the reference does (harmonic_cpu.cpp:158-173); otherwise the K sweeps
     already ran and the cycle continues with stagger-K more.
     """
-    from .pallas_cycle import cycle_fill, sweep_cycle_tiled
+    from .pallas_cycle import (cycle_fill, sweep_cycle_tiled,
+                               sweep_cycle_tiled_check)
 
     m_max = max(height, width)
     chunk_fn = sweep_chunk_tiled.__wrapped__
     check_fn = sweep_chunk_tiled_check.__wrapped__
     cycle_fn = sweep_cycle_tiled.__wrapped__
-    cd = min(k, stagger)
-    # The post-check sweeps of each stagger cycle run through the ping-pong
-    # cycle kernel with a FRESH fill twin created inside the loop body
-    # (only the twin's guard rows/cols are ever read — every center tile is
-    # written before it is read). Carrying the aliased pair through the
-    # while carry instead loses to XLA copies at the cond joins (probe36);
-    # the fill twin keeps the cycle's drain/DUS savings without a carry:
-    # 33.1 vs 31.3 G updates/s at 16384² in the pre-padded loop-vs-loop
-    # A/B, delta-bit-equal (probe40/42).
+    cycle_check_fn = sweep_cycle_tiled_check.__wrapped__
+    # Each stagger cycle runs through the ping-pong cycle kernel with a
+    # FRESH fill twin created inside the loop body (carrying the aliased
+    # pair loses to XLA copies at the cond joins — probe36 vs probe40/42).
+    # With stagger >= k the staggered check is folded into chunk 0 OF THE
+    # CYCLE (sweep_cycle_tiled_check): one dispatch per whole cycle, no
+    # separate check chunk, no per-cycle paste — the passing-check exit
+    # state is u1 pasted into either output buffer (non-centre cells of
+    # both are the constant pad value). See pallas_biggrid._solve_banded
+    # (probe49: +2.7%/+14% at 4096²/8192² banded).
 
     def cond(carry):
         _, iteration, _, converged = carry
         return ~converged & (iteration < max_iterations)
 
-    def body(carry):
-        u, iteration, _, _ = carry
-        out_uk, out_u1, delta = check_fn(
-            u, frozen, iteration, cd, band, k, wt, interpret
-        )
-        done = (delta < epsilon) & (iteration + 1 >= m_max)
+    if stagger >= k:
+        n_cycle, rem = divmod(stagger, k)
 
-        def finish(args):
-            u, iteration = args
-            return (
-                jax.lax.dynamic_update_slice(u, out_u1, (k, _HX)),
-                iteration + 1,
+        def body(carry):
+            u, iteration, _, _ = carry
+            alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+            a, b, u1, deltas = cycle_check_fn(
+                u, alt, frozen, iteration, n_cycle, k, band, wt, interpret
             )
+            u_end = b if n_cycle % 2 else a
+            delta = deltas[0]
+            done = (delta < epsilon) & (iteration + 1 >= m_max)
 
-        def run_rest(args):
-            u, iteration = args
-            u = jax.lax.dynamic_update_slice(u, out_uk, (k, _HX))
-            iteration = iteration + cd
-            rest = stagger - cd
-            n_full, rem = divmod(rest, k)
-            if n_full:
-                u, _ = cycle_fill(cycle_fn, u, frozen, iteration, n_full,
-                                  k, band, wt, interpret=interpret)
-                iteration = iteration + n_full * k
-            if rem:
-                u, _ = chunk_fn(u, frozen, iteration, rem, band, k, wt,
-                                interpret)
-                iteration = iteration + rem
-            return u, iteration
+            def finish(args):
+                u_end, iteration = args
+                return (
+                    jax.lax.dynamic_update_slice(u_end, u1, (k, _HX)),
+                    iteration + 1,
+                )
 
-        u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
-        return u, iteration, delta, done
+            def run_rest(args):
+                u_end, iteration = args
+                iteration = iteration + n_cycle * k
+                if rem:
+                    u_end, _ = chunk_fn(u_end, frozen, iteration, rem,
+                                        band, k, wt, interpret)
+                    iteration = iteration + rem
+                return u_end, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u_end, iteration))
+            return u, iteration, delta, done
+
+    else:
+        cd = min(k, stagger)
+
+        def body(carry):
+            u, iteration, _, _ = carry
+            out_uk, out_u1, delta = check_fn(
+                u, frozen, iteration, cd, band, k, wt, interpret
+            )
+            done = (delta < epsilon) & (iteration + 1 >= m_max)
+
+            def finish(args):
+                u, iteration = args
+                return (
+                    jax.lax.dynamic_update_slice(u, out_u1, (k, _HX)),
+                    iteration + 1,
+                )
+
+            def run_rest(args):
+                u, iteration = args
+                u = jax.lax.dynamic_update_slice(u, out_uk, (k, _HX))
+                iteration = iteration + cd
+                rest = stagger - cd
+                n_full, rem = divmod(rest, k)
+                if n_full:
+                    u, _ = cycle_fill(cycle_fn, u, frozen, iteration,
+                                      n_full, k, band, wt,
+                                      interpret=interpret)
+                    iteration = iteration + n_full * k
+                if rem:
+                    u, _ = chunk_fn(u, frozen, iteration, rem, band, k, wt,
+                                    interpret)
+                    iteration = iteration + rem
+                return u, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u, iteration))
+            return u, iteration, delta, done
 
     return jax.lax.while_loop(
         cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))

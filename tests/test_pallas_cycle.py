@@ -83,6 +83,39 @@ def test_cycle_check_bitmatches_chunks_and_exposes_u1(h, w, band, k,
         np.testing.assert_array_equal(np.asarray(pasted), np.asarray(u1_ref))
 
 
+def test_tiled_cycle_check_bitmatches_and_exposes_u1():
+    """The tiled check-cycle twin: bit-equal to chained tiled chunks, u1
+    reconstructs the exact 1-sweep state in either output buffer."""
+    from epic_tpu.solver import pallas_tiled2d
+
+    h, w, band, k, wt, n_chunks = 40, 300, 16, 8, 128, 3
+    st = _state(h, w, seed=9)
+    g = pallas_tiled2d.pad_state(st, band=band, k=k, wt=wt)
+    hx = pallas_tiled2d._HX
+
+    u_ref = g.u
+    deltas_ref = []
+    for c in range(n_chunks):
+        u_ref, d = pallas_tiled2d.sweep_chunk_tiled(
+            u_ref, g.frozen, jnp.int32(c * k), k, band, k, wt, True
+        )
+        deltas_ref.append(float(d))
+    u1_ref, _ = pallas_tiled2d.sweep_chunk_tiled(
+        g.u, g.frozen, jnp.int32(0), 1, band, k, wt, True
+    )
+
+    alt = jnp.full_like(g.u, jnp.float32(-1e6))
+    a, b, u1, deltas = pallas_cycle.sweep_cycle_tiled_check(
+        g.u, alt, g.frozen, jnp.int32(0), n_chunks, k, band, wt, True
+    )
+    final = b if n_chunks % 2 else a
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
+    for buf in (a, b):
+        pasted = jax.lax.dynamic_update_slice(buf, u1, (k, hx))
+        np.testing.assert_array_equal(np.asarray(pasted), np.asarray(u1_ref))
+
+
 def test_cycle_chains_across_calls():
     """Consecutive cycle calls (reusing the ping-pong pair) continue the
     relaxation exactly."""
