@@ -452,86 +452,47 @@ def _solve_banded(
     planes are ever read (centers are write-before-read), and keeping it
     out of the while carry avoids XLA copies at the cond joins (probe42
     A/B: 18.7 vs 18.2 G updates/s at 256³, delta-bit-equal)."""
-    from .pallas_cycle import (cycle_fill, sweep_cycle3d,
-                               sweep_cycle3d_check)
+    from .pallas_cycle import cycle_fill, sweep_cycle3d
 
     cycle_fn = sweep_cycle3d.__wrapped__
-    cycle_check_fn = sweep_cycle3d_check.__wrapped__
+    # NOTE: the whole-cycle in-kernel check (sweep_cycle*_check) that wins
+    # in 2D (probe49/50) LOSES here — probe51 A/B at 256³: 14.7 vs this
+    # structure's 15.1 G updates/s, delta-bit-equal. At plane-banded
+    # layouts the check variant's per-band u1 centre staging (a full
+    # band*hp x w VMEM copy + DMA on chunk 0's critical path) costs more
+    # than the 1-sweep check chunk + paste it replaces, so 3D keeps the
+    # check-chunk + cycle-fill body.
+    n_full, rem = divmod(stagger - 1, k)
 
     def cond(carry):
         _, iteration, _, converged = carry
         return ~converged & (iteration < max_iterations)
 
-    if stagger >= k:
-        # Whole-cycle check (sweep_cycle3d_check): one dispatch per stagger
-        # cycle with no 1-sweep check chunk and no pastes; at k=2 the
-        # remainder is absorbed too (100 = 50 * 2). Exit = u1 pasted into
-        # either ping-pong buffer (non-centre cells are the pad value).
-        n_cycle, rem = divmod(stagger, k)
+    def body(carry):
+        u, iteration, _, _ = carry
+        u, delta = sweep_chunk_dma.__wrapped__(
+            u, frozen_pad, iteration, 1, band, k, hp, interpret
+        )
+        iteration = iteration + 1
+        done = (delta < epsilon) & (iteration >= m_max)
 
-        def body(carry):
-            u, iteration, _, _ = carry
-            alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-            a, b, u1, deltas = cycle_check_fn(
-                u, alt, frozen_pad, iteration, n_cycle, k, band, hp,
-                interpret
-            )
-            u_end = b if n_cycle % 2 else a
-            delta = deltas[0]
-            done = (delta < epsilon) & (iteration + 1 >= m_max)
-
-            def finish(args):
-                u_end, iteration = args
-                return (
-                    jax.lax.dynamic_update_slice(u_end, u1, (k * hp, 0)),
-                    iteration + 1,
+        def run_rest(args):
+            u, iteration = args
+            if n_full:
+                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                  n_full, k, band, hp, interpret=interpret)
+                iteration = iteration + n_full * k
+            if rem:
+                u, _ = sweep_chunk_dma.__wrapped__(
+                    u, frozen_pad, iteration, rem, band, k, hp, interpret
                 )
+                iteration = iteration + rem
+            return u, iteration
 
-            def run_rest(args):
-                u_end, iteration = args
-                iteration = iteration + n_cycle * k
-                if rem:
-                    u_end, _ = sweep_chunk_dma.__wrapped__(
-                        u_end, frozen_pad, iteration, rem, band, k, hp,
-                        interpret
-                    )
-                    iteration = iteration + rem
-                return u_end, iteration
-
-            u, iteration = jax.lax.cond(done, finish, run_rest,
-                                        (u_end, iteration))
-            return u, iteration, delta, done
-
-    else:
-        n_full, rem = divmod(stagger - 1, k)
-
-        def body(carry):
-            u, iteration, _, _ = carry
-            u, delta = sweep_chunk_dma.__wrapped__(
-                u, frozen_pad, iteration, 1, band, k, hp, interpret
-            )
-            iteration = iteration + 1
-            done = (delta < epsilon) & (iteration >= m_max)
-
-            def run_rest(args):
-                u, iteration = args
-                if n_full:
-                    u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
-                                      n_full, k, band, hp,
-                                      interpret=interpret)
-                    iteration = iteration + n_full * k
-                if rem:
-                    u, _ = sweep_chunk_dma.__wrapped__(
-                        u, frozen_pad, iteration, rem, band, k, hp,
-                        interpret
-                    )
-                    iteration = iteration + rem
-                return u, iteration
-
-            u, iteration = jax.lax.cond(
-                done, lambda a: a, run_rest, (u, iteration)
-            )
-            return u, iteration, delta, done
+        u, iteration = jax.lax.cond(
+            done, lambda a: a, run_rest, (u, iteration)
+        )
+        return u, iteration, delta, done
 
     u_out, iteration, delta, converged = jax.lax.while_loop(
         cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))

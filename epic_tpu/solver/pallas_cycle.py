@@ -629,28 +629,12 @@ def sweep_cycle_tiled_check(
 def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
                     u_vmem, f_vmem, rsem, wsem,
                     *, k, band, hp, w, nb, nc):
-    _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, None,
-                         delta_ref, u_vmem, f_vmem, rsem, wsem, None, None,
-                         k=k, band=band, hp=hp, w=w, nb=nb, nc=nc)
-
-
-def _cycle_kernel3d_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
-                          u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
-                          u1_vmem, usem, *, k, band, hp, w, nb, nc):
-    _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
-                         u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
-                         u1_vmem, usem,
-                         k=k, band=band, hp=hp, w=w, nb=nb, nc=nc)
-
-
-def _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
-                         u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
-                         u1_vmem, usem, *, k, band, hp, w, nb, nc):
     """3D ping-pong cycle step over an (n_chunks, nb) grid of plane-banded
     slabs (the pallas_biggrid3d flattened [D*Hp, Wp] layout; band/k in
-    PLANES). Same structure as :func:`_cycle_kernel`; with ``u1_ref`` (the
-    check variant) chunk 0's post-first-sweep centre planes are staged and
-    DMA'd out."""
+    PLANES). Same structure as :func:`_cycle_kernel`. No check variant on
+    purpose: probe51 measured the in-kernel u1 staging SLOWER than the
+    1-sweep check chunk it would replace at plane-banded layouts (14.7 vs
+    15.1 G updates/s at 256³)."""
     ext = band + 2 * k
     rows = ext * hp
     c = pl.program_id(0)
@@ -741,18 +725,6 @@ def _cycle_kernel3d_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 
     u1 = sweep(0, u0)
     delta_ref[c, i] = jnp.max(jnp.abs(u1 - u0))
-    if u1_ref is not None:
-        @pl.when(c == 0)
-        def _():
-            u1_vmem[:] = u1[k * hp : (k + band) * hp, :]
-            ucp = pltpu.make_async_copy(
-                u1_vmem,
-                u1_ref.at[pl.ds(i * band * hp, band * hp), :],
-                usem.at[jax.lax.rem(i, 2)],
-            )
-            ucp.start()
-            ucp.wait()
-
     u = jax.lax.fori_loop(1, k, sweep, u1)
     u_vmem[slot] = u
 
@@ -838,75 +810,6 @@ def sweep_cycle3d(
     )(iteration.reshape(1), u_a, u_b, frozen_pad)
 
     return a_out, b_out, jnp.max(deltas, axis=1)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("n_chunks", "k", "band", "hp", "interpret"),
-    donate_argnums=(0, 1),
-)
-def sweep_cycle3d_check(
-    u_a: jax.Array,
-    u_b: jax.Array,
-    frozen_pad: jax.Array,
-    iteration: jax.Array,
-    n_chunks: int,
-    k: int,
-    band: int,
-    hp: int,
-    interpret: bool = False,
-):
-    """:func:`sweep_cycle3d` with the staggered check folded into chunk 0
-    (see :func:`sweep_cycle_check`): returns ``(a', b', u1, deltas)``
-    where ``u1`` is the (nb*band*hp x wp) centre-plane block of the
-    post-first-sweep state. At the production k=2, stagger=100 this makes
-    the WHOLE 100-sweep cycle one dispatch (50 chunks, remainder
-    absorbed), replacing a 1-sweep check chunk + paste per cycle."""
-    rp, wp = u_a.shape
-    dp = rp // hp
-    nb = (dp - 2 * k) // band
-    assert nb * band + 2 * k == dp, (dp, band, k)
-    assert n_chunks >= 1
-    ext = band + 2 * k
-
-    a_out, b_out, u1_out, deltas = pl.pallas_call(
-        functools.partial(_cycle_kernel3d_check, k=k, band=band, hp=hp,
-                          w=wp, nb=nb, nc=n_chunks),
-        grid=(n_chunks, nb),
-        out_shape=(
-            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((rp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((nb * band * hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, nb), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ext * hp, wp), jnp.float32),
-            pltpu.VMEM((2, ext * hp, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((band * hp, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        input_output_aliases={1: 0, 2: 1},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(iteration.reshape(1), u_a, u_b, frozen_pad)
-
-    return a_out, b_out, u1_out, jnp.max(deltas, axis=1)
 
 
 def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
