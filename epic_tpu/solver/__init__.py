@@ -76,7 +76,9 @@ def solve_grid(state, stagger=None, **kw):
         # so one call site works across the dispatch regimes.
         kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
         return pallas_sweep.solve(state, stagger, **kw)
-    if pallas_tiled2d.prefer_tiled(state.u.shape):
+    # Evaluate the regime rule at the SAME chunk depth the solve will pad
+    # with (mirrors Planner._kernel_module).
+    if pallas_tiled2d.prefer_tiled(state.u.shape, kw.get("chunk_depth", 16)):
         return pallas_tiled2d.solve(state, stagger, **kw)
     return pallas_biggrid.solve(state, stagger, **kw)
 
@@ -92,7 +94,7 @@ def update_grid(state, num_steps, **kw):
     if pallas_sweep.fits_vmem(state.u.shape):
         kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
         return pallas_sweep.update_n(state, num_steps, **kw)
-    if pallas_tiled2d.prefer_tiled(state.u.shape):
+    if pallas_tiled2d.prefer_tiled(state.u.shape, kw.get("chunk_depth", 16)):
         return pallas_tiled2d.update_n(state, num_steps, **kw)
     return pallas_biggrid.update_n(state, num_steps, **kw)
 

@@ -1083,7 +1083,12 @@ def cycle_fill(cycle_fn, u, frozen, iteration, n_full, *layout,
     probe40/42). Pass the UNJITTED kernel (``.__wrapped__``); ``layout``
     is the kernel's static tail with ``layout[0] == k``. The odd/even
     output-buffer selection lives here and in :func:`run_chain` only."""
-    alt = jnp.full_like(u, jnp.float32(-1e6))
+    from .. import constants as _C
+
+    # The fill value must equal the solve paths' pad constant (the checked
+    # cycle solves' exit-state argument relies on every non-centre cell of
+    # both buffers holding the SAME pad value).
+    alt = jnp.full_like(u, jnp.float32(_C.LOG_SPACE_OBSTACLE))
     a, b, deltas = cycle_fn(u, alt, frozen, iteration, n_full, *layout,
                             interpret)
     return (b if n_full % 2 else a), deltas

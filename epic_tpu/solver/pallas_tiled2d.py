@@ -56,7 +56,12 @@ def tile_layouts(shape: tuple[int, int], chunk_depth: int = 16):
     # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. k a multiple of 4.
     k = min(32, max(8, chunk_depth // 4 * 4))
     out = []
-    for wt in (1024, 2048, 4096, 8192):
+    wp = _round_up(w, 128)
+    candidates = [wt for wt in (1024, 2048, 4096, 8192) if wt <= wp] or [1024]
+    for wt in candidates:
+        # wt wider than the (padded) grid would pad narrow grids out to
+        # wt + 2*_HX columns of mostly dead cells (matches the 3D layout
+        # chooser's filtering).
         wext = wt + 2 * _HX
         ext_max = (EXT_BAND_CELL_BUDGET // wext) // 8 * 8
         band_max = ext_max - 2 * k

@@ -101,12 +101,21 @@ def test_update_n_4d_and_empty_grid_nd():
     shell[1:-1, 1:-1, 1:-1, 1:-1] = False
     assert locked[shell].all()
     assert not locked[~shell].any()
+    # Real 4D dynamics: free interior (-1e6) with a single locked goal —
+    # empty_grid_nd's interior is all-zero u, so locking every u == 0.0
+    # cell would freeze the whole hypergrid and make the sweeps no-ops.
     u = np.asarray(state.u).copy()
+    u[1:-1, 1:-1, 1:-1, 1:-1] = -1e6
     u[2, 2, 3, 3] = 0.0
-    state = epic_tpu.make_state(u, locked | (u == 0.0), epsilon=1e-2)
+    locked_goal = locked.copy()
+    locked_goal[2, 2, 3, 3] = True
+    state = epic_tpu.make_state(u, locked_goal, epsilon=1e-2)
     out = core.update_n(state, 5)
     assert int(out.iteration) == 5
     assert np.isfinite(float(out.delta))
+    # The goal's neighbours must have moved off the free value.
+    assert float(out.delta) > 0.0
+    assert float(np.asarray(out.u)[2, 2, 3, 4]) > -1e6
 
 
 def test_make_state_rejects_rank1():
