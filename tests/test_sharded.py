@@ -130,6 +130,68 @@ def test_pallas_composition_matches_xla(mesh8):
     assert float(d_x) == float(d_p)
 
 
+def test_banded_composition_matches_xla(mesh8):
+    """shard_map + per-shard banded DMA kernel (the beyond-VMEM regime,
+    forced here via kernel=) must equal the XLA per-shard path bit-for-bit,
+    including a remainder chunk shallower than the exchange depth."""
+    img = maps.random_obstacles(48, 64, density=0.15, seed=11)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh8, P("my", "mx"))
+    u, frozen = sharded._pad_for_mesh(st, mesh8)
+    u1 = jax.device_put(u, sh)
+    u2 = jax.device_put(u, sh)
+    frozen = jax.device_put(frozen, sh)
+    out_x, d_x = sharded._update_n_sharded(
+        u1, frozen, st.iteration, mesh8, 21, 8, "xla"
+    )
+    out_b, d_b = sharded._update_n_sharded(
+        u2, frozen, st.iteration, mesh8, 21, 8, "pallas_banded_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_b))
+    assert float(d_x) == float(d_b)
+
+
+def test_banded_multiband_nonaligned(mesh8):
+    """Banded per-shard path with >1 band per shard (tiny band budget via a
+    monkeypatched EXT budget is avoided — instead shard heights above one
+    band arise naturally once h_loc > band_max; here we just force several
+    bands by using a tall non-mesh-aligned grid) equals XLA."""
+    img = maps.open_room(70, 53)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh8, P("my", "mx"))
+    u, frozen = sharded._pad_for_mesh(st, mesh8)
+    u1 = jax.device_put(u, sh)
+    u2 = jax.device_put(u, sh)
+    frozen = jax.device_put(frozen, sh)
+    out_x, d_x = sharded._update_n_sharded(
+        u1, frozen, st.iteration, mesh8, 9, 4, "xla"
+    )
+    out_b, d_b = sharded._update_n_sharded(
+        u2, frozen, st.iteration, mesh8, 9, 4, "pallas_banded_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_b))
+    assert float(d_x) == float(d_b)
+
+
+def test_banded_solve_matches_core(mesh8):
+    """Full sharded solve through the banded per-shard kernel: protocol
+    (iteration count) identical, field equal to the single-device solve."""
+    img = maps.random_obstacles(40, 48, density=0.1, seed=5)
+    st1, st2 = _state(img), _state(img)
+    out1 = core.solve(st1, stagger=10)
+    out2 = sharded.solve(st2, mesh8, stagger=10, chunk_depth=8,
+                         kernel="pallas_banded_interpret")
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out2.converged)
+    np.testing.assert_allclose(
+        np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-3
+    )
+
+
 def test_resident_warm_loop_with_edits(mesh8):
     """Mesh-resident anytime loop: shard once, interleave update chunks and
     SetCells edits without re-padding; equals the single-chip warm loop."""
