@@ -9,9 +9,13 @@ path refuses 3D outright (harmonic_gpu.cu:158-165). This module carries the
   FULL depth of its (y, x) tile, so the z-neighbour reads of the 6-point
   stencil are always local and only y/x halos cross the mesh. (Depth is the
   small axis of typical volumes; the plane axes carry the parallelism.)
-- K-deep halos ride the same two-phase exchange as 2D (rows then columns of
-  the already-extended array, so corner blocks arrive transitively), one
-  ``ppermute`` pair per axis per K sweeps.
+- DEEP volumes (z >> plane) can shard the depth too: a mesh built with
+  :func:`make_mesh3d` carries an extra ``'mz'`` axis and the same entry
+  points run ``P('mz', 'my', 'mx')`` with a three-phase halo exchange and a
+  z-shrinking validity trapezoid (the 2D analog applied to all three axes).
+- K-deep halos ride the same multi-phase exchange as 2D (each later axis
+  exchanges strips of the already-extended array, so corner blocks arrive
+  transitively), one ``ppermute`` pair per axis per K sweeps.
 - The staggered-check delta is a cross-shard ``pmax``; the solve protocol
   (exit right after a check sweep with delta < eps and iter >= max(dims))
   is identical to :mod:`epic_tpu.solver.core`.
@@ -43,9 +47,32 @@ from .sharded import _neighbor_perm, make_mesh  # noqa: F401  (re-export mesh he
 from ..solver._sweep_body import LOG2N_3D as _LOG2N_3D, lse6
 
 
+def make_mesh3d(shape: tuple[int, int, int] | None = None, devices=None) -> Mesh:
+    """A 3-axis ('mz', 'my', 'mx') mesh for deep volumes (z sharded too).
+
+    Default: all devices on the z axis (deep volumes are z-dominant, so
+    depth carries the parallelism); pass an explicit shape to mix axes."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size, 1, 1)
+    return Mesh(devices.reshape(shape), ("mz", "my", "mx"))
+
+
+def _has_z(mesh: Mesh) -> bool:
+    return "mz" in mesh.shape
+
+
 def _exchange_halos_k(u: jax.Array, mesh: Mesh, k: int):
-    """K-deep y/x halos (including corners) for a rank-3 [D, h, w] block via
-    the two-phase exchange (sharded.py:_exchange_halos_k, one rank up)."""
+    """K-deep halos (including corners) for a rank-3 [D, h, w] block via
+    the multi-phase exchange (sharded.py:_exchange_halos_k, one rank up).
+    Meshes with an 'mz' axis exchange z-slabs first; the later y/x phases
+    move strips of the already-z-extended array, so z-corners arrive
+    transitively."""
+    if _has_z(mesh):
+        nmz = mesh.shape["mz"]
+        zlo = jax.lax.ppermute(u[-k:, :, :], "mz", _neighbor_perm(nmz, +1))
+        zhi = jax.lax.ppermute(u[:k, :, :], "mz", _neighbor_perm(nmz, -1))
+        u = jnp.concatenate([zlo, u, zhi], axis=0)
     nmy = mesh.shape["my"]
     nmx = mesh.shape["mx"]
     north = jax.lax.ppermute(u[:, -k:, :], "my", _neighbor_perm(nmy, +1))
@@ -64,17 +91,20 @@ def _exchange_frozen_k(frozen: jax.Array, mesh: Mesh, k: int):
     return ext == 0
 
 
-def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps):
-    """num_sweeps (<= k) 6-neighbour sweeps on the y/x-extended local block.
+def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps,
+                   z_sharded: bool = False):
+    """num_sweeps (<= k) 6-neighbour sweeps on the extended local block.
 
-    The y/x validity ring shrinks one cell per side per sweep; depth never
-    shrinks (z-neighbours are resident). Delta comes from sweep 0 — halo
-    updates duplicate the owning shard's arithmetic, so the cross-shard
-    pmax equals the global staggered-check delta exactly.
+    The y/x validity ring shrinks one cell per side per sweep; depth shrinks
+    too iff the mesh shards z (otherwise z-neighbours are resident and the
+    full depth stays valid). Delta comes from sweep 0 — halo updates
+    duplicate the owning shard's arithmetic, so the cross-shard pmax equals
+    the global staggered-check delta exactly.
     """
     d, he, we = u_ext.shape
     ly = jax.lax.broadcasted_iota(jnp.int32, (d, he, we), 1)
     lx = jax.lax.broadcasted_iota(jnp.int32, (d, he, we), 2)
+    lz = jax.lax.broadcasted_iota(jnp.int32, (d, he, we), 0)
     not_frozen = ~frozen_ext
 
     def sweep(s, u):
@@ -97,6 +127,8 @@ def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps):
         ssum = ssum + jnp.exp(uxp - m)
         val = (m + jnp.log(ssum)) - _LOG2N_3D
         valid = (ly >= s + 1) & (ly < he - 1 - s) & (lx >= s + 1) & (lx < we - 1 - s)
+        if z_sharded:
+            valid &= (lz >= s + 1) & (lz < d - 1 - s)
         # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
         update = (parity_ext != ((it0 + s + 1) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
@@ -108,27 +140,30 @@ def _sweep_k_local(u_ext, frozen_ext, parity_ext, it0, num_sweeps):
 
 
 def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
-                          *, num_sweeps, d, he, we):
+                          *, num_sweeps, d, he, we, z_sharded):
     """Pallas twin of :func:`_sweep_k_local` on the [D*He, We] flattened
     block (all six neighbours are rank-2 rolls; slab-crossing wrap garbage
-    lands only on frozen/invalid cells; scal = [t0, y0, x0])."""
+    lands only on frozen/invalid cells; scal = [t0, z0, y0, x0])."""
     from jax.experimental.pallas import tpu as pltpu
 
     rows = d * he
     t0 = scal_ref[0]
-    y0 = scal_ref[1]
-    x0 = scal_ref[2]
+    z0 = scal_ref[1]
+    y0 = scal_ref[2]
+    x0 = scal_ref[3]
     u0 = u_ref[:]
     not_frozen = f_ref[:] == 0
     lr = jax.lax.broadcasted_iota(jnp.int32, (rows, we), 0)
     lc = jax.lax.broadcasted_iota(jnp.int32, (rows, we), 1)
     lz = lr // he
     ly = lr - lz * he
-    parity = (lz + ly + y0 + lc + x0) % 2
+    parity = (lz + z0 + ly + y0 + lc + x0) % 2
 
     def sweep(s, u):
         val = lse6(u, rows, we, he)
         valid = (ly >= s + 1) & (ly < he - 1 - s) & (lc >= s + 1) & (lc < we - 1 - s)
+        if z_sharded:
+            valid &= (lz >= s + 1) & (lz < d - 1 - s)
         # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
         update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
         return jnp.where(update, val, u)
@@ -138,19 +173,20 @@ def _sweep_k_local_kernel(scal_ref, u_ref, f_ref, u_out, delta_ref,
     u_out[:] = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
 
 
-def _sweep_k_local_pallas(u_ext, frozen_ext, it0, y0, x0, num_sweeps,
-                          interpret):
+def _sweep_k_local_pallas(u_ext, frozen_ext, it0, z0, y0, x0, num_sweeps,
+                          interpret, z_sharded=False):
     import functools as _ft
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d, he, we = u_ext.shape
-    scal = jnp.stack([it0, y0, x0]).astype(jnp.int32)
-    vma = frozenset({"my", "mx"})
+    scal = jnp.stack([it0, z0, y0, x0]).astype(jnp.int32)
+    vma = (frozenset({"mz", "my", "mx"}) if z_sharded
+           else frozenset({"my", "mx"}))
     out_u, out_delta = pl.pallas_call(
         _ft.partial(_sweep_k_local_kernel, num_sweeps=num_sweeps,
-                    d=d, he=he, we=we),
+                    d=d, he=he, we=we, z_sharded=z_sharded),
         out_shape=(
             jax.ShapeDtypeStruct((d * he, we), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((1,), jnp.float32, vma=vma),
@@ -173,13 +209,17 @@ def _sweep_k_local_pallas(u_ext, frozen_ext, it0, y0, x0, num_sweeps,
 
 
 def _local_parity_ext(shape_local, mesh, k):
-    """Global (z + y + x) % 2 for the y/x-extended block ((-k) ≡ k mod 2)."""
+    """Global (z + y + x) % 2 for the extended block ((-k) ≡ k mod 2)."""
     d, h, w = shape_local
+    zsh = _has_z(mesh)
+    de = d + 2 * k if zsh else d
     iy = jax.lax.axis_index("my") * h
     ix = jax.lax.axis_index("mx") * w
-    lz = jax.lax.broadcasted_iota(jnp.int32, (d, h + 2 * k, w + 2 * k), 0)
-    ly = jax.lax.broadcasted_iota(jnp.int32, (d, h + 2 * k, w + 2 * k), 1) + iy + k
-    lx = jax.lax.broadcasted_iota(jnp.int32, (d, h + 2 * k, w + 2 * k), 2) + ix + k
+    lz = jax.lax.broadcasted_iota(jnp.int32, (de, h + 2 * k, w + 2 * k), 0)
+    if zsh:
+        lz = lz + jax.lax.axis_index("mz") * d + k
+    ly = jax.lax.broadcasted_iota(jnp.int32, (de, h + 2 * k, w + 2 * k), 1) + iy + k
+    lx = jax.lax.broadcasted_iota(jnp.int32, (de, h + 2 * k, w + 2 * k), 2) + ix + k
     return (lz + ly + lx) % 2
 
 
@@ -191,18 +231,29 @@ def _frozen_mask(state: GridState) -> jax.Array:
 
 def padded_shape(shape, mesh: Mesh):
     d, h, w = shape
+    nmz = mesh.shape["mz"] if _has_z(mesh) else 1
     nmy, nmx = mesh.shape["my"], mesh.shape["mx"]
-    return (d, -(-h // nmy) * nmy, -(-w // nmx) * nmx)
+    return (-(-d // nmz) * nmz, -(-h // nmy) * nmy, -(-w // nmx) * nmx)
 
 
 def _pad_for_mesh(state: GridState, mesh: Mesh):
     d, h, w = state.u.shape
     dp, hp, wp = padded_shape((d, h, w), mesh)
-    u = jnp.pad(state.u, ((0, 0), (0, hp - h), (0, wp - w)),
+    u = jnp.pad(state.u, ((0, dp - d), (0, hp - h), (0, wp - w)),
                 constant_values=np.float32(C.LOG_SPACE_OBSTACLE))
-    frozen = jnp.pad(_frozen_mask(state), ((0, 0), (0, hp - h), (0, wp - w)),
+    frozen = jnp.pad(_frozen_mask(state), ((0, dp - d), (0, hp - h), (0, wp - w)),
                      constant_values=True)
     return u, frozen
+
+
+def _spec(mesh: Mesh):
+    return P("mz", "my", "mx") if _has_z(mesh) else P(None, "my", "mx")
+
+
+def _pmax(x, mesh: Mesh):
+    if _has_z(mesh):
+        x = jax.lax.pmax(x, "mz")
+    return jax.lax.pmax(jax.lax.pmax(x, "my"), "mx")
 
 
 DEFAULT_CHUNK_DEPTH = 8
@@ -224,36 +275,42 @@ def _update_n_sharded(
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = kernel == "pallas_interpret"
     use_pallas = kernel in ("pallas", "pallas_interpret")
+    zsh = _has_z(mesh)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, "my", "mx"), P(None, "my", "mx"), P()),
-        out_specs=(P(None, "my", "mx"), P()),
+        in_specs=(_spec(mesh), _spec(mesh), P()),
+        out_specs=(_spec(mesh), P()),
         check_vma=not interpret,
     )
     def run(u_loc, frozen_loc, it0):
         d, h_loc, w_loc = u_loc.shape
         depth = min(chunk_depth, h_loc, w_loc)
+        if zsh:
+            depth = min(depth, d)
         frozen_full = _exchange_frozen_k(frozen_loc, mesh, depth)
 
         def chunk(u_loc, it, k):
             u_ext = _exchange_halos_k(u_loc, mesh, k)
             d0 = depth - k
-            frozen_ext = frozen_full[:, d0 : d0 + h_loc + 2 * k,
+            zs = slice(d0, d0 + d + 2 * k) if zsh else slice(None)
+            frozen_ext = frozen_full[zs, d0 : d0 + h_loc + 2 * k,
                                      d0 : d0 + w_loc + 2 * k]
             if use_pallas:
+                z0 = jax.lax.axis_index("mz") * d + k if zsh else jnp.int32(0)
                 y0 = jax.lax.axis_index("my") * h_loc + k
                 x0 = jax.lax.axis_index("mx") * w_loc + k
                 u_ext, dd = _sweep_k_local_pallas(
-                    u_ext, frozen_ext, it, y0, x0, k, interpret
+                    u_ext, frozen_ext, it, z0, y0, x0, k, interpret, zsh
                 )
             else:
                 parity_ext = _local_parity_ext(u_loc.shape, mesh, k)
                 u_ext, dd = _sweep_k_local(
-                    u_ext, frozen_ext, parity_ext, it, k
+                    u_ext, frozen_ext, parity_ext, it, k, zsh
                 )
-            return u_ext[:, k:-k, k:-k], dd
+            zc = slice(k, -k) if zsh else slice(None)
+            return u_ext[zc, k:-k, k:-k], dd
 
         d1 = min(depth, num_steps)
         u_loc, delta = chunk(u_loc, it0, d1)
@@ -267,7 +324,7 @@ def _update_n_sharded(
         u_loc, it = jax.lax.fori_loop(0, n_full, body, (u_loc, it0 + d1))
         if rem:
             u_loc, _ = chunk(u_loc, it, rem)
-        delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
+        delta = _pmax(delta, mesh)
         return u_loc, delta.reshape(1)
 
     u, delta = run(u, frozen, iteration)
@@ -280,14 +337,14 @@ def update_n(state: GridState, num_steps: int, mesh: Mesh,
     """Sharded 3D anytime chunk; semantics of core.update_n on a mesh."""
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
-    sharding = NamedSharding(mesh, P(None, "my", "mx"))
+    sharding = NamedSharding(mesh, _spec(mesh))
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
     u, delta = _update_n_sharded(u, frozen, state.iteration, mesh, num_steps,
                                  chunk_depth, kernel)
     return dataclasses.replace(
         state,
-        u=u[:, :h, :w],
+        u=u[:d, :h, :w],
         iteration=state.iteration + num_steps,
         delta=delta,
         converged=(delta < state.epsilon) if num_steps == 1 else jnp.asarray(False),
@@ -343,7 +400,7 @@ def solve(
     """Sharded 3D solve-to-convergence; protocol identical to core.solve."""
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
-    sharding = NamedSharding(mesh, P(None, "my", "mx"))
+    sharding = NamedSharding(mesh, _spec(mesh))
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
     u, iteration, delta, converged = _solve_sharded(
@@ -352,7 +409,7 @@ def solve(
     )
     return dataclasses.replace(
         state,
-        u=u[:, :h, :w],
+        u=u[:d, :h, :w],
         iteration=iteration,
         delta=delta,
         converged=converged,

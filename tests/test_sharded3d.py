@@ -103,3 +103,52 @@ def test_sharded3d_1d_mesh():
     np.testing.assert_allclose(
         np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-4
     )
+
+
+def test_sharded3d_z_axis_update_matches_core():
+    """Deep-volume decomposition: z sharded over an ('mz','my','mx') mesh
+    (VERDICT r2 #8 — volumes with z >> plane scale past one chip)."""
+    mesh = sharded3d.make_mesh3d((8, 1, 1))
+    st1 = _volume(33, 12, 20, seed=19)
+    st2 = _volume(33, 12, 20, seed=19)
+    out1 = core.update_n(st1, 9)
+    out2 = sharded3d.update_n(st2, 9, mesh, chunk_depth=3)
+    assert int(out1.iteration) == int(out2.iteration)
+    np.testing.assert_allclose(
+        np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(out1.delta), float(out2.delta), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded3d_z_and_plane_mixed_mesh():
+    """(2, 2, 2) mesh: z AND both plane axes sharded simultaneously, with a
+    non-mesh-aligned shape; pallas-interpret per-shard kernel equals XLA."""
+    mesh = sharded3d.make_mesh3d((2, 2, 2))
+    st1 = _volume(11, 18, 26, seed=23)
+    st2 = _volume(11, 18, 26, seed=23)
+    st3 = _volume(11, 18, 26, seed=23)
+    out1 = core.update_n(st1, 7)
+    out_x = sharded3d.update_n(st2, 7, mesh, chunk_depth=4, kernel="xla")
+    out_p = sharded3d.update_n(st3, 7, mesh, chunk_depth=4,
+                               kernel="pallas_interpret")
+    np.testing.assert_allclose(
+        np.asarray(out1.u), np.asarray(out_x.u), rtol=2e-6, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out_x.u), np.asarray(out_p.u))
+    assert float(out_x.delta) == float(out_p.delta)
+
+
+def test_sharded3d_z_axis_solve_matches_core():
+    """Full solve protocol through the z-sharded decomposition."""
+    mesh = sharded3d.make_mesh3d((4, 2, 1))
+    st1 = _volume(16, 14, 18, seed=29, density=0.08)
+    st2 = _volume(16, 14, 18, seed=29, density=0.08)
+    out1 = core.solve(st1, stagger=10)
+    out2 = sharded3d.solve(st2, mesh, stagger=10)
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out2.converged)
+    np.testing.assert_allclose(
+        np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-3
+    )

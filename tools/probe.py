@@ -1,0 +1,618 @@
+#!/usr/bin/env python
+"""Named, reproducible performance experiments — the provenance harness.
+
+Every headline number in README / docs/BENCH_NOTES.md is reproducible by
+name from this one file (VERDICT r2 #7: the one-off tpu_probe2..51 scripts
+established the numbers; this harness re-runs them as a suite and is the
+regression guard). The ad-hoc probes live in tools/attic/ for archaeology.
+
+Usage:
+    python tools/probe.py --list
+    python tools/probe.py maze-chunk biggrid-update
+    python tools/probe.py all                  # the full battery (one process)
+    python tools/probe.py --quick maze-chunk   # tiny shapes, CPU-safe smoke
+
+Measurement discipline (docs/BENCH_NOTES.md):
+- one process for the whole battery (remote-compile warmup is per-process);
+- timed regions hold >= ~2 s of device work in few dispatches;
+- every timed region is closed by a data-dependent D2H readback
+  (block_until_ready can return early through remote-execution tunnels);
+- rates are exactness-gated: each experiment validates its kernel against
+  an independent path (XLA twin or a structurally different kernel) in the
+  same process before reporting.
+
+Each experiment prints ONE JSON line: {"exp": ..., metrics...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+EXPERIMENTS = {}
+
+
+def experiment(name, ref):
+    """Register an experiment; ref = the BENCH_NOTES section it backs."""
+
+    def deco(fn):
+        EXPERIMENTS[name] = (fn, fn.__doc__ or "", ref)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _grid_np(h: int, w: int, seed: int = 1, density: float = 0.1):
+    """Synthetic workload grid, prepared in NumPy (no device compiles):
+    random obstacles, boundary ring locked, one centre goal."""
+    rng = np.random.default_rng(seed)
+    u = np.full((h, w), -1e6, np.float32)
+    locked = rng.random((h, w)) < density
+    locked[0], locked[-1], locked[:, 0], locked[:, -1] = True, True, True, True
+    u[h // 2, w // 2] = 0.0
+    locked[h // 2, w // 2] = True
+    return u, locked
+
+
+def _vol_np(d: int, h: int, w: int, seed: int = 1, density: float = 0.08):
+    rng = np.random.default_rng(seed)
+    u = np.full((d, h, w), -1e6, np.float32)
+    locked = rng.random((d, h, w)) < density
+    locked[0], locked[-1] = True, True
+    locked[:, 0], locked[:, -1] = True, True
+    locked[:, :, 0], locked[:, :, -1] = True, True
+    u[d // 2, h // 2, w // 2] = 0.0
+    locked[d // 2, h // 2, w // 2] = True
+    return u, locked
+
+
+def _state(u, locked, eps=1e-2):
+    from epic_tpu.grid import make_state
+
+    return make_state(u, locked, epsilon=eps)
+
+
+def _readback_sum(x) -> float:
+    """Full D2H completion barrier with a data-dependent result."""
+    return float(np.asarray(x).sum(dtype=np.float64))
+
+
+def _interpret() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# 2D experiments
+# ---------------------------------------------------------------------------
+
+
+@experiment("maze-chunk", "Headline: maze 482x482")
+def maze_chunk(q):
+    """VMEM-resident multi-sweep kernel on the maze-class fixture: 100-sweep
+    chunks chained in one program; XLA-twin exactness gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu import maps
+    from epic_tpu.solver import pallas_sweep as ps
+    from epic_tpu.solver._sweep_body import lse4  # noqa: F401 (import check)
+
+    interp = _interpret()
+    ref = maps.reference_map_path("maze.png")
+    img = maps.load_png(ref) if ref is not None else maps.random_obstacles(
+        482, 482, density=0.1, seed=0)
+    h, w = img.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+    goal, obstacle = img == 255, img == 0
+    u_np = np.full((hp, wp), -1e6, np.float32)
+    u_np[:h, :w] = np.where(goal, 0.0, -1e6)
+    frozen_np = np.ones((hp, wp), bool)
+    frozen_np[1 : h - 1, 1 : w - 1] = (goal | obstacle)[1:-1, 1:-1]
+    u = jax.device_put(jnp.asarray(u_np))
+    frozen = jax.device_put(jnp.asarray(frozen_np))
+    chunk = 100
+    reps = 2 if q else 8000
+
+    def programs(reps):
+        @jax.jit
+        def run(u, it0):
+            def body(i, u):
+                u, _ = ps.sweep_chunk.__wrapped__(
+                    u, frozen, it0 + i * chunk, chunk, interp)
+                return u
+
+            return jax.lax.fori_loop(0, reps, body, u)
+
+        @jax.jit
+        def run_xla(u, it0):
+            def body(i, u):
+                def inner(k, u):
+                    un, us = jnp.roll(u, 1, 0), jnp.roll(u, -1, 0)
+                    uw, ue = jnp.roll(u, 1, 1), jnp.roll(u, -1, 1)
+                    m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
+                    s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
+                    val = (m + jnp.log(s)) - np.float32(np.log(4.0))
+                    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+                    col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+                    upd = (((row + col) % 2) != ((it0 + i * chunk + k) % 2)) & ~frozen
+                    return jnp.where(upd, val, u)
+
+                return jax.lax.fori_loop(0, chunk, inner, u)
+
+            return jax.lax.fori_loop(0, reps, body, u)
+
+        return run, run_xla
+
+    # Exactness gate at a short length (cheap XLA twin), timing at full.
+    gate_reps = 2
+    run_g, run_xla_g = programs(gate_reps)
+    p = np.asarray(run_g(u, jnp.int32(0)))
+    x = np.asarray(run_xla_g(u, jnp.int32(0)))
+    max_diff = float(np.max(np.abs(p - x)))
+    assert max_diff <= 1e-4, max_diff
+
+    run, _ = programs(reps)
+    u_warm = run(u, jnp.int32(0))
+    _readback_sum(u_warm)  # warm/compile barrier
+    t0 = time.perf_counter()
+    out = run(u_warm, jnp.int32(reps * chunk))
+    checksum = _readback_sum(out)
+    dt = time.perf_counter() - t0
+    sweeps = reps * chunk
+    return dict(grid=f"{h}x{w}", sweeps_per_s=round(sweeps / dt),
+                g_updates_per_s=round((h - 2) * (w - 2) / 2 * sweeps / dt / 1e9, 2),
+                max_abs_diff_vs_xla=max_diff, checksum=checksum)
+
+
+@experiment("maze-solve", "Solve-to-convergence (full protocol)")
+def maze_solve(q):
+    """Full solve protocol (staggered checks, min-iterations guard) on the
+    maze fixture through the VMEM kernel — one device program."""
+    from epic_tpu import maps
+    import epic_tpu
+    from epic_tpu.solver import pallas_sweep as ps
+
+    ref = maps.reference_map_path("maze.png")
+    img = maps.load_png(ref) if ref is not None else maps.random_obstacles(
+        482, 482, density=0.1, seed=0)
+    eps = 1e-1 if q else 1e-3
+    out = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=eps))  # warm
+    iters = int(out.iteration)
+    t0 = time.perf_counter()
+    out = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=eps))
+    _readback_sum(out.u)
+    dt = time.perf_counter() - t0
+    h, w = img.shape
+    assert int(out.iteration) == iters and iters % 100 == 1
+    return dict(grid=f"{h}x{w}", iterations=iters, converged=bool(out.converged),
+                sweeps_per_s=round(iters / dt),
+                g_updates_per_s=round((h - 2) * (w - 2) / 2 * iters / dt / 1e9, 2))
+
+
+def _biggrid_prep(size_h, size_w):
+    from epic_tpu.solver import pallas_biggrid as bg
+
+    u, locked = _grid_np(size_h, size_w)
+    g = bg.pad_state(_state(u, locked))
+    return g
+
+
+@experiment("biggrid-update", "Ping-pong cycle kernel")
+def biggrid_update(q, sizes=(2048, 4096, 8192, 16384)):
+    """Open chunk chains (anytime update_n) through the banded ping-pong
+    cycle kernel; gate = bit-equality vs chained manual-DMA chunks."""
+    import jax.numpy as jnp
+
+    from epic_tpu.solver import pallas_biggrid as bg
+    from epic_tpu.solver import pallas_cycle as pc
+
+    interp = _interpret()
+    if q:
+        sizes = (256,)
+    rows = []
+    for size in sizes:
+        g = _biggrid_prep(size, size)
+        k, band = g.k, g.band
+        # Gate: a 2-chunk cycle == two chained DMA chunks, bit-equal.
+        a, _, _ = pc.run_chain(pc.sweep_cycle.__wrapped__, g.u, None,
+                               g.frozen, jnp.int32(0), 2, k, band,
+                               interpret=interp)
+        u_ref, _ = bg.sweep_chunk_dma(g.u, g.frozen, jnp.int32(0), k, band, k,
+                                      interp)
+        u_ref, _ = bg.sweep_chunk_dma(u_ref, g.frozen, jnp.int32(k), k, band,
+                                      k, interp)
+        assert np.array_equal(np.asarray(a), np.asarray(u_ref)), size
+        # Timed chain: ~90 G updates of device work, power-of-two dispatches.
+        target = 1e6 if q else 90e9
+        n_full = max(2, int(target / (size * size / 2 * k)))
+        g = _biggrid_prep(size, size)
+        uu, alt, _ = pc.run_chain(pc.sweep_cycle.__wrapped__, g.u, None,
+                                  g.frozen, jnp.int32(0), n_full, k, band,
+                                  interpret=interp)
+        _readback_sum(uu)  # warm
+        g = _biggrid_prep(size, size)
+        t0 = time.perf_counter()
+        uu, alt, _ = pc.run_chain(pc.sweep_cycle.__wrapped__, g.u, None,
+                                  g.frozen, jnp.int32(0), n_full, k, band,
+                                  interpret=interp)
+        checksum = _readback_sum(uu)
+        dt = time.perf_counter() - t0
+        sweeps = n_full * k
+        rows.append(dict(size=size, band=band, k=k, sweeps=sweeps,
+                         g_updates_per_s=round(size * size / 2 * sweeps / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(rows=rows)
+
+
+@experiment("biggrid-solve", "Solve-to-convergence (full protocol)")
+def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
+    """Whole-cycle in-kernel-check banded solve (one dispatch per stagger
+    cycle); capped so one while-loop dispatch stays under the remote-worker
+    watchdog. Reports iterations + rate; iteration count must be ≡ 1 mod
+    stagger on a converged exit."""
+    from epic_tpu.solver import pallas_biggrid as bg
+
+    interp = _interpret()
+    if q:
+        sizes = ((256, 600),)
+    rows = []
+    for size, cap in sizes:
+        u, locked = _grid_np(size, size)
+        st = _state(u, locked)
+        g = bg.pad_state(st)
+        out = bg._solve_banded(g.u, g.frozen, st.epsilon, 100, cap, g.band,
+                               g.k, interp, size, size)
+        iters = int(out[1])
+        st = _state(u, locked)
+        g = bg.pad_state(st)
+        t0 = time.perf_counter()
+        uu, it, delta, conv = bg._solve_banded(
+            g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, interp,
+            size, size)
+        checksum = _readback_sum(uu)
+        dt = time.perf_counter() - t0
+        it = int(it)
+        assert it == iters
+        assert (not bool(conv)) or it % 100 == 1
+        rows.append(dict(size=size, iterations=it, converged=bool(conv),
+                         delta=float(np.asarray(delta)),
+                         g_updates_per_s=round(size * size / 2 * it / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(rows=rows)
+
+
+@experiment("tiled-update", "Wide grids: 2D-tiled DMA chunks")
+def tiled_update(q, sizes=((16384, 16384), (32768, 16384))):
+    """Wide-grid regime: the 2D-tiled cycle kernel chunk chain; gate =
+    bit-equality vs the tiled DMA chunk."""
+    import jax.numpy as jnp
+
+    from epic_tpu.solver import pallas_cycle as pc
+    from epic_tpu.solver import pallas_tiled2d as t2
+
+    interp = _interpret()
+    if q:
+        sizes = ((256, 384),)
+    rows = []
+    for hh, ww in sizes:
+        u, locked = _grid_np(hh, ww)
+        g = t2.pad_state(_state(u, locked))
+        layout = (g.k, g.band, g.wt)
+        a, _, _ = pc.run_chain(pc.sweep_cycle_tiled.__wrapped__, g.u, None,
+                               g.frozen, jnp.int32(0), 2, *layout,
+                               interpret=interp)
+        u_ref, _ = t2.sweep_chunk_tiled(g.u, g.frozen, jnp.int32(0), g.k,
+                                        g.band, g.k, g.wt, interp)
+        u_ref, _ = t2.sweep_chunk_tiled(u_ref, g.frozen, jnp.int32(g.k), g.k,
+                                        g.band, g.k, g.wt, interp)
+        assert np.array_equal(np.asarray(a), np.asarray(u_ref)), (hh, ww)
+        target = 1e6 if q else 90e9
+        n_full = max(2, int(target / (hh * ww / 2 * g.k)))
+        g = t2.pad_state(_state(u, locked))
+        uu, _, _ = pc.run_chain(pc.sweep_cycle_tiled.__wrapped__, g.u, None,
+                                g.frozen, jnp.int32(0), n_full, *layout,
+                                interpret=interp)
+        _readback_sum(uu)
+        g = t2.pad_state(_state(u, locked))
+        t0 = time.perf_counter()
+        uu, _, _ = pc.run_chain(pc.sweep_cycle_tiled.__wrapped__, g.u, None,
+                                g.frozen, jnp.int32(0), n_full, *layout,
+                                interpret=interp)
+        checksum = _readback_sum(uu)
+        dt = time.perf_counter() - t0
+        sweeps = n_full * g.k
+        rows.append(dict(size=f"{hh}x{ww}", band=g.band, k=g.k, wt=g.wt,
+                         g_updates_per_s=round(hh * ww / 2 * sweeps / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(rows=rows)
+
+
+@experiment("tiled-solve", "Solve-to-convergence (full protocol)")
+def tiled_solve(q, sizes=((16384, 16384, 2500),)):
+    """Whole-cycle in-kernel-check TILED solve at the wide-grid regime."""
+    from epic_tpu.solver import pallas_tiled2d as t2
+
+    interp = _interpret()
+    if q:
+        sizes = ((256, 384, 600),)
+    rows = []
+    for hh, ww, cap in sizes:
+        u, locked = _grid_np(hh, ww)
+        st = _state(u, locked)
+        g = t2.pad_state(st)
+        out = t2._solve_tiled(g.u, g.frozen, st.epsilon, 100, cap, g.band,
+                              g.k, g.wt, interp, hh, ww)
+        iters = int(out[1])
+        st = _state(u, locked)
+        g = t2.pad_state(st)
+        t0 = time.perf_counter()
+        uu, it, delta, conv = t2._solve_tiled(
+            g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, g.wt, interp,
+            hh, ww)
+        checksum = _readback_sum(uu)
+        dt = time.perf_counter() - t0
+        it = int(it)
+        assert it == iters
+        rows.append(dict(size=f"{hh}x{ww}", iterations=it,
+                         converged=bool(conv),
+                         g_updates_per_s=round(hh * ww / 2 * it / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(rows=rows)
+
+
+@experiment("batched-solve", "Batched scenarios (BASELINE config 3)")
+def batched_solve(q, lanes=4096, size=128):
+    """Device-resident lockstep batch solve: B maze-class lanes, per-block
+    retirement gating; solves/s with inputs pre-staged on device."""
+    import jax
+
+    from epic_tpu.solver import pallas_batched as pb
+
+    if q:
+        lanes, size = 8, 32
+    rng = np.random.default_rng(0)
+    u = np.full((lanes, size, size), -1e6, np.float32)
+    locked = rng.random((lanes, size, size)) < 0.1
+    locked[:, 0], locked[:, -1] = True, True
+    locked[:, :, 0], locked[:, :, -1] = True, True
+    gy = rng.integers(1, size - 1, lanes)
+    gx = rng.integers(1, size - 1, lanes)
+    u[np.arange(lanes), gy, gx] = 0.0
+    locked[np.arange(lanes), gy, gx] = True
+
+    # Warm (compiles the gated collage program).
+    out = pb.solve_batch_device(u, locked, epsilon=1e-2, max_iterations=2000)
+    conv = float(np.mean(out[3]))
+    t0 = time.perf_counter()
+    out = pb.solve_batch_device(u, locked, epsilon=1e-2, max_iterations=2000)
+    _ = _readback_sum(out[0])
+    dt = time.perf_counter() - t0
+    return dict(lanes=lanes, size=size, solves_per_s=round(lanes / dt),
+                fraction_converged=conv,
+                mean_iterations=float(np.mean(out[1])),
+                batch_wall_s=round(dt, 2),
+                note="includes pad/stage H2D; see batched-map for regimes")
+
+
+@experiment("batched-map", "Batched scenarios (BASELINE config 3)")
+def batched_map(q, combos=((1024, 64), (4096, 64), (1024, 128), (4096, 128),
+                           (256, 256), (1024, 256))):
+    """Lane-count x grid-size regime map for the batched solver (VERDICT r2
+    #9): when does batching beat the big-grid collage?"""
+    from epic_tpu.solver import pallas_batched as pb
+
+    if q:
+        combos = ((8, 32), (16, 32))
+    rows = []
+    rng = np.random.default_rng(0)
+    for lanes, size in combos:
+        u = np.full((lanes, size, size), -1e6, np.float32)
+        locked = rng.random((lanes, size, size)) < 0.1
+        locked[:, 0], locked[:, -1] = True, True
+        locked[:, :, 0], locked[:, :, -1] = True, True
+        gy = rng.integers(1, size - 1, lanes)
+        gx = rng.integers(1, size - 1, lanes)
+        u[np.arange(lanes), gy, gx] = 0.0
+        locked[np.arange(lanes), gy, gx] = True
+        out = pb.solve_batch_device(u, locked, epsilon=1e-2,
+                                    max_iterations=2000)  # warm
+        t0 = time.perf_counter()
+        out = pb.solve_batch_device(u, locked, epsilon=1e-2,
+                                    max_iterations=2000)
+        _ = _readback_sum(out[0])
+        dt = time.perf_counter() - t0
+        mean_it = float(np.mean(out[1]))
+        rows.append(dict(lanes=lanes, size=size,
+                         solves_per_s=round(lanes / dt),
+                         g_updates_per_s=round(
+                             lanes * (size - 2) ** 2 / 2 * mean_it / dt / 1e9, 2),
+                         mean_iterations=mean_it, wall_s=round(dt, 2)))
+    return dict(rows=rows)
+
+
+# ---------------------------------------------------------------------------
+# 3D experiments
+# ---------------------------------------------------------------------------
+
+
+@experiment("vol-update", "Big volumes (plane-banded DMA chunks)")
+def vol_update(q, shape=(256, 256, 256), steps=1200):
+    """3D chunk chain at 256^3 through pallas_biggrid3d.update_n (the 3D
+    cycle kernel + DMA remainder)."""
+    from epic_tpu.solver import pallas_biggrid3d as b3
+
+    if q:
+        shape, steps = (16, 24, 32), 8
+    u, locked = _vol_np(*shape)
+    st = _state(u, locked)
+    out = b3.update_n(st, steps)  # warm
+    st = _state(u, locked)
+    t0 = time.perf_counter()
+    out = b3.update_n(st, steps)
+    checksum = _readback_sum(out.u)
+    dt = time.perf_counter() - t0
+    cells = np.prod(shape)
+    return dict(shape="x".join(map(str, shape)), steps=steps,
+                g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                checksum=checksum)
+
+
+@experiment("vol-solve", "Big volumes (plane-banded DMA chunks)")
+def vol_solve(q, shape=(256, 256, 256), cap=2000):
+    """3D solve protocol at 256^3 (check-chunk + cycle-fill structure —
+    probe51 showed the whole-cycle fold loses in 3D)."""
+    from epic_tpu.solver import pallas_biggrid3d as b3
+
+    if q:
+        shape, cap = (16, 24, 32), 400
+    u, locked = _vol_np(*shape)
+    out = b3.solve(_state(u, locked), max_iterations=cap)  # warm
+    iters = int(out.iteration)
+    t0 = time.perf_counter()
+    out = b3.solve(_state(u, locked), max_iterations=cap)
+    checksum = _readback_sum(out.u)
+    dt = time.perf_counter() - t0
+    assert int(out.iteration) == iters
+    cells = np.prod(shape)
+    return dict(shape="x".join(map(str, shape)), iterations=iters,
+                converged=bool(out.converged),
+                g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                checksum=checksum)
+
+
+@experiment("wideplane-update", "Wide-plane volumes (z-band x y x x tiles)")
+def wideplane_update(q, shape=(32, 2048, 2048), steps=600):
+    """Wide-plane regime (padded plane > biggrid3d's scoped-VMEM wall):
+    the (z, y, x)-tiled DMA kernel chunk chain."""
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    if q:
+        shape, steps = (8, 256, 512), 4
+    u, locked = _vol_np(*shape)
+    st = _state(u, locked)
+    out = t3.update_n(st, steps)  # warm
+    st = _state(u, locked)
+    t0 = time.perf_counter()
+    out = t3.update_n(st, steps)
+    checksum = _readback_sum(out.u)
+    dt = time.perf_counter() - t0
+    cells = np.prod(shape)
+    return dict(shape="x".join(map(str, shape)), steps=steps,
+                g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                checksum=checksum)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip composition (single chip: validates compile + rate of the
+# shard_map + banded-DMA path; equivalence vs the unsharded kernel)
+# ---------------------------------------------------------------------------
+
+
+@experiment("sharded-banded", "Scaling across devices")
+def sharded_banded(q, size=4096, steps=256):
+    """The beyond-VMEM per-shard Pallas path (shard_map + banded DMA kernel)
+    on a 1x1 mesh over the real chip: proves the composition compiles and
+    runs at big-grid rates on hardware; gate = equality vs the unsharded
+    banded kernel."""
+    import jax
+
+    import epic_tpu
+    from epic_tpu import maps
+    from epic_tpu.parallel import make_mesh, sharded
+    from epic_tpu.solver import pallas_biggrid as bg
+
+    interp = _interpret()
+    kern = "pallas_banded_interpret" if interp else "pallas_banded"
+    if q:
+        size, steps = 64, 16
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    out_s = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
+                             kernel=kern)
+    out_b = bg.update_n(_state(u, locked), steps)
+    d = float(np.max(np.abs(np.asarray(out_s.u) - np.asarray(out_b.u))))
+    assert d == 0.0, d
+    t0 = time.perf_counter()
+    out_s = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
+                             kernel=kern)
+    checksum = _readback_sum(out_s.u)
+    dt = time.perf_counter() - t0
+    return dict(size=size, steps=steps, mesh="1x1", kernel=kern,
+                max_abs_diff_vs_biggrid=d,
+                g_updates_per_s=round(size * size / 2 * steps / dt / 1e9, 2),
+                checksum=checksum)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+BATTERY = [
+    "maze-chunk", "maze-solve", "biggrid-update", "biggrid-solve",
+    "tiled-update", "tiled-solve", "batched-solve", "batched-map",
+    "vol-update", "vol-solve", "wideplane-update", "sharded-banded",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("exps", nargs="*", help="experiment names, or 'all'")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny shapes (smoke of the harness itself)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the ambient env pins a "
+                         "tunnelled TPU; env vars set late cannot switch)")
+    ap.add_argument("--out", default=None, help="append JSON lines here too")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.list or not args.exps:
+        for name in BATTERY:
+            fn, doc, ref = EXPERIMENTS[name]
+            print(f"{name:18s} [{ref}] {' '.join(doc.split())[:90]}")
+        return
+
+    names = BATTERY if args.exps == ["all"] else args.exps
+    import jax
+
+    sink = open(args.out, "a") if args.out else None
+    for name in names:
+        fn, _, ref = EXPERIMENTS[name]
+        t0 = time.perf_counter()
+        try:
+            res = fn(args.quick)
+            res = dict(exp=name, backend=jax.default_backend(),
+                       wall_s=round(time.perf_counter() - t0, 1), **res)
+        except Exception as e:  # keep the battery going
+            res = dict(exp=name, backend=jax.default_backend(),
+                       error=f"{type(e).__name__}: {e}")
+        line = json.dumps(res)
+        print(line, flush=True)
+        if sink:
+            sink.write(line + "\n")
+            sink.flush()
+    if sink:
+        sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,17 @@ epic_tpu.parallel.sharded) on a virtual device mesh
 its efficiency accounting end-to-end; on a real slice the same script runs
 unchanged with JAX_PLATFORMS=tpu.
 
-Usage: python tools/scaling_bench.py [--size 2048] [--sweeps 200]
-       [--devices 1 2 4 8]
+CAVEAT recorded in the CSV: virtual CPU devices SHARE the host's physical
+cores (this image has 4), so wall-clock "efficiency" against the 1-device
+row measures program overhead (halo exchange, trapezoid redundancy,
+per-shard dispatch), not hardware scaling — a value near 1.0 means the
+sharded program adds little overhead over the single-device program at the
+same total size; values above 1/N-style collapse would indicate a real
+program regression. On real chips the same column becomes true scaling
+efficiency.
+
+Usage: python tools/scaling_bench.py [--sizes 1024 4096] [--sweeps 200]
+       [--devices 1 2 4 8] [--kernel auto] [--csv docs/results_scaling.csv]
 """
 
 import argparse
@@ -24,9 +33,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--sizes", type=int, nargs="+", default=[1024])
     ap.add_argument("--sweeps", type=int, default=100)
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--kernel", default="auto",
+                    help="per-shard kernel (auto/xla/pallas/pallas_banded...)")
+    ap.add_argument("--chunk-depth", type=int, default=16)
+    ap.add_argument("--csv", default=None,
+                    help="append rows to this CSV (written with header if new)")
     ap.add_argument("--cpu", action="store_true", default=None,
                     help="force the virtual-CPU platform (default when no TPU)")
     args = ap.parse_args()
@@ -50,31 +64,59 @@ def main():
     from epic_tpu import maps
     from epic_tpu.parallel import make_mesh, sharded
 
-    img = maps.random_obstacles(args.size, args.size, density=0.1, seed=0)
-    base = None
-    print(f"grid {args.size}^2, {args.sweeps} sweeps per measurement, "
-          f"backend={jax.default_backend()}")
-    print("devices  mesh      sweeps/s   cell-updates/s   efficiency")
-    for n in args.devices:
-        my = int(np.floor(np.sqrt(n)))
-        while n % my:
-            my -= 1
-        mesh = make_mesh((my, n // my), devices=np.asarray(jax.devices()[:n]))
-        st = epic_tpu.from_occupancy_image(img, epsilon=1e-6)
-        # Warm-up/compile.
-        out = sharded.update_n(st, args.sweeps, mesh)
-        _ = float(out.delta)
-        st2 = epic_tpu.from_occupancy_image(img, epsilon=1e-6)
-        t0 = time.perf_counter()
-        out = sharded.update_n(st2, args.sweeps, mesh)
-        _ = np.asarray(out.u).sum()  # full D2H barrier
-        dt = time.perf_counter() - t0
-        sps = args.sweeps / dt
-        cups = (args.size - 2) ** 2 / 2 * sps
-        if base is None:
-            base = sps
-        eff = sps / (base * n / args.devices[0])
-        print(f"{n:7d}  ({my},{n//my})   {sps:9.1f}  {cups:13.3e}   {eff:6.2f}")
+    rows = []
+    for size in args.sizes:
+        img = maps.random_obstacles(size, size, density=0.1, seed=0)
+        base = None
+        print(f"grid {size}^2, {args.sweeps} sweeps per measurement, "
+              f"backend={jax.default_backend()}, kernel={args.kernel}")
+        print("devices  mesh      sweeps/s   cell-updates/s   efficiency")
+        for n in args.devices:
+            my = int(np.floor(np.sqrt(n)))
+            while n % my:
+                my -= 1
+            mesh = make_mesh((my, n // my),
+                             devices=np.asarray(jax.devices()[:n]))
+            st = epic_tpu.from_occupancy_image(img, epsilon=1e-6)
+            # Warm-up/compile.
+            out = sharded.update_n(st, args.sweeps, mesh,
+                                   chunk_depth=args.chunk_depth,
+                                   kernel=args.kernel)
+            _ = float(out.delta)
+            st2 = epic_tpu.from_occupancy_image(img, epsilon=1e-6)
+            t0 = time.perf_counter()
+            out = sharded.update_n(st2, args.sweeps, mesh,
+                                   chunk_depth=args.chunk_depth,
+                                   kernel=args.kernel)
+            _ = np.asarray(out.u).sum()  # full D2H barrier
+            dt = time.perf_counter() - t0
+            sps = args.sweeps / dt
+            cups = (size - 2) ** 2 / 2 * sps
+            if base is None:
+                base = (sps, n)
+            eff = sps / (base[0] * n / base[1])
+            print(f"{n:7d}  ({my},{n//my})   {sps:9.1f}  {cups:13.3e}   {eff:6.2f}")
+            rows.append(dict(
+                backend=jax.default_backend(), kernel=args.kernel,
+                size=size, devices=n, mesh=f"{my}x{n//my}",
+                sweeps=args.sweeps, chunk_depth=args.chunk_depth,
+                sweeps_per_s=round(sps, 2), cell_updates_per_s=round(cups),
+                efficiency_vs_first=round(eff, 3),
+                caveat=("virtual-cpu-devices-share-4-cores"
+                        if jax.default_backend() == "cpu" else ""),
+            ))
+
+    if args.csv:
+        import csv
+
+        path = pathlib.Path(args.csv)
+        new = not path.exists()
+        with path.open("a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            if new:
+                w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {len(rows)} rows -> {path}")
 
 
 if __name__ == "__main__":
