@@ -1,160 +1,77 @@
 #!/usr/bin/env python
 """epic_tpu headline benchmark — prints ONE JSON line.
 
-Workload: the reference's primary fixture (maze 482x482, maps/maze.yaml — the
-ROS demo map; procedural stand-in when the reference tree is absent) relaxed
-with the Pallas VMEM-resident multi-sweep kernel on one chip.
+Primary metric: red-black stencil cell-updates/s on the reference's primary
+fixture (maze 482x482, maps/maze.yaml — the ROS demo map; procedural
+stand-in when the reference tree is absent), relaxed with the Pallas
+VMEM-resident multi-sweep kernel on one chip. One update = 4 neighbour
+reads + max-shifted logsumexp on one parity class = half the interior per
+sweep (SURVEY §6).
 
-Metric: red-black stencil sweeps/s at steady state, reported as
-cell-updates/s (one update = 4 neighbour reads + max-shifted logsumexp on one
-parity class = half the interior per sweep; SURVEY §6).
+vs_baseline: ratio against the reference's most demanding published
+real-time requirement — its umass launch configuration sustains 100 sweeps
+per 33 ms tick = 3030 sweeps/s
+(launch/epic_navigation_node_umass.launch:11-12; the repo publishes no
+other numbers, BASELINE.md). Values > 1 beat the reference protocol budget.
 
-vs_baseline: ratio against the reference's most demanding published real-time
-requirement — its umass launch configuration sustains 100 sweeps per 33 ms
-tick = 3030 sweeps/s (launch/epic_navigation_node_umass.launch:11-12; the
-repo publishes no other numbers, BASELINE.md). Values > 1 beat the reference
-protocol's budget.
+detail carries the full headline battery (VERDICT r2 #3: every production
+regime driver-tracked, not just the maze chunk): the maze full-solve
+protocol, the big-grid cycle chunk chain and whole-cycle-check solve at
+4096², the device-resident batched solve (4096x128² lanes, pre-staged),
+and the 3D banded chunk chain at 256³ — each exactness-gated in-process
+(tools/probe.py is the shared implementation; each experiment validates
+its kernel against an independent path before reporting).
 
-Measurement discipline (tunnelled-TPU-safe): padding/masks are prepared in
-NumPy (no extra device compiles), a single kernel jaxpr is compiled once,
-and every timed region is closed by a full D2H np.asarray readback —
-block_until_ready alone can return early through remote-execution tunnels.
+Measurement discipline (tunnelled-TPU-safe, docs/BENCH_NOTES.md): one
+process, single-dispatch timed regions holding >= 2 s of device work,
+closed by data-dependent readbacks (the primary metric's barrier is a
+device-computed 4-byte checksum, not a full-grid D2H — VERDICT r2 #4).
 """
 
 import json
-import time
+import pathlib
+import sys
 
-import numpy as np
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from epic_tpu import constants as C
-    from epic_tpu import maps
-    from epic_tpu.solver import pallas_sweep
+    from tools import probe
 
-    ref = maps.reference_map_path("maze.png")
-    if ref is not None:
-        img = maps.load_png(ref)
-    else:
-        img = maps.random_obstacles(482, 482, density=0.1, seed=0)
+    q = jax.default_backend() == "cpu"  # CI/smoke: tiny shapes off-chip
+    detail = {"backend": jax.default_backend()}
 
-    h, w = img.shape
-    hp = -(-h // 8) * 8
-    wp = -(-w // 128) * 128
+    # Primary: the maze anytime chunk (Pallas VMEM kernel, XLA-twin gated).
+    primary = probe.maze_chunk(q)
+    detail["maze_chunk"] = primary
 
-    goal = img == 255
-    obstacle = img == 0
-    u_np = np.full((hp, wp), C.LOG_SPACE_FREE, np.float32)
-    u_np[:h, :w] = np.where(goal, 0.0, C.LOG_SPACE_FREE)
-    frozen_np = np.ones((hp, wp), dtype=bool)
-    frozen_np[1 : h - 1, 1 : w - 1] = (goal | obstacle)[1:-1, 1:-1]
+    for key, fn, kw in (
+        ("maze_solve", probe.maze_solve, {}),
+        ("biggrid_update_4096", probe.biggrid_update,
+         dict(sizes=(4096,))),
+        ("biggrid_solve_4096", probe.biggrid_solve,
+         dict(sizes=((4096, 10000),))),
+        ("batched_solve", probe.batched_solve, {}),
+        ("vol_update_256", probe.vol_update, {}),
+    ):
+        try:
+            detail[key] = fn(q, **kw)
+        except Exception as e:  # keep the headline reporting
+            detail[key] = {"error": f"{type(e).__name__}: {e}"}
 
-    interpret = jax.default_backend() == "cpu"
-    chunk = 100  # the reference's numIterationsToStaggerCheck
-
-    u = jax.device_put(jnp.asarray(u_np))
-    frozen = jax.device_put(jnp.asarray(frozen_np))
-
-    # The kernel runs ~400k sweeps/s: the timed region needs ~2 s of device
-    # work to swamp dispatch (~30 ms) and the readback barrier (D2H through
-    # remote tunnels can be ~14 MB/s) — see docs/BENCH_NOTES.md measurement
-    # discipline.
-    reps = 3 if interpret else 8000
-
-    # One device program for the whole measurement: `reps` chunks of `chunk`
-    # sweeps each, single dispatch — measures device capability, not
-    # host-dispatch round trips.
-    @jax.jit
-    def run_all(u, frozen, it0):
-        def body(i, u):
-            u, _ = pallas_sweep.sweep_chunk.__wrapped__(
-                u, frozen, it0 + i * chunk, chunk, interpret
-            )
-            return u
-
-        return jax.lax.fori_loop(0, reps, body, u)
-
-    # Identical-semantics XLA twin: the fallback when Pallas cannot compile,
-    # and the on-chip exactness gate for the Pallas result (VERDICT r1 #5 —
-    # the reported number must be validated in the same process, not an
-    # unchecked checksum).
-    @jax.jit
-    def run_all_xla(u, frozen, it0):
-        def body(i, u):
-            def inner(k, u):
-                un = jnp.roll(u, 1, 0)
-                us = jnp.roll(u, -1, 0)
-                uw = jnp.roll(u, 1, 1)
-                ue = jnp.roll(u, -1, 1)
-                m = jnp.maximum(jnp.maximum(un, us), jnp.maximum(uw, ue))
-                s = ((jnp.exp(un - m) + jnp.exp(us - m)) + jnp.exp(uw - m)) + jnp.exp(ue - m)
-                val = (m + jnp.log(s)) - np.float32(np.log(4.0))
-                row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-                upd = (((row + col) % 2) != ((it0 + i * chunk + k) % 2)) & ~frozen
-                return jnp.where(upd, val, u)
-
-            return jax.lax.fori_loop(0, chunk, inner, u)
-
-        return jax.lax.fori_loop(0, reps, body, u)
-
-    # Warm-up / compile. If the Pallas kernel cannot compile on this stack,
-    # fall back to the XLA path so the benchmark always reports.
-    kernel = "pallas"
-    exactness = {}
-    try:
-        u_warm = run_all(u, frozen, jnp.int32(0))
-        pallas_np = np.asarray(u_warm)  # full completion barrier
-    except Exception as e:  # pragma: no cover - backend-specific
-        print(f"# pallas path failed ({type(e).__name__}); using XLA fallback",
-              flush=True)
-        kernel = "xla"
-        run_all = run_all_xla
-        u_warm = run_all(u, frozen, jnp.int32(0))
-        pallas_np = np.asarray(u_warm)
-
-    if kernel == "pallas":
-        # Exactness gate: the XLA twin of the same `reps*chunk` sweeps must
-        # agree elementwise before the Pallas number is reported.
-        xla_np = np.asarray(run_all_xla(u, frozen, jnp.int32(0)))
-        max_diff = float(np.max(np.abs(pallas_np - xla_np)))
-        exactness = {
-            "checksum_pallas": float(pallas_np.sum(dtype=np.float64)),
-            "checksum_xla": float(xla_np.sum(dtype=np.float64)),
-            "max_abs_diff_vs_xla": max_diff,
-        }
-        assert max_diff <= 1e-4, (
-            f"pallas kernel diverges from the XLA twin on-chip: {max_diff}"
-        )
-
-    t0 = time.perf_counter()
-    u_out = run_all(u_warm, frozen, jnp.int32(reps * chunk))
-    checksum = float(np.asarray(u_out).sum(dtype=np.float64))  # D2H barrier
-    dt = time.perf_counter() - t0
-
-    sweeps = reps * chunk
-    cell_updates = (h - 2) * (w - 2) / 2 * sweeps
-    sweeps_per_s = sweeps / dt
-    updates_per_s = cell_updates / dt
+    sweeps_per_s = primary["sweeps_per_s"]
     baseline_sweeps_per_s = 3030.0
-
     print(
         json.dumps(
             {
                 "metric": "stencil_cell_updates_per_s_per_chip",
-                "value": round(updates_per_s),
+                "value": round(primary["g_updates_per_s"] * 1e9),
                 "unit": "cell-updates/s",
                 "vs_baseline": round(sweeps_per_s / baseline_sweeps_per_s, 2),
                 "detail": {
-                    "grid": f"{h}x{w}",
-                    "sweeps_per_s": round(sweeps_per_s),
-                    "backend": jax.default_backend(),
-                    "kernel": kernel,
-                    "checksum": checksum,
-                    **exactness,
+                    **detail,
                     "baseline": "reference umass anytime budget 3030 sweeps/s "
                     "(launch/epic_navigation_node_umass.launch:11-12)",
                 },

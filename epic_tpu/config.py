@@ -23,10 +23,11 @@ class SolverConfig:
     max_iterations: int = 1_000_000
     # backend: "auto" = pallas on TPU when the grid fits VMEM, else XLA.
     backend: str = "auto"            # "auto" | "xla" | "pallas"
-    # kernel: masked full-grid vs parity-packed half-grid planes. "masked" is
-    # measured-best on v5e (docs/BENCH_NOTES.md: the packed layout loses more
-    # to lane shifts/selects than it saves in logsumexps).
-    kernel: str = "masked"           # "masked" | "packed"
+    # kernel: the masked full-grid layout (the parity-packed half-grid
+    # variant measured worse on v5e — lane shifts/selects cost more than the
+    # saved logsumexps, docs/BENCH_NOTES.md — and was retired in round 3
+    # with pallas_packed; "masked" is the only value).
+    kernel: str = "masked"           # "masked"
     # Big-grid (beyond-VMEM) kernel parameters (solver.pallas_biggrid):
     # tile_depth is the temporal-blocking K (sweeps per HBM round trip;
     # K=16 measured best, docs/BENCH_NOTES.md); tile_band overrides the

@@ -187,13 +187,9 @@ class Planner:
 
         if backend != "pallas" and jax.default_backend() != "tpu":
             return None
-        from .solver import (
-            pallas_biggrid, pallas_packed, pallas_sweep, pallas_tiled2d,
-        )
+        from .solver import pallas_biggrid, pallas_sweep, pallas_tiled2d
 
         if pallas_sweep.fits_vmem(st.u.shape):
-            if self.solver_config.kernel == "packed":
-                return pallas_packed
             return pallas_sweep
         # Evaluate the regime rule at the SAME chunk depth the tick will
         # pad with, so a non-default tile_depth can't select one kernel

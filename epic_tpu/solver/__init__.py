@@ -6,14 +6,11 @@ from . import (
     batched_path,
     core,
     legacy,
-    pallas_banded,
     pallas_batched,
     pallas_biggrid,
     pallas_biggrid3d,
-    pallas_packed,
     pallas_sweep,
     pallas_sweep3d,
-    pallas_tiled,
     pallas_tiled2d,
     pallas_tiled3d,
     reference_np,
@@ -27,14 +24,11 @@ __all__ = [
     "batched_path",
     "core",
     "legacy",
-    "pallas_banded",
     "pallas_batched",
     "pallas_biggrid",
     "pallas_biggrid3d",
-    "pallas_packed",
     "pallas_sweep",
     "pallas_sweep3d",
-    "pallas_tiled",
     "pallas_tiled2d",
     "pallas_tiled3d",
     "reference_np",

@@ -1,7 +1,7 @@
 """The pinned-op-order logsumexp stencil bodies shared by the production
 Pallas kernels (pallas_sweep, pallas_sweep3d, pallas_biggrid,
-pallas_tiled2d, pallas_biggrid3d, pallas_cycle; the superseded variants —
-pallas_packed/banded/tiled — keep their frozen inline copies).
+pallas_tiled2d, pallas_biggrid3d, pallas_cycle; the superseded round-1/2
+variants — pallas_packed/banded/tiled — were retired in round 3).
 
 Float op order in the update is LOAD-BEARING: max tree over ((N,S),(W,E))
 then a left-associated sum of shifted exponentials, log, add max, subtract

@@ -206,7 +206,7 @@ def update_n(state: GridState, num_steps: int, interpret: bool | None = None) ->
     if not interpret and not fits_vmem(state.u.shape):
         raise ValueError(
             f"grid {state.u.shape} exceeds the VMEM-resident budget; use "
-            "solver.core (XLA) or solver.pallas_tiled"
+            "solver.core (XLA) or solver.pallas_biggrid"
         )
     padded = pad_state(state)
     u, delta = sweep_chunk(padded.u, padded.frozen, state.iteration, num_steps, interpret)
@@ -275,7 +275,7 @@ def solve(
     if not interpret and not fits_vmem(state.u.shape):
         raise ValueError(
             f"grid {state.u.shape} exceeds the VMEM-resident budget; use "
-            "solver.core (XLA) or solver.pallas_tiled"
+            "solver.core (XLA) or solver.pallas_biggrid"
         )
     padded = pad_state(state)
     u, iteration, delta, converged = _solve_padded(

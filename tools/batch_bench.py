@@ -16,7 +16,7 @@ or the reference's own PNGs when /root/reference is mounted.
 crossed with every available solver, wall times per row.
 
 Usage: python tools/batch_bench.py [--domain large_maze] [--epsilon 1e-3]
-       [--sweep] [--kernel masked|packed] [--out results.csv]
+       [--sweep] [--out results.csv]
 """
 
 import argparse
@@ -68,7 +68,7 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
 
     import epic_tpu
     from epic_tpu import analysis, native
-    from epic_tpu.solver import (core, legacy, pallas_biggrid, pallas_packed,
+    from epic_tpu.solver import (core, legacy, pallas_biggrid,
                                  pallas_sweep)
 
     # --- legacy CPU SOR (float32 and float64) ---------------------------
@@ -137,9 +137,6 @@ def _bench_epsilon(domain, img, goal, epsilon, cfg, rows):
         if pallas_sweep.fits_vmem(img.shape):
             solve_mod = pallas_sweep
             label = "log_pallas"
-            if cfg.solver.kernel == "packed" and hasattr(pallas_packed, "solve"):
-                solve_mod = pallas_packed
-                label = "log_pallas_packed"
         else:
             solve_mod = pallas_biggrid
             label = "log_pallas_biggrid"
@@ -189,12 +186,10 @@ if __name__ == "__main__":
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--cascade", action="store_true",
                     help="add a log_cascade row (coarse-to-fine warm start)")
-    ap.add_argument("--kernel", default="masked", choices=["masked", "packed"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     cfg = EpicConfig(solver=SolverConfig(epsilon=args.epsilon,
                                          backend=args.backend,
-                                         kernel=args.kernel,
                                          cascade=args.cascade))
     run(args.domain, cfg, args.out,
         epsilons=[1e-1, 1e-2, 1e-3] if args.sweep else None)
