@@ -209,11 +209,11 @@ def maze_solve(q):
                 g_updates_per_s=round((h - 2) * (w - 2) / 2 * iters / dt / 1e9, 2))
 
 
-def _biggrid_prep(size_h, size_w):
+def _biggrid_prep(size_h, size_w, chunk_depth=16):
     from epic_tpu.solver import pallas_biggrid as bg
 
     u, locked = _grid_np(size_h, size_w)
-    g = bg.pad_state(_state(u, locked))
+    g = bg.pad_state(_state(u, locked), chunk_depth)
     return g
 
 
@@ -269,22 +269,26 @@ def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
     """Whole-cycle in-kernel-check banded solve (one dispatch per stagger
     cycle); capped so one while-loop dispatch stays under the remote-worker
     watchdog. Reports iterations + rate; iteration count must be ≡ 1 mod
-    stagger on a converged exit."""
+    stagger on a converged exit. Entries may carry a third element — the
+    chunk depth k (k=20 divides stagger 100 into exactly 5 chunks, killing
+    the per-cycle 4-sweep remainder dispatch the k=16 layout pays)."""
     from epic_tpu.solver import pallas_biggrid as bg
 
     interp = _interpret()
     if q:
         sizes = ((256, 600),)
     rows = []
-    for size, cap in sizes:
+    for entry in sizes:
+        size, cap = entry[0], entry[1]
+        depth = entry[2] if len(entry) > 2 else 16
         u, locked = _grid_np(size, size)
         st = _state(u, locked)
-        g = bg.pad_state(st)
+        g = bg.pad_state(st, depth)
         out = bg._solve_banded(g.u, g.frozen, st.epsilon, 100, cap, g.band,
                                g.k, interp, size, size)
         iters = int(out[1])
         st = _state(u, locked)
-        g = bg.pad_state(st)
+        g = bg.pad_state(st, depth)
         t0 = time.perf_counter()
         uu, it, delta, conv = bg._solve_banded(
             g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, interp,
@@ -294,7 +298,8 @@ def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
         it = int(it)
         assert it == iters
         assert (not bool(conv)) or it % 100 == 1
-        rows.append(dict(size=size, iterations=it, converged=bool(conv),
+        rows.append(dict(size=size, band=g.band, k=g.k, iterations=it,
+                         converged=bool(conv),
                          delta=float(np.asarray(delta)),
                          g_updates_per_s=round(size * size / 2 * it / dt / 1e9, 2),
                          checksum=checksum))
@@ -349,22 +354,25 @@ def tiled_update(q, sizes=((16384, 16384), (32768, 16384))):
 
 @experiment("tiled-solve", "Solve-to-convergence (full protocol)")
 def tiled_solve(q, sizes=((16384, 16384, 2500),)):
-    """Whole-cycle in-kernel-check TILED solve at the wide-grid regime."""
+    """Whole-cycle in-kernel-check TILED solve at the wide-grid regime.
+    Entries may carry a fourth element: the chunk depth k."""
     from epic_tpu.solver import pallas_tiled2d as t2
 
     interp = _interpret()
     if q:
         sizes = ((256, 384, 600),)
     rows = []
-    for hh, ww, cap in sizes:
+    for entry in sizes:
+        hh, ww, cap = entry[0], entry[1], entry[2]
+        depth = entry[3] if len(entry) > 3 else 16
         u, locked = _grid_np(hh, ww)
         st = _state(u, locked)
-        g = t2.pad_state(st)
+        g = t2.pad_state(st, depth)
         out = t2._solve_tiled(g.u, g.frozen, st.epsilon, 100, cap, g.band,
                               g.k, g.wt, interp, hh, ww)
         iters = int(out[1])
         st = _state(u, locked)
-        g = t2.pad_state(st)
+        g = t2.pad_state(st, depth)
         t0 = time.perf_counter()
         uu, it, delta, conv = t2._solve_tiled(
             g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, g.wt, interp,
@@ -373,8 +381,8 @@ def tiled_solve(q, sizes=((16384, 16384, 2500),)):
         dt = time.perf_counter() - t0
         it = int(it)
         assert it == iters
-        rows.append(dict(size=f"{hh}x{ww}", iterations=it,
-                         converged=bool(conv),
+        rows.append(dict(size=f"{hh}x{ww}", band=g.band, k=g.k, wt=g.wt,
+                         iterations=it, converged=bool(conv),
                          g_updates_per_s=round(hh * ww / 2 * it / dt / 1e9, 2),
                          checksum=checksum))
     return dict(rows=rows)
