@@ -208,6 +208,166 @@ def _sweep_k_local_pallas(u_ext, frozen_ext, it0, z0, y0, x0, num_sweeps,
     return out_u.reshape(d, he, we), out_delta[0]
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _band_shard3d_kernel(scal_ref, u_hbm, f_hbm, u_out, delta_ref,
+                         u_vmem, f_vmem, sems,
+                         *, num_sweeps, band, k, he8, wp, he, we):
+    """Per-shard plane-banded DMA kernel: the beyond-VMEM per-shard compute
+    of the 3D shard_map composition (the volume analog of
+    sharded.py::_band_shard_kernel; plane-band structure from
+    pallas_biggrid3d._band3d_kernel_dma).
+
+    The shard's extended block [Dp, he8, wp] is flattened to rows so all six
+    neighbours are rank-2 rolls; bands tile the (resident) z axis in
+    contiguous flat-row ranges, DMA'd HBM->VMEM double-buffered. The z
+    validity trapezoid is the band's temporal-blocking guard; the y/x shard
+    halos use static edge guards (1 <= y <= he-2, 1 <= x <= we-2): staleness
+    from the read-only outermost halo faces travels one cell per sweep and
+    never reaches the centre within k sweeps, while the sweep-0 delta covers
+    exactly the distance>=1 cells of the true extended block (halo updates
+    duplicate the owning shard's arithmetic, so the cross-shard pmax is
+    exact). scal = [t0, y0, x0]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    ext = band + 2 * k          # extended band depth in planes
+    rows = ext * he8
+
+    def copies(band_idx, slot):
+        start = band_idx * band * he8
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[pl.ds(start, rows), :], u_vmem.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(start, rows), :], f_vmem.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cu, cf = copies(0, 0)
+        cu.start()
+        cf.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        cu, cf = copies(i + 1, jax.lax.rem(i + 1, 2))
+        cu.start()
+        cf.start()
+
+    cu, cf = copies(i, slot)
+    cu.wait()
+    cf.wait()
+
+    t0 = scal_ref[0]
+    y0 = scal_ref[1]
+    x0 = scal_ref[2]
+    u0 = u_vmem[slot]
+    not_frozen = f_vmem[slot] == 0
+    lr = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    lc = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    lz = lr // he8
+    ly = lr - lz * he8
+    # Volume z of band-local plane lz is i*band - k + lz ((-k) ≡ (+k) mod 2).
+    parity = (lz + i * band + k + ly + y0 + lc + x0) % 2
+    edge_ok = ((ly >= 1) & (ly <= he - 2)
+               & (lc >= 1) & (lc <= we - 2))
+
+    def sweep(s, u):
+        val = lse6(u, rows, wp, he8)
+        valid = (lz > s) & (lz < ext - 1 - s) & edge_ok
+        # 3D updates the class == t%2 (reference_np.sweep_3d parity note).
+        update = (parity != ((t0 + s + 1) % 2)) & not_frozen & valid
+        return jnp.where(update, val, u)
+
+    u1 = sweep(0, u0)
+    delta_ref[i, 0] = jnp.max(jnp.abs(u1 - u0))
+    u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
+    u_out[:] = u[k * he8 : (k + band) * he8, :]
+
+
+def banded3d_layout(d: int, he8: int, wp: int, k: int):
+    """(band, nb) in planes for the per-shard banded kernel: the deepest
+    band whose double-buffered extended slot fits the scoped-VMEM budget."""
+    from ..solver.pallas_biggrid3d import EXT_BAND_CELL_BUDGET
+
+    plane = he8 * wp
+    ext_max = max(2 * k + 1, (EXT_BAND_CELL_BUDGET // 2) // plane)
+    band_max = max(1, ext_max - 2 * k)
+    nb = -(-d // band_max)
+    band = -(-d // nb)
+    return band, nb
+
+
+def _sweep_k_local_banded3d(u_ext, frozen_ext, it0, y0, x0, num_sweeps, k,
+                            interpret):
+    """Run num_sweeps (<= k) sweeps on one shard's y/x-extended volume
+    through the plane-banded DMA kernel; returns (centre [d, h_loc, w_loc],
+    delta). Requires a plane-sharded mesh (z resident per shard)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, he, we = u_ext.shape
+    h_loc = he - 2 * k
+    w_loc = we - 2 * k
+    he8 = _round_up(he, 8)
+    wp = _round_up(we, 128)
+    band, nb = banded3d_layout(d, he8, wp, k)
+    dp = nb * band + 2 * k
+    ext = band + 2 * k
+
+    u_pad = jnp.pad(u_ext, ((k, dp - d - k), (0, he8 - he), (0, wp - we)),
+                    constant_values=np.float32(C.LOG_SPACE_OBSTACLE))
+    f_pad = jnp.pad(frozen_ext.astype(jnp.int32),
+                    ((k, dp - d - k), (0, he8 - he), (0, wp - we)),
+                    constant_values=1)
+    scal = jnp.stack([it0, y0, x0]).astype(jnp.int32)
+    vma = frozenset({"my", "mx"})
+    out_u, out_delta = pl.pallas_call(
+        _ft.partial(_band_shard3d_kernel, num_sweeps=num_sweeps,
+                    band=band, k=k, he8=he8, wp=wp, he=he, we=we),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * band * he8, wp), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32, vma=vma),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((band * he8, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext * he8, wp), jnp.float32),
+            pltpu.VMEM((2, ext * he8, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scal, u_pad.reshape(dp * he8, wp),
+      f_pad.reshape(dp * he8, wp))
+    # Band centres cover volume planes 0..nb*band; slice the real extent.
+    vol = out_u.reshape(nb * band, he8, wp)
+    return vol[:d, k : k + h_loc, k : k + w_loc], jnp.max(out_delta)
+
+
 def _local_parity_ext(shape_local, mesh, k):
     """Global (z + y + x) % 2 for the extended block ((-k) ≡ k mod 2)."""
     d, h, w = shape_local
@@ -273,8 +433,7 @@ def _update_n_sharded(
     rounds; delta (pmax-reduced) from the overall first sweep."""
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
-    interpret = kernel == "pallas_interpret"
-    use_pallas = kernel in ("pallas", "pallas_interpret")
+    interpret = kernel.endswith("_interpret")
     zsh = _has_z(mesh)
 
     @functools.partial(
@@ -285,29 +444,62 @@ def _update_n_sharded(
         check_vma=not interpret,
     )
     def run(u_loc, frozen_loc, it0):
+        from ..solver.pallas_biggrid3d import EXT_BAND_CELL_BUDGET
+        from ..solver.pallas_sweep import VMEM_CELL_BUDGET
+
         d, h_loc, w_loc = u_loc.shape
         depth = min(chunk_depth, h_loc, w_loc)
         if zsh:
             depth = min(depth, d)
+        kern = kernel
+        if kern in ("pallas", "pallas_interpret") and not zsh:
+            # Beyond-VMEM shards take the plane-banded DMA path (the z axis
+            # is resident on plane-sharded meshes, so bands tile it like
+            # pallas_biggrid3d; z-sharded meshes keep the VMEM/XLA paths).
+            ext_cells = (d * _round_up(h_loc + 2 * depth, 8)
+                         * _round_up(w_loc + 2 * depth, 128))
+            if ext_cells > VMEM_CELL_BUDGET:
+                kern = ("pallas_banded_interpret" if interpret
+                        else "pallas_banded")
+        use_banded = kern in ("pallas_banded", "pallas_banded_interpret")
+        use_pallas = kern in ("pallas", "pallas_interpret")
+        if use_banded:
+            if zsh:
+                raise ValueError(
+                    "the banded per-shard kernel needs a plane-sharded mesh "
+                    "(z resident); z-sharded meshes use 'pallas'/'xla'")
+            # The double-buffered extended slot ((band + 2*depth) planes)
+            # must fit the scoped-VMEM budget even at band=1.
+            plane = (_round_up(h_loc + 2 * depth, 8)
+                     * _round_up(w_loc + 2 * depth, 128))
+            depth_max = max(1, ((EXT_BAND_CELL_BUDGET // 2) // plane - 1) // 2)
+            depth = max(1, min(depth, depth_max))
         frozen_full = _exchange_frozen_k(frozen_loc, mesh, depth)
 
-        def chunk(u_loc, it, k):
+        def chunk(u_loc, it, ns):
+            k = depth if use_banded else ns
             u_ext = _exchange_halos_k(u_loc, mesh, k)
             d0 = depth - k
             zs = slice(d0, d0 + d + 2 * k) if zsh else slice(None)
             frozen_ext = frozen_full[zs, d0 : d0 + h_loc + 2 * k,
                                      d0 : d0 + w_loc + 2 * k]
+            if use_banded:
+                y0 = jax.lax.axis_index("my") * h_loc + k
+                x0 = jax.lax.axis_index("mx") * w_loc + k
+                return _sweep_k_local_banded3d(
+                    u_ext, frozen_ext, it, y0, x0, ns, k, interpret
+                )
             if use_pallas:
                 z0 = jax.lax.axis_index("mz") * d + k if zsh else jnp.int32(0)
                 y0 = jax.lax.axis_index("my") * h_loc + k
                 x0 = jax.lax.axis_index("mx") * w_loc + k
                 u_ext, dd = _sweep_k_local_pallas(
-                    u_ext, frozen_ext, it, z0, y0, x0, k, interpret, zsh
+                    u_ext, frozen_ext, it, z0, y0, x0, ns, interpret, zsh
                 )
             else:
                 parity_ext = _local_parity_ext(u_loc.shape, mesh, k)
                 u_ext, dd = _sweep_k_local(
-                    u_ext, frozen_ext, parity_ext, it, k, zsh
+                    u_ext, frozen_ext, parity_ext, it, ns, zsh
                 )
             zc = slice(k, -k) if zsh else slice(None)
             return u_ext[zc, k:-k, k:-k], dd

@@ -152,3 +152,44 @@ def test_sharded3d_z_axis_solve_matches_core():
     np.testing.assert_allclose(
         np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-3
     )
+
+
+def test_sharded3d_banded_composition_matches_xla(mesh8):
+    """shard_map + per-shard plane-banded DMA kernel (beyond-VMEM regime,
+    forced via kernel=) equals the XLA path bit-for-bit, including a
+    remainder chunk shallower than the exchange depth."""
+    st1 = _volume(12, 20, 28, seed=31)
+    st2 = _volume(12, 20, 28, seed=31)
+    out_x = sharded3d.update_n(st1, 11, mesh8, chunk_depth=4, kernel="xla")
+    out_b = sharded3d.update_n(st2, 11, mesh8, chunk_depth=4,
+                               kernel="pallas_banded_interpret")
+    np.testing.assert_array_equal(np.asarray(out_x.u), np.asarray(out_b.u))
+    assert float(out_x.delta) == float(out_b.delta)
+
+
+def test_sharded3d_banded_multiband(mesh8, monkeypatch):
+    """Several plane-bands per shard (tiny ext budget forces the split)."""
+    from epic_tpu.solver import pallas_biggrid3d
+
+    monkeypatch.setattr(pallas_biggrid3d, "EXT_BAND_CELL_BUDGET", 40_000)
+    st1 = _volume(14, 16, 20, seed=37)
+    st2 = _volume(14, 16, 20, seed=37)
+    out_x = sharded3d.update_n(st1, 5, mesh8, chunk_depth=2, kernel="xla")
+    out_b = sharded3d.update_n(st2, 5, mesh8, chunk_depth=2,
+                               kernel="pallas_banded_interpret")
+    np.testing.assert_array_equal(np.asarray(out_x.u), np.asarray(out_b.u))
+    assert float(out_x.delta) == float(out_b.delta)
+
+
+def test_sharded3d_banded_solve_matches_core(mesh8):
+    """Full 3D solve protocol through the banded per-shard kernel."""
+    st1 = _volume(10, 18, 22, seed=41, density=0.06)
+    st2 = _volume(10, 18, 22, seed=41, density=0.06)
+    out1 = core.solve(st1, stagger=10)
+    out2 = sharded3d.solve(st2, mesh8, stagger=10,
+                           kernel="pallas_banded_interpret")
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out2.converged)
+    np.testing.assert_allclose(
+        np.asarray(out1.u), np.asarray(out2.u), rtol=2e-6, atol=1e-3
+    )

@@ -220,7 +220,9 @@ def _biggrid_prep(size_h, size_w, chunk_depth=16):
 @experiment("biggrid-update", "Ping-pong cycle kernel")
 def biggrid_update(q, sizes=(2048, 4096, 8192, 16384)):
     """Open chunk chains (anytime update_n) through the banded ping-pong
-    cycle kernel; gate = bit-equality vs chained manual-DMA chunks."""
+    cycle kernel, ONE dispatch (probe34 structure; n_chunks capped — very
+    long chains overflow the SMEM delta vector); gate = bit-equality vs
+    chained manual-DMA chunks."""
     import jax.numpy as jnp
 
     from epic_tpu.solver import pallas_biggrid as bg
@@ -234,30 +236,30 @@ def biggrid_update(q, sizes=(2048, 4096, 8192, 16384)):
         g = _biggrid_prep(size, size)
         k, band = g.k, g.band
         # Gate: a 2-chunk cycle == two chained DMA chunks, bit-equal.
-        a, _, _ = pc.run_chain(pc.sweep_cycle.__wrapped__, g.u, None,
-                               g.frozen, jnp.int32(0), 2, k, band,
-                               interpret=interp)
-        u_ref, _ = bg.sweep_chunk_dma(g.u, g.frozen, jnp.int32(0), k, band, k,
-                                      interp)
-        u_ref, _ = bg.sweep_chunk_dma(u_ref, g.frozen, jnp.int32(k), k, band,
+        a, b, _ = pc.sweep_cycle(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
+                                 2, k, band, interp)
+        g2 = _biggrid_prep(size, size)
+        u_ref, _ = bg.sweep_chunk_dma(g2.u, g2.frozen, jnp.int32(0), k, band,
+                                      k, interp)
+        u_ref, _ = bg.sweep_chunk_dma(u_ref, g2.frozen, jnp.int32(k), k, band,
                                       k, interp)
         assert np.array_equal(np.asarray(a), np.asarray(u_ref)), size
-        # Timed chain: ~90 G updates of device work, power-of-two dispatches.
-        target = 1e6 if q else 90e9
-        n_full = max(2, int(target / (size * size / 2 * k)))
+        # Timed: one cycle dispatch of ~60 G updates (capped chunk count).
+        target = 1e6 if q else 60e9
+        n_chunks = min(750, max(2, int(target / (size * size / 2 * k))))
         g = _biggrid_prep(size, size)
-        uu, alt, _ = pc.run_chain(pc.sweep_cycle.__wrapped__, g.u, None,
-                                  g.frozen, jnp.int32(0), n_full, k, band,
-                                  interpret=interp)
-        _readback_sum(uu)  # warm
+        a, b, _ = pc.sweep_cycle(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
+                                 n_chunks, k, band, interp)
+        final = b if n_chunks % 2 else a
+        _ = np.asarray(final[0, :128])  # warm barrier
         g = _biggrid_prep(size, size)
         t0 = time.perf_counter()
-        uu, alt, _ = pc.run_chain(pc.sweep_cycle.__wrapped__, g.u, None,
-                                  g.frozen, jnp.int32(0), n_full, k, band,
-                                  interpret=interp)
-        checksum = _readback_sum(uu)
+        a, b, _ = pc.sweep_cycle(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
+                                 n_chunks, k, band, interp)
+        final = b if n_chunks % 2 else a
+        checksum = float(np.asarray(final[0, :128]).sum(dtype=np.float64))
         dt = time.perf_counter() - t0
-        sweeps = n_full * k
+        sweeps = n_chunks * k
         rows.append(dict(size=size, band=band, k=k, sweeps=sweeps,
                          g_updates_per_s=round(size * size / 2 * sweeps / dt / 1e9, 2),
                          checksum=checksum))
@@ -322,31 +324,33 @@ def tiled_update(q, sizes=((16384, 16384), (32768, 16384))):
     for hh, ww in sizes:
         u, locked = _grid_np(hh, ww)
         g = t2.pad_state(_state(u, locked))
-        layout = (g.k, g.band, g.wt)
-        a, _, _ = pc.run_chain(pc.sweep_cycle_tiled.__wrapped__, g.u, None,
-                               g.frozen, jnp.int32(0), 2, *layout,
-                               interpret=interp)
-        u_ref, _ = t2.sweep_chunk_tiled(g.u, g.frozen, jnp.int32(0), g.k,
-                                        g.band, g.k, g.wt, interp)
-        u_ref, _ = t2.sweep_chunk_tiled(u_ref, g.frozen, jnp.int32(g.k), g.k,
-                                        g.band, g.k, g.wt, interp)
+        k, band, wt = g.k, g.band, g.wt
+        a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
+                                       jnp.int32(0), 2, k, band, wt, interp)
+        g2 = t2.pad_state(_state(u, locked))
+        u_ref, _ = t2.sweep_chunk_tiled(g2.u, g2.frozen, jnp.int32(0), k,
+                                        band, k, wt, interp)
+        u_ref, _ = t2.sweep_chunk_tiled(u_ref, g2.frozen, jnp.int32(k), k,
+                                        band, k, wt, interp)
         assert np.array_equal(np.asarray(a), np.asarray(u_ref)), (hh, ww)
-        target = 1e6 if q else 90e9
-        n_full = max(2, int(target / (hh * ww / 2 * g.k)))
+        target = 1e6 if q else 60e9
+        n_chunks = min(750, max(2, int(target / (hh * ww / 2 * k))))
         g = t2.pad_state(_state(u, locked))
-        uu, _, _ = pc.run_chain(pc.sweep_cycle_tiled.__wrapped__, g.u, None,
-                                g.frozen, jnp.int32(0), n_full, *layout,
-                                interpret=interp)
-        _readback_sum(uu)
+        a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
+                                       jnp.int32(0), n_chunks, k, band, wt,
+                                       interp)
+        final = b if n_chunks % 2 else a
+        _ = np.asarray(final[0, :128])  # warm barrier
         g = t2.pad_state(_state(u, locked))
         t0 = time.perf_counter()
-        uu, _, _ = pc.run_chain(pc.sweep_cycle_tiled.__wrapped__, g.u, None,
-                                g.frozen, jnp.int32(0), n_full, *layout,
-                                interpret=interp)
-        checksum = _readback_sum(uu)
+        a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
+                                       jnp.int32(0), n_chunks, k, band, wt,
+                                       interp)
+        final = b if n_chunks % 2 else a
+        checksum = float(np.asarray(final[0, :128]).sum(dtype=np.float64))
         dt = time.perf_counter() - t0
-        sweeps = n_full * g.k
-        rows.append(dict(size=f"{hh}x{ww}", band=g.band, k=g.k, wt=g.wt,
+        sweeps = n_chunks * k
+        rows.append(dict(size=f"{hh}x{ww}", band=band, k=k, wt=wt,
                          g_updates_per_s=round(hh * ww / 2 * sweeps / dt / 1e9, 2),
                          checksum=checksum))
     return dict(rows=rows)
