@@ -105,6 +105,65 @@ def _multisweep_kernel(it_ref, u_ref, frozen_ref, u_out_ref, delta_ref, *, num_s
     delta_ref[0] = delta
 
 
+def _multisweep_check_kernel(it_ref, u_ref, frozen_ref, u_out_ref, u1_out_ref,
+                             delta_ref, *, num_sweeps):
+    """Check variant: also writes the post-first-sweep state, so the solve
+    protocol can run an ENTIRE stagger cycle as one kernel — on a passing
+    check the loop exits with u1 (the reference's post-check-sweep state),
+    otherwise the remaining sweeps already ran (same fold as
+    pallas_biggrid.sweep_chunk_dma_check / pallas_cycle.*_check)."""
+    t0 = it_ref[0]
+    u0 = u_ref[:]
+    sweep = make_sweep_fn(u0, jnp.logical_not(frozen_ref[:]), t0)
+
+    u1 = sweep(u0, 0)
+    delta_ref[0] = jnp.max(jnp.abs(u1 - u0))
+    u1_out_ref[:] = u1
+
+    def body(k, u):
+        return sweep(u, k + 1)
+
+    u_out_ref[:] = jax.lax.fori_loop(0, num_sweeps - 1, body, u1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "interpret"), donate_argnums=(0,)
+)
+def sweep_chunk_check(
+    u: jax.Array,
+    frozen: jax.Array,
+    iteration: jax.Array,
+    num_sweeps: int,
+    interpret: bool = False,
+):
+    """num_sweeps sweeps returning ``(u_k, u1, delta)`` where u1 is the
+    post-first-sweep state and delta its residual (see
+    :func:`_multisweep_check_kernel`)."""
+    h, w = u.shape
+    out_u, out_u1, out_delta = pl.pallas_call(
+        functools.partial(_multisweep_check_kernel, num_sweeps=num_sweeps),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(iteration.reshape(1), u, frozen)
+    return out_u, out_u1, out_delta[0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_sweeps", "interpret"), donate_argnums=(0,)
 )
@@ -242,16 +301,19 @@ def _solve_padded(
 
     def body(carry):
         u, iteration, _, _ = carry
-        u, delta = sweep_chunk(u, frozen, iteration, 1, interpret)
-        iteration = iteration + 1
-        done = (delta < epsilon) & (iteration >= m_max)
-
-        def run_rest(args):
-            u, iteration = args
-            u, _ = sweep_chunk(u, frozen, iteration, stagger - 1, interpret)
-            return u, iteration + (stagger - 1)
-
-        u, iteration = jax.lax.cond(done, lambda a: a, run_rest, (u, iteration))
+        # Whole stagger cycle in ONE kernel: the check is folded into the
+        # cycle's first sweep (u1 + its residual come back alongside the
+        # post-cycle state). On a passing check the loop exits with exactly
+        # the reference's post-check-sweep state and iteration ≡ 1 (mod
+        # stagger) — harmonic_cpu.cpp:158-173. Halves the round-2 while-body
+        # overhead (a dedicated 1-sweep check chunk + cond branch cost ~40%
+        # of the maze solve's wall clock).
+        u_k, u1, delta = sweep_chunk_check.__wrapped__(
+            u, frozen, iteration, stagger, interpret
+        )
+        done = (delta < epsilon) & (iteration + 1 >= m_max)
+        u = jnp.where(done, u1, u_k)
+        iteration = iteration + jnp.where(done, 1, stagger)
         return u, iteration, delta, done
 
     return jax.lax.while_loop(

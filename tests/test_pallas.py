@@ -88,3 +88,27 @@ def test_fits_vmem_classifier():
     # ~20 MB scoped VMEM per 1M cells caps the budget at ~2M cells:
     assert not pallas_sweep.fits_vmem((1735, 1419))   # large_mine -> biggrid
     assert not pallas_sweep.fits_vmem((4096, 4096))   # -> biggrid
+
+
+def test_sweep_chunk_check_matches_plain_chunks():
+    """The check variant's u1/u_k outputs are bit-identical to 1-sweep and
+    k-sweep plain chunks, and its delta is the first sweep's residual."""
+    import jax.numpy as jnp
+
+    img = maps.random_obstacles(24, 20, density=0.2, seed=7)
+    st = _state(img)
+    padded = pallas_sweep.pad_state(st)
+    u_k, u1, delta = pallas_sweep.sweep_chunk_check(
+        padded.u, padded.frozen, jnp.int32(3), 9, True
+    )
+    padded2 = pallas_sweep.pad_state(st)
+    u1_ref, d_ref = pallas_sweep.sweep_chunk(
+        padded2.u, padded2.frozen, jnp.int32(3), 1, True
+    )
+    padded3 = pallas_sweep.pad_state(st)
+    uk_ref, _ = pallas_sweep.sweep_chunk(
+        padded3.u, padded3.frozen, jnp.int32(3), 9, True
+    )
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u1_ref))
+    np.testing.assert_array_equal(np.asarray(u_k), np.asarray(uk_ref))
+    assert float(delta) == float(d_ref)

@@ -181,6 +181,13 @@ def maze_chunk(q):
     sweeps = reps * chunk
     return dict(grid=f"{h}x{w}", sweeps_per_s=round(sweeps / dt),
                 g_updates_per_s=round((h - 2) * (w - 2) / 2 * sweeps / dt / 1e9, 2),
+                # The kernel sweeps the whole padded array each sweep
+                # (masked): padded visits/s against the ~110 G visits/s VPU
+                # ceiling (docs/BENCH_NOTES.md probe3) is the hardware-
+                # utilization (MFU) figure; interior cell-updates/s is the
+                # useful-work figure.
+                g_padded_visits_per_s=round(hp * wp * sweeps / dt / 1e9, 2),
+                mfu_vs_110g=round(hp * wp * sweeps / dt / 110e9, 3),
                 max_abs_diff_vs_xla=max_diff, checksum=checksum)
 
 
@@ -198,13 +205,19 @@ def maze_solve(q):
     eps = 1e-1 if q else 1e-3
     out = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=eps))  # warm
     iters = int(out.iteration)
+    # One solve is ~0.2 s of device work — repeat so the timed region
+    # carries >= 2 s (round-2's single-dispatch 312k sweeps/s figure sat
+    # inside dispatch jitter).
+    reps = 1 if q else 12
     t0 = time.perf_counter()
-    out = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=eps))
-    _readback_sum(out.u)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        out = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=eps))
+        assert int(out.iteration) == iters  # per-solve D2H sync
+    dt = (time.perf_counter() - t0) / reps
     h, w = img.shape
-    assert int(out.iteration) == iters and iters % 100 == 1
+    assert iters % 100 == 1
     return dict(grid=f"{h}x{w}", iterations=iters, converged=bool(out.converged),
+                solve_wall_s=round(dt, 4), reps=reps,
                 sweeps_per_s=round(iters / dt),
                 g_updates_per_s=round((h - 2) * (w - 2) / 2 * iters / dt / 1e9, 2))
 
@@ -289,21 +302,28 @@ def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
         out = bg._solve_banded(g.u, g.frozen, st.epsilon, 100, cap, g.band,
                                g.k, interp, size, size)
         iters = int(out[1])
-        st = _state(u, locked)
-        g = bg.pad_state(st, depth)
-        t0 = time.perf_counter()
-        uu, it, delta, conv = bg._solve_banded(
-            g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, interp,
-            size, size)
-        checksum = _readback_sum(uu)
-        dt = time.perf_counter() - t0
-        it = int(it)
-        assert it == iters
+        best = None
+        for _ in range(1 if q else 2):  # best-of-2 (tunnel dispatch jitter)
+            st = _state(u, locked)
+            g = bg.pad_state(st, depth)
+            t0 = time.perf_counter()
+            uu, it, delta, conv = bg._solve_banded(
+                g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, interp,
+                size, size)
+            # Scalar loop outputs are the completion barrier: a full-grid
+            # D2H rides the ~14 MB/s tunnel and would dominate the timing
+            # (it cost the first r3 battery a bogus 2.5x solve slowdown).
+            checksum = float(np.asarray(delta)) + int(np.asarray(it))
+            dt = time.perf_counter() - t0
+            it = int(it)
+            assert it == iters
+            if best is None or dt < best:
+                best = dt
         assert (not bool(conv)) or it % 100 == 1
         rows.append(dict(size=size, band=g.band, k=g.k, iterations=it,
                          converged=bool(conv),
                          delta=float(np.asarray(delta)),
-                         g_updates_per_s=round(size * size / 2 * it / dt / 1e9, 2),
+                         g_updates_per_s=round(size * size / 2 * it / best / 1e9, 2),
                          checksum=checksum))
     return dict(rows=rows)
 
@@ -375,19 +395,23 @@ def tiled_solve(q, sizes=((16384, 16384, 2500),)):
         out = t2._solve_tiled(g.u, g.frozen, st.epsilon, 100, cap, g.band,
                               g.k, g.wt, interp, hh, ww)
         iters = int(out[1])
-        st = _state(u, locked)
-        g = t2.pad_state(st, depth)
-        t0 = time.perf_counter()
-        uu, it, delta, conv = t2._solve_tiled(
-            g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, g.wt, interp,
-            hh, ww)
-        checksum = _readback_sum(uu)
-        dt = time.perf_counter() - t0
-        it = int(it)
-        assert it == iters
+        best = None
+        for _ in range(1 if q else 2):  # best-of-2 (tunnel dispatch jitter)
+            st = _state(u, locked)
+            g = t2.pad_state(st, depth)
+            t0 = time.perf_counter()
+            uu, it, delta, conv = t2._solve_tiled(
+                g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, g.wt,
+                interp, hh, ww)
+            checksum = float(np.asarray(delta)) + int(np.asarray(it))
+            dt = time.perf_counter() - t0
+            it = int(it)
+            assert it == iters
+            if best is None or dt < best:
+                best = dt
         rows.append(dict(size=f"{hh}x{ww}", band=g.band, k=g.k, wt=g.wt,
                          iterations=it, converged=bool(conv),
-                         g_updates_per_s=round(hh * ww / 2 * it / dt / 1e9, 2),
+                         g_updates_per_s=round(hh * ww / 2 * it / best / 1e9, 2),
                          checksum=checksum))
     return dict(rows=rows)
 
@@ -506,7 +530,7 @@ def vol_update(q, shape=(256, 256, 256), steps=6000):
     st = _state(u, locked)
     t0 = time.perf_counter()
     out = b3.update_n(st, steps)
-    checksum = _readback_sum(out.u)
+    checksum = float(out.delta)  # scalar program output = completion barrier
     dt = time.perf_counter() - t0
     cells = np.prod(shape)
     return dict(shape="x".join(map(str, shape)), steps=steps,
@@ -527,7 +551,7 @@ def vol_solve(q, shape=(256, 256, 256), cap=2000):
     iters = int(out.iteration)
     t0 = time.perf_counter()
     out = b3.solve(_state(u, locked), max_iterations=cap)
-    checksum = _readback_sum(out.u)
+    checksum = float(out.delta) + int(out.iteration)
     dt = time.perf_counter() - t0
     assert int(out.iteration) == iters
     cells = np.prod(shape)
@@ -551,7 +575,7 @@ def wideplane_update(q, shape=(32, 2048, 2048), steps=600):
     st = _state(u, locked)
     t0 = time.perf_counter()
     out = t3.update_n(st, steps)
-    checksum = _readback_sum(out.u)
+    checksum = float(out.delta)  # scalar program output = completion barrier
     dt = time.perf_counter() - t0
     cells = np.prod(shape)
     return dict(shape="x".join(map(str, shape)), steps=steps,
@@ -592,7 +616,7 @@ def sharded_banded(q, size=4096, steps=256):
     t0 = time.perf_counter()
     out_s = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
                              kernel=kern)
-    checksum = _readback_sum(out_s.u)
+    checksum = float(out_s.delta)  # scalar program output = barrier
     dt = time.perf_counter() - t0
     return dict(size=size, steps=steps, mesh="1x1", kernel=kern,
                 max_abs_diff_vs_biggrid=d,
