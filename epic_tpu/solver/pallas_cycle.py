@@ -1054,13 +1054,23 @@ def sweep_cycle_tiled3d(
     return a_out, b_out, jnp.max(deltas, axis=1)
 
 
+# Hard ceiling on chunks per cycle DISPATCH. The kernels emit one deltas
+# row per chunk, padded to 128 lanes in scoped SMEM (1 MB total on v5e):
+# an uncapped 2048-chunk dispatch allocates 2048*128*4 = exactly 1 MB and
+# fails Mosaic compilation (hit by update_n(state, 6000) at k=2 — 3000
+# chunks). 512 chunks keep the deltas block at 256 KB and, at big-grid
+# shapes, one dispatch under the ~45 s remote-worker watchdog.
+MAX_CHUNKS_PER_DISPATCH = 512
+
+
 def chain_lengths(n_full: int) -> list[int]:
-    """Decompose a chunk count into descending powers of two, so every
-    distinct total reuses a log-sized set of compiled cycle programs
-    instead of baking each n_chunks into its own program (the remote
-    compile service costs minutes per distinct jaxpr — CLAUDE.md
-    environment hazards)."""
-    out = []
+    """Decompose a chunk count into full MAX_CHUNKS_PER_DISPATCH cycles
+    plus descending powers of two, so every distinct total reuses a
+    log-sized set of compiled cycle programs instead of baking each
+    n_chunks into its own program (the remote compile service costs
+    minutes per distinct jaxpr — CLAUDE.md environment hazards)."""
+    out = [MAX_CHUNKS_PER_DISPATCH] * (n_full // MAX_CHUNKS_PER_DISPATCH)
+    n_full %= MAX_CHUNKS_PER_DISPATCH
     b = 1 << (n_full.bit_length() - 1) if n_full > 0 else 0
     while n_full:
         if n_full >= b:

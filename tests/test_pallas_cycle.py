@@ -204,3 +204,20 @@ def test_cycle3d_bitmatches_chained_chunks(shape, band, k, n_chunks):
     final = b if n_chunks % 2 else a
     np.testing.assert_array_equal(np.asarray(final), np.asarray(u_ref))
     np.testing.assert_allclose(np.asarray(deltas), deltas_ref, atol=0)
+
+
+def test_chain_lengths_cap_and_reuse():
+    """Long chains must split below MAX_CHUNKS_PER_DISPATCH: an uncapped
+    2048-chunk dispatch allocates a 1 MB deltas block in scoped SMEM and
+    fails Mosaic compilation (hit on chip by biggrid3d.update_n(st, 6000)
+    at k=2). The decomposition must still sum exactly and stay a small,
+    reusable program set."""
+    from epic_tpu.solver import pallas_cycle as pc
+
+    for n in (1, 2, 3, 511, 512, 513, 750, 3000, 4096, 5000):
+        parts = pc.chain_lengths(n)
+        assert sum(parts) == n, n
+        assert all(p <= pc.MAX_CHUNKS_PER_DISPATCH for p in parts), (n, parts)
+        # Reuse: at most one program per power of two plus the cap program.
+        assert len(set(parts)) <= 11, (n, parts)
+    assert pc.chain_lengths(0) == []

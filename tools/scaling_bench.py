@@ -10,13 +10,15 @@ its efficiency accounting end-to-end; on a real slice the same script runs
 unchanged with JAX_PLATFORMS=tpu.
 
 CAVEAT recorded in the CSV: virtual CPU devices SHARE the host's physical
-cores (this image has 4), so wall-clock "efficiency" against the 1-device
-row measures program overhead (halo exchange, trapezoid redundancy,
-per-shard dispatch), not hardware scaling — a value near 1.0 means the
-sharded program adds little overhead over the single-device program at the
-same total size; values above 1/N-style collapse would indicate a real
-program regression. On real chips the same column becomes true scaling
-efficiency.
+cores (this image has 4), so dividing by N (efficiency_vs_first) is the
+wrong normalization here — the compute budget does not grow with N. The
+meaningful virtual-mesh number is throughput_vs_1dev: N-device sharded
+throughput over 1-device throughput at the SAME total size. Cores are the
+bottleneck either way, so ~1.0 means the sharded program (ppermute halos,
+trapezoid redundancy, per-shard dispatch) adds no overhead over the
+single-device program; < 1 would flag a program regression. On real chips
+the compute budget DOES grow with N and efficiency_vs_first becomes true
+scaling efficiency.
 
 Usage: python tools/scaling_bench.py [--sizes 1024 4096] [--sweeps 200]
        [--devices 1 2 4 8] [--kernel auto] [--csv docs/results_scaling.csv]
@@ -70,7 +72,7 @@ def main():
         base = None
         print(f"grid {size}^2, {args.sweeps} sweeps per measurement, "
               f"backend={jax.default_backend()}, kernel={args.kernel}")
-        print("devices  mesh      sweeps/s   cell-updates/s   efficiency")
+        print("devices  mesh      sweeps/s   cell-updates/s   eff/dev  vs-1dev")
         for n in args.devices:
             my = int(np.floor(np.sqrt(n)))
             while n % my:
@@ -95,13 +97,16 @@ def main():
             if base is None:
                 base = (sps, n)
             eff = sps / (base[0] * n / base[1])
-            print(f"{n:7d}  ({my},{n//my})   {sps:9.1f}  {cups:13.3e}   {eff:6.2f}")
+            tput = sps / base[0]
+            print(f"{n:7d}  ({my},{n//my})   {sps:9.1f}  {cups:13.3e}   "
+                  f"{eff:6.2f}  x{tput:5.2f}")
             rows.append(dict(
                 backend=jax.default_backend(), kernel=args.kernel,
                 size=size, devices=n, mesh=f"{my}x{n//my}",
                 sweeps=args.sweeps, chunk_depth=args.chunk_depth,
                 sweeps_per_s=round(sps, 2), cell_updates_per_s=round(cups),
                 efficiency_vs_first=round(eff, 3),
+                throughput_vs_1dev=round(tput, 3),
                 caveat=("virtual-cpu-devices-share-4-cores"
                         if jax.default_backend() == "cpu" else ""),
             ))
