@@ -19,6 +19,24 @@ Layout: maps are grouped (gpr x gpc) per block (default 4x4 of 128² maps =
 one 512x512 block, comfortably VMEM-resident with temporaries), blocks
 stacked vertically. Per-lane staggered-check deltas reduce on device
 between passes; lane retirement freezes the lane's tile.
+
+Dispatch guidance (lane-count x lane-size regime map, measured on chip —
+tools/probe.py batched-map, docs/BENCH_NOTES.md "Batched regime map"):
+
+- solves/s scales with LANES at fixed size (64²: 10.7k -> 17.8k going
+  1024 -> 4096 lanes; 128²: 5.0k -> 6.0k) — pack the batch as full as
+  HBM allows; per-dispatch overhead amortizes across the whole collage.
+- cell-update throughput scales with LANE SIZE: 64² lanes reach only
+  ~14 G updates/s (blocks too shallow to hide retirement bookkeeping),
+  128² ~35 G, 256² ~38 G — within ~20% of the big-grid kernels' ~47 G.
+- batching exists for INDEPENDENT scenarios (BASELINE config 3). For one
+  big domain, the big-grid kernels win: a single 4096² solve runs ~45 G
+  while 1024 retiring 128² lanes of equal area run ~35 G and converge on
+  each lane's own schedule. Pick batch when you have many maps/goal-sets;
+  pick biggrid/tiled2d when you have one grid.
+- pre-stage inputs on device and keep results device-resident: the
+  tunnel moves ~41/14 MB/s H2D/D2H, so un-staged batch timing measures
+  the transport, not the solver.
 """
 
 from __future__ import annotations

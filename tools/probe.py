@@ -635,26 +635,80 @@ def solve_body_iso(q, size=4096, cycles=100):
 
 
 @experiment("vol-update", "Big volumes (plane-banded DMA chunks)")
-def vol_update(q, shape=(256, 256, 256), steps=6000):
-    """3D chunk chain at 256^3 through pallas_biggrid3d.update_n (the 3D
-    cycle kernel + DMA remainder)."""
-    from epic_tpu.solver import pallas_biggrid3d as b3
+def vol_update(q, shape=(256, 256, 256), n_chunks=512, reps=3,
+               prod_steps=1024):
+    """3D ping-pong cycle kernel at 256³ — the kernel headline: ``reps``
+    512-chunk cycles inside ONE program (jitted fori, biggrid-update's
+    structure — per-dispatch tunnel latency is ~0.5 s, so multi-dispatch
+    chains measure the tunnel, not the kernel). Gate = bit-equality vs
+    chained DMA chunks. Also reports the PRODUCTION rate through
+    b3.update_n(prod_steps) — pad/unpad + one capped cycle dispatch —
+    which is what planner ticks actually get."""
+    import functools
 
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu.solver import pallas_biggrid3d as b3
+    from epic_tpu.solver import pallas_cycle as pc
+
+    interp = _interpret()
     if q:
-        shape, steps = (16, 24, 32), 8
+        shape, n_chunks, reps, prod_steps = (16, 24, 32), 4, 2, 8
     u, locked = _vol_np(*shape)
     st = _state(u, locked)
-    out = b3.update_n(st, steps)  # warm
+    g = b3.pad_state(st)
+    band, k, hp = g.band, g.k, g.hp
+    # Gate: a 2-chunk cycle == two chained DMA chunks, bit-equal.
+    a, b, _ = pc.sweep_cycle3d(g.u, jnp.copy(g.u), g.frozen, jnp.int32(0),
+                               2, k, band, hp, interp)
+    g2 = b3.pad_state(_state(u, locked))
+    u_ref, _ = b3.sweep_chunk_dma(g2.u, g2.frozen, jnp.int32(0), k, band, k,
+                                  hp, interp)
+    u_ref, _ = b3.sweep_chunk_dma(u_ref, g2.frozen, jnp.int32(k), k, band, k,
+                                  hp, interp)
+    assert _device_equal(a, u_ref), shape
+    del a, b, g2, u_ref
+
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def run(u0, u1, frozen, r):
+        def body(i, carry):
+            ua, ub = carry
+            a, b, _ = pc.sweep_cycle3d.__wrapped__(
+                ua, ub, frozen, i * n_chunks * k, n_chunks, k, band, hp,
+                interp)
+            return (b, a) if n_chunks % 2 else (a, b)
+
+        ua, ub = jax.lax.fori_loop(0, r, body, (u0, u1))
+        return ua, jnp.sum(ua[:128, :128])
+
+    g = b3.pad_state(_state(u, locked))
+    _, cs = run(g.u, jnp.copy(g.u), g.frozen, reps)
+    float(cs)  # warm barrier
+    g = b3.pad_state(_state(u, locked))
+    _stage(g)
+    t0 = time.perf_counter()
+    _, cs = run(g.u, jnp.copy(g.u), g.frozen, reps)
+    checksum = float(cs)
+    dt = time.perf_counter() - t0
+    cells = int(np.prod(shape))
+    sweeps = reps * n_chunks * k
+    res = dict(shape="x".join(map(str, shape)), sweeps=sweeps,
+               band=band, k=k,
+               g_updates_per_s=round(cells / 2 * sweeps / dt / 1e9, 2),
+               checksum=checksum)
+    # Production surface: update_n (pad + capped cycle chain + unpad).
+    st = _state(u, locked)
+    out = b3.update_n(st, prod_steps)  # warm
     st = _state(u, locked)
     _stage(st)
     t0 = time.perf_counter()
-    out = b3.update_n(st, steps)
-    checksum = float(out.delta)  # scalar program output = completion barrier
+    out = b3.update_n(st, prod_steps)
+    res["prod_checksum"] = float(out.delta)
     dt = time.perf_counter() - t0
-    cells = np.prod(shape)
-    return dict(shape="x".join(map(str, shape)), steps=steps,
-                g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
-                checksum=checksum)
+    res["prod_steps"] = prod_steps
+    res["prod_g_updates_per_s"] = round(cells / 2 * prod_steps / dt / 1e9, 2)
+    return res
 
 
 @experiment("vol-solve", "Big volumes (plane-banded DMA chunks)")
@@ -668,41 +722,109 @@ def vol_solve(q, shape=(256, 256, 256), cap=2000):
     u, locked = _vol_np(*shape)
     out = b3.solve(_state(u, locked), max_iterations=cap)  # warm
     iters = int(out.iteration)
-    st = _state(u, locked)
-    _stage(st)
+    # One solve is ~1 s of device work — repeat so the timed region
+    # carries >= 2 s (dispatch jitter through the tunnel cost the first
+    # r3 run a bogus 10.75-vs-16 G read on a single solve).
+    reps = 1 if q else 3
+    states = [_state(u, locked) for _ in range(reps)]
+    _stage(*states)
     t0 = time.perf_counter()
-    out = b3.solve(st, max_iterations=cap)
+    for st in states:
+        out = b3.solve(st, max_iterations=cap)
+        assert int(out.iteration) == iters  # per-solve D2H sync
     checksum = float(out.delta) + int(out.iteration)
-    dt = time.perf_counter() - t0
-    assert int(out.iteration) == iters
+    dt = (time.perf_counter() - t0) / reps
     cells = np.prod(shape)
-    return dict(shape="x".join(map(str, shape)), iterations=iters,
+    return dict(shape="x".join(map(str, shape)), iterations=iters, reps=reps,
                 converged=bool(out.converged),
                 g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
                 checksum=checksum)
 
 
 @experiment("wideplane-update", "Wide-plane volumes (z-band x y x x tiles)")
-def wideplane_update(q, shape=(32, 2048, 2048), steps=600):
+def wideplane_update(q, shape=(32, 2048, 2048), steps=1024):
     """Wide-plane regime (padded plane > biggrid3d's scoped-VMEM wall):
-    the (z, y, x)-tiled DMA kernel chunk chain."""
+    three rows decomposing where the time goes —
+
+    - ``kernel``: the DMA chunk chain, jitted fori over sweep_chunk_tiled3d
+      in ONE program on pre-padded donated buffers (probe43's structure —
+      the 19.5 G headline);
+    - ``cycle``: the ping-pong cycle kernel, one dispatch, pre-padded
+      buffers (probe44 found it ties the chunk chain in-program);
+    - ``prod``: t3.update_n(steps) — what planner ticks get: pad_state +
+      capped cycle chain + unpad, each pad/unpad op its own tunnel
+      dispatch."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu.solver import pallas_cycle as pc
     from epic_tpu.solver import pallas_tiled3d as t3
 
+    interp = _interpret()
     if q:
         shape, steps = (8, 256, 512), 4
     u, locked = _vol_np(*shape)
+    st = _state(u, locked)
+    g = t3.pad_state(st)
+    band, k, yt, wt, hp2 = g.band, g.k, g.yt, g.wt, g.hp2
+    n_chunks = steps // k
+    cells = int(np.prod(shape))
+    res = dict(shape="x".join(map(str, shape)), steps=steps, band=band,
+               k=k, yt=yt, wt=wt)
+
+    @functools.partial(jax.jit, static_argnames=("nc",), donate_argnums=(0,))
+    def run_chunks(u_pad, frozen, nc):
+        def body(i, u):
+            u, _ = t3.sweep_chunk_tiled3d.__wrapped__(
+                u, frozen, i * k, k, band, k, yt, wt, hp2, interp)
+            return u
+
+        u_pad = jax.lax.fori_loop(0, nc, body, u_pad)
+        return u_pad, jnp.sum(u_pad[:128, :128])
+
+    _, cs = run_chunks(g.u, g.frozen, n_chunks)
+    float(cs)  # warm barrier
+    g = t3.pad_state(_state(u, locked))
+    _stage(g)
+    t0 = time.perf_counter()
+    _, cs = run_chunks(g.u, g.frozen, n_chunks)
+    res["kernel_checksum"] = float(cs)
+    dt = time.perf_counter() - t0
+    res["kernel_g_updates_per_s"] = round(cells / 2 * steps / dt / 1e9, 2)
+
+    # Cycle kernel, one dispatch on pre-padded buffers.
+    g = t3.pad_state(_state(u, locked))
+    a, b, _ = pc.sweep_cycle_tiled3d(g.u, jnp.copy(g.u), g.frozen,
+                                     jnp.int32(0), n_chunks, k, band, yt,
+                                     wt, hp2, interp)
+    final = b if n_chunks % 2 else a
+    _ = np.asarray(final[0, :128])  # warm barrier
+    del a, b, final
+    g = t3.pad_state(_state(u, locked))
+    _stage(g)
+    t0 = time.perf_counter()
+    a, b, _ = pc.sweep_cycle_tiled3d(g.u, jnp.copy(g.u), g.frozen,
+                                     jnp.int32(0), n_chunks, k, band, yt,
+                                     wt, hp2, interp)
+    final = b if n_chunks % 2 else a
+    res["cycle_checksum"] = float(np.asarray(final[0, :128]).sum(dtype=np.float64))
+    dt = time.perf_counter() - t0
+    res["cycle_g_updates_per_s"] = round(cells / 2 * steps / dt / 1e9, 2)
+    del a, b, final, g
+
+    # Production surface.
     st = _state(u, locked)
     out = t3.update_n(st, steps)  # warm
     st = _state(u, locked)
     _stage(st)
     t0 = time.perf_counter()
     out = t3.update_n(st, steps)
-    checksum = float(out.delta)  # scalar program output = completion barrier
+    res["prod_checksum"] = float(out.delta)
     dt = time.perf_counter() - t0
-    cells = np.prod(shape)
-    return dict(shape="x".join(map(str, shape)), steps=steps,
-                g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
-                checksum=checksum)
+    res["prod_g_updates_per_s"] = round(cells / 2 * steps / dt / 1e9, 2)
+    return res
 
 
 # ---------------------------------------------------------------------------
