@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import constants as C
 from ..grid import GridState
 
+from ..solver._padding import box_mask
 from ..solver._sweep_body import LOG2N_2D as _LOG2N_2D, lse4
 
 
@@ -349,11 +350,16 @@ def _local_parity_ext(shape_local, mesh, k):
     return (row + col) % 2
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _frozen_arrays(locked, h: int, w: int):
+    # Device-built boundary ring — a host mask upload here cost a
+    # full-grid H2D per update call (see solver/_padding.py).
+    return locked | ~box_mask((h, w), (1, 1), (h - 1, w - 1))
+
+
 def _frozen_mask(state: GridState) -> jax.Array:
     h, w = state.u.shape
-    interior = np.zeros((h, w), dtype=bool)
-    interior[1:-1, 1:-1] = True
-    return state.locked | jnp.asarray(~interior)
+    return _frozen_arrays(state.locked, h, w)
 
 
 def padded_shape(shape: tuple[int, int], mesh: Mesh) -> tuple[int, int]:

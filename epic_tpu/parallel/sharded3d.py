@@ -44,6 +44,7 @@ from .. import constants as C
 from ..grid import GridState
 from .sharded import _neighbor_perm, make_mesh  # noqa: F401  (re-export mesh helper)
 
+from ..solver._padding import box_mask
 from ..solver._sweep_body import LOG2N_3D as _LOG2N_3D, lse6
 
 
@@ -383,10 +384,16 @@ def _local_parity_ext(shape_local, mesh, k):
     return (lz + ly + lx) % 2
 
 
+@functools.partial(jax.jit, static_argnames=("d", "h", "w"))
+def _frozen_arrays(locked, d: int, h: int, w: int):
+    # Device-built boundary shell — a host mask upload here cost a
+    # full-volume H2D per update call (see solver/_padding.py).
+    return locked | ~box_mask((d, h, w), (1, 1, 1), (d - 1, h - 1, w - 1))
+
+
 def _frozen_mask(state: GridState) -> jax.Array:
-    interior = np.zeros(state.u.shape, dtype=bool)
-    interior[1:-1, 1:-1, 1:-1] = True
-    return state.locked | jnp.asarray(~interior)
+    d, h, w = state.u.shape
+    return _frozen_arrays(state.locked, d, h, w)
 
 
 def padded_shape(shape, mesh: Mesh):

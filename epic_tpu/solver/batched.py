@@ -23,6 +23,7 @@ import numpy as np
 
 from .. import constants as C
 from . import core
+from ._padding import box_mask
 
 
 def _sweep_batch(u, locked, iteration):
@@ -31,11 +32,10 @@ def _sweep_batch(u, locked, iteration):
 
 
 def _frozen_batch(locked):
-    """locked | ~interior per lane, as one [B, H, W] mask."""
+    """locked | ~interior per lane, as one [B, H, W] mask (interior ring
+    built on device — see solver/_padding.py)."""
     b, h, w = locked.shape
-    interior = np.zeros((h, w), dtype=bool)
-    interior[1:-1, 1:-1] = True
-    return locked | jnp.asarray(~interior)[None]
+    return locked | ~box_mask((h, w), (1, 1), (h - 1, w - 1))[None]
 
 
 def _sweep_batch_rolled(u, frozen, iteration):

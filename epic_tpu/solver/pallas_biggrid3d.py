@@ -61,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..grid import GridState
+from ._padding import box_mask
 from ._sweep_body import lse6
 
 EXT_BAND_CELL_BUDGET = 2 * 1024 * 1024
@@ -362,23 +363,32 @@ def pad_state(state: GridState, chunk_depth: int = 2,
     hp, wp = _round_up(h, 8), _round_up(w, 128)
     nb = -(-d // band)
     dp = nb * band + 2 * k
-    u = jnp.full((dp * hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
+    u, frozen = _pad_arrays(state.u, state.locked, d, h, w, dp, hp, wp, k)
+    return BandedVolume(u=u, frozen=frozen, depth=d, height=h, width=w,
+                        hp=hp, band=band, k=k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "h", "w", "dp", "hp", "wp", "k"))
+def _pad_arrays(u, locked, d: int, h: int, w: int, dp: int, hp: int,
+                wp: int, k: int):
+    # One device program: no host interior-mask upload, XLA-managed
+    # transients (see solver/_padding.py).
+    up = jnp.full((dp * hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
     u3 = jnp.pad(
-        state.u,
+        u,
         ((0, 0), (0, hp - h), (0, wp - w)),
         constant_values=np.float32(C.LOG_SPACE_OBSTACLE),
     ).reshape(d * hp, wp)
-    u = jax.lax.dynamic_update_slice(u, u3, (k * hp, 0))
-    interior = np.zeros((dp, hp, wp), dtype=bool)
-    interior[k + 1 : k + d - 1, 1 : h - 1, 1 : w - 1] = True
+    up = jax.lax.dynamic_update_slice(up, u3, (k * hp, 0))
     frozen3 = jnp.pad(
-        state.locked, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=True
+        locked, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=True
     ).astype(jnp.int32).reshape(d * hp, wp)
     frozen = jnp.ones((dp * hp, wp), dtype=jnp.int32)
     frozen = jax.lax.dynamic_update_slice(frozen, frozen3, (k * hp, 0))
-    frozen = jnp.where(jnp.asarray(interior.reshape(dp * hp, wp)), frozen, 1)
-    return BandedVolume(u=u, frozen=frozen, depth=d, height=h, width=w,
-                        hp=hp, band=band, k=k)
+    interior = box_mask((dp, hp, wp), (k + 1, 1, 1), (k + d - 1, h - 1, w - 1))
+    frozen = jnp.where(interior.reshape(dp * hp, wp), frozen, 1)
+    return up, frozen
 
 
 def unpad(g: BandedVolume) -> jax.Array:

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..grid import GridState
+from ._padding import box_mask
 from ._sweep_body import lse6
 
 
@@ -191,20 +192,22 @@ class PaddedVolume:
     width: int = dataclasses.field(metadata=dict(static=True))
 
 
+@functools.partial(jax.jit, static_argnames=("d", "h", "w", "hp", "wp"))
+def _pad_arrays(u, locked, d: int, h: int, w: int, hp: int, wp: int):
+    # One device program: no host interior-mask upload, XLA-managed
+    # transients (see solver/_padding.py).
+    up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)),
+                 constant_values=np.float32(C.LOG_SPACE_OBSTACLE))
+    frozen = jnp.pad(locked, ((0, 0), (0, hp - h), (0, wp - w)),
+                     constant_values=True)
+    frozen = frozen | ~box_mask((d, hp, wp), (1, 1, 1), (d - 1, h - 1, w - 1))
+    return up, frozen
+
+
 def pad_state(state: GridState) -> PaddedVolume:
     d, h, w = state.u.shape
     hp, wp = _round_up(h, 8), _round_up(w, 128)
-    u = jnp.pad(
-        state.u,
-        ((0, 0), (0, hp - h), (0, wp - w)),
-        constant_values=np.float32(C.LOG_SPACE_OBSTACLE),
-    )
-    interior = np.zeros((d, hp, wp), dtype=bool)
-    interior[1 : d - 1, 1 : h - 1, 1 : w - 1] = True
-    frozen = jnp.pad(
-        state.locked, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=True
-    )
-    frozen = frozen | jnp.asarray(~interior)
+    u, frozen = _pad_arrays(state.u, state.locked, d, h, w, hp, wp)
     return PaddedVolume(u=u, frozen=frozen, depth=d, height=h, width=w)
 
 

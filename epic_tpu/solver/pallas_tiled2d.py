@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as C
 from ..grid import GridState
 from .pallas_biggrid import EXT_BAND_CELL_BUDGET, _VMEM_LIMIT, _round_up
+from ._padding import box_mask
 from ._sweep_body import lse4
 _HX = 128  # column guard per side (lane-tile aligned; >= any supported k)
 
@@ -338,6 +339,20 @@ class TiledGrid:
     wt: int = dataclasses.field(metadata=dict(static=True))
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "hp", "wp", "k"))
+def _pad_arrays(u, locked, h: int, w: int, hp: int, wp: int, k: int):
+    # One device program: no host interior-mask upload, XLA-managed
+    # transients (see solver/_padding.py).
+    up = jnp.full((hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
+    up = up.at[k : k + h, _HX : _HX + w].set(u)
+    frozen = jnp.ones((hp, wp), dtype=jnp.int32)
+    frozen = frozen.at[k : k + h, _HX : _HX + w].set(locked.astype(jnp.int32))
+    frozen = jnp.where(
+        box_mask((hp, wp), (k + 1, _HX + 1), (k + h - 1, _HX + w - 1)),
+        frozen, 1)
+    return up, frozen
+
+
 def pad_state(state: GridState, chunk_depth: int = 16,
               band: int | None = None, k: int | None = None,
               wt: int | None = None) -> TiledGrid:
@@ -348,15 +363,7 @@ def pad_state(state: GridState, chunk_depth: int = 16,
     nt = -(-w // wt)
     hp = nb * band + 2 * k
     wp = nt * wt + 2 * _HX
-    u = jnp.full((hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
-    u = u.at[k : k + h, _HX : _HX + w].set(state.u)
-    interior = np.zeros((hp, wp), dtype=bool)
-    interior[k + 1 : k + h - 1, _HX + 1 : _HX + w - 1] = True
-    frozen = jnp.ones((hp, wp), dtype=jnp.int32)
-    frozen = frozen.at[k : k + h, _HX : _HX + w].set(
-        state.locked.astype(jnp.int32)
-    )
-    frozen = jnp.where(jnp.asarray(interior), frozen, 1)
+    u, frozen = _pad_arrays(state.u, state.locked, h, w, hp, wp, k)
     return TiledGrid(u=u, frozen=frozen, height=h, width=w,
                      band=band, k=k, wt=wt)
 

@@ -52,6 +52,7 @@ from .. import constants as C
 from ..grid import GridState
 from .pallas_biggrid import _VMEM_LIMIT, _round_up
 from .pallas_biggrid3d import EXT_BAND_CELL_BUDGET
+from ._padding import box_mask
 from ._sweep_body import lse6
 
 _HY = 16   # y guard rows per side (sublane-aligned; >= any supported k)
@@ -361,19 +362,28 @@ def pad_state(state: GridState, chunk_depth: int = 2,
     dp = nb * band + 2 * k
     hp2 = ny * yt + 2 * _HY
     wp = nx * wt + 2 * _HX
-    u = jnp.full((dp, hp2, wp), np.float32(C.LOG_SPACE_OBSTACLE))
-    u = jax.lax.dynamic_update_slice(
-        u, state.u.astype(jnp.float32), (k, _HY, _HX))
-    interior = np.zeros((dp, hp2, wp), dtype=bool)
-    interior[k + 1 : k + d - 1, _HY + 1 : _HY + h - 1, _HX + 1 : _HX + w - 1] = True
-    frozen = jnp.ones((dp, hp2, wp), dtype=jnp.int32)
-    frozen = jax.lax.dynamic_update_slice(
-        frozen, state.locked.astype(jnp.int32), (k, _HY, _HX))
-    frozen = jnp.where(jnp.asarray(interior), frozen, 1)
-    return TiledVolume(u=u.reshape(dp * hp2, wp),
-                       frozen=frozen.reshape(dp * hp2, wp),
+    u, frozen = _pad_arrays(state.u, state.locked, d, h, w, dp, hp2, wp, k)
+    return TiledVolume(u=u, frozen=frozen,
                        depth=d, height=h, width=w, hp2=hp2,
                        band=band, k=k, yt=yt, wt=wt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "h", "w", "dp", "hp2", "wp", "k"))
+def _pad_arrays(u, locked, d: int, h: int, w: int, dp: int, hp2: int,
+                wp: int, k: int):
+    # One device program: no host interior-mask upload, XLA-managed
+    # transients (see solver/_padding.py).
+    up = jnp.full((dp, hp2, wp), np.float32(C.LOG_SPACE_OBSTACLE))
+    up = jax.lax.dynamic_update_slice(
+        up, u.astype(jnp.float32), (k, _HY, _HX))
+    frozen = jnp.ones((dp, hp2, wp), dtype=jnp.int32)
+    frozen = jax.lax.dynamic_update_slice(
+        frozen, locked.astype(jnp.int32), (k, _HY, _HX))
+    interior = box_mask((dp, hp2, wp), (k + 1, _HY + 1, _HX + 1),
+                        (k + d - 1, _HY + h - 1, _HX + w - 1))
+    frozen = jnp.where(interior, frozen, 1)
+    return up.reshape(dp * hp2, wp), frozen.reshape(dp * hp2, wp)
 
 
 def unpad(g: TiledVolume) -> jax.Array:
