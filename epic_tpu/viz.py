@@ -105,6 +105,32 @@ def save_png(path: str, rgb: np.ndarray) -> None:
     Image.fromarray(rgb).save(path)
 
 
+def click_streamline(
+    u: np.ndarray,
+    locked: np.ndarray,
+    x: float,
+    y: float,
+    base_img: np.ndarray | None = None,
+    step_size: float = C.DEFAULT_STEP_SIZE,
+    cd_precision: float = C.DEFAULT_CD_PRECISION,
+    mode: str = "reference",
+) -> np.ndarray | None:
+    """The interactive window's click action, GUI-free: walk the
+    streamline from clicked pixel (x, y) and return the rendered overlay,
+    or None when the walk is rejected (obstacle start / <=2-point path —
+    the window silently ignores those, matching HarmonicMap's
+    click handler at harmonic_map.py:103-131)."""
+    from .path import compute_path
+
+    try:
+        pts = compute_path(
+            u, locked, float(x), float(y), step_size, cd_precision, mode=mode
+        )
+    except EpicError:
+        return None
+    return render(u, locked, [pts], base_img=base_img)
+
+
 def interactive(
     u: np.ndarray,
     locked: np.ndarray,
@@ -123,8 +149,6 @@ def interactive(
     except ImportError as e:  # pragma: no cover - optional dependency
         raise EpicError(2, "interactive viz requires opencv-python") from e
 
-    from .path import compute_path
-
     base = render(u, locked, base_img=base_img)
     shown = base.copy()
 
@@ -134,13 +158,12 @@ def interactive(
             return
         if not hold:
             shown = base.copy()
-        try:
-            pts = compute_path(
-                u, locked, float(x), float(y), step_size, cd_precision, mode=mode
-            )
-        except EpicError:
+        overlay = click_streamline(
+            u, locked, x, y, base_img=base_img, step_size=step_size,
+            cd_precision=cd_precision, mode=mode)
+        if overlay is None:
             return
-        shown = render(u, locked, [pts], base_img=base_img)
+        shown = overlay
         cv2.imshow(window_title, shown[:, :, ::-1])
 
     cv2.imshow(window_title, shown[:, :, ::-1])  # pragma: no cover - GUI

@@ -118,3 +118,32 @@ def test_render_volume_slice_marks_path():
     assert rgb.shape == (h, w, 3)
     reds = (rgb[:, :, 0] > 100) & (rgb[:, :, 1] == 0)
     assert reds.any()               # path pixels landed on the slice
+
+
+def test_click_streamline_gui_free():
+    """The interactive window's click action, exercised without a display
+    (the GUI path delegates to viz.click_streamline — reference behaviour:
+    a valid click draws the streamline overlay, an obstacle click is
+    silently ignored; harmonic_map.py:103-131)."""
+    import numpy as np
+
+    import epic_tpu
+    from epic_tpu import maps, viz
+    from epic_tpu.solver import core
+
+    img = maps.recursive_maze(64, 64, seed=4)
+    out = core.solve(epic_tpu.from_occupancy_image(img, epsilon=1e-3))
+    u, locked = np.asarray(out.u), np.asarray(out.locked)
+    base = viz.render(u, locked)
+
+    free = np.argwhere(~locked)
+    fy, fx = free[len(free) // 3]
+    overlay = viz.click_streamline(u, locked, float(fx), float(fy),
+                                   mode="bilinear")
+    assert overlay is not None
+    assert overlay.shape == base.shape
+    assert (overlay != base).any()  # the streamline actually drew pixels
+
+    oy, ox = map(int, np.argwhere(locked & (u <= -1e5))[0])
+    assert viz.click_streamline(u, locked, float(ox), float(oy),
+                                mode="bilinear") is None
