@@ -870,6 +870,41 @@ def sharded_banded(q, size=4096, steps=8192):
                 checksum=checksum)
 
 
+@experiment("sharded3d-banded", "Scaling across devices")
+def sharded3d_banded(q, shape=(128, 512, 512), steps=1024):
+    """The 3D beyond-VMEM per-shard Pallas path (shard_map + plane-banded
+    DMA kernel) on a 1x1 mesh over the real chip — the on-chip twin of the
+    virtual-mesh sharded3d tests; gate = equality vs the unsharded banded
+    volume kernel."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, sharded3d
+    from epic_tpu.solver import pallas_biggrid3d as b3
+
+    interp = _interpret()
+    kern = "pallas_banded_interpret" if interp else "pallas_banded"
+    if q:
+        shape, steps = (12, 16, 64), 8
+    u, locked = _vol_np(*shape)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    out_s = sharded3d.update_n(_state(u, locked), steps, mesh,
+                               chunk_depth=2, kernel=kern)
+    out_b = b3.update_n(_state(u, locked), steps)
+    d = _device_max_abs_diff(out_s.u, out_b.u)
+    assert d == 0.0, d
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out_s = sharded3d.update_n(st, steps, mesh, chunk_depth=2, kernel=kern)
+    checksum = float(out_s.delta)  # scalar program output = barrier
+    dt = time.perf_counter() - t0
+    cells = int(np.prod(shape))
+    return dict(shape="x".join(map(str, shape)), steps=steps, mesh="1x1",
+                kernel=kern, max_abs_diff_vs_biggrid3d=d,
+                g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                checksum=checksum)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -880,8 +915,8 @@ def sharded_banded(q, size=4096, steps=8192):
 BATTERY = [
     "maze-chunk", "maze-solve", "batched-solve", "batched-map",
     "vol-update", "vol-solve", "wideplane-update", "biggrid-update",
-    "biggrid-solve", "solve-body-iso", "sharded-banded", "tiled-solve",
-    "tiled-update",
+    "biggrid-solve", "solve-body-iso", "sharded-banded", "sharded3d-banded",
+    "tiled-solve", "tiled-update",
 ]
 
 
