@@ -55,6 +55,7 @@ def main() -> None:
          dict(sizes=((4096, 10000),))),
         ("batched_solve", probe.batched_solve, {}),
         ("vol_update_256", probe.vol_update, {}),
+        ("sharded_banded_4096", probe.sharded_banded, {}),
     ):
         try:
             detail[key] = fn(q, **kw)

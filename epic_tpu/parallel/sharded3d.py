@@ -272,7 +272,9 @@ def _band_shard3d_kernel(scal_ref, u_hbm, f_hbm, u_out, delta_ref,
     y0 = scal_ref[1]
     x0 = scal_ref[2]
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     lr = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
     lc = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
     lz = lr // he8
@@ -301,7 +303,9 @@ def banded3d_layout(d: int, he8: int, wp: int, k: int):
     from ..solver.pallas_biggrid3d import EXT_BAND_CELL_BUDGET
 
     plane = he8 * wp
-    ext_max = max(2 * k + 1, (EXT_BAND_CELL_BUDGET // 2) // plane)
+    # int8 mask slots cost 5 B/cell vs the int32 era's 8 — same proven
+    # bytes, more planes (solver.pallas_biggrid3d.choose_layout's scan).
+    ext_max = max(2 * k + 1, (EXT_BAND_CELL_BUDGET * 4 // 5) // plane)
     band_max = max(1, ext_max - 2 * k)
     nb = -(-d // band_max)
     band = -(-d // nb)
@@ -329,7 +333,7 @@ def _sweep_k_local_banded3d(u_ext, frozen_ext, it0, y0, x0, num_sweeps, k,
 
     u_pad = jnp.pad(u_ext, ((k, dp - d - k), (0, he8 - he), (0, wp - we)),
                     constant_values=np.float32(C.LOG_SPACE_OBSTACLE))
-    f_pad = jnp.pad(frozen_ext.astype(jnp.int32),
+    f_pad = jnp.pad(frozen_ext.astype(jnp.int8),
                     ((k, dp - d - k), (0, he8 - he), (0, wp - we)),
                     constant_values=1)
     scal = jnp.stack([it0, y0, x0]).astype(jnp.int32)
@@ -354,7 +358,7 @@ def _sweep_k_local_banded3d(u_ext, frozen_ext, it0, y0, x0, num_sweeps, k,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext * he8, wp), jnp.float32),
-            pltpu.VMEM((2, ext * he8, wp), jnp.int32),
+            pltpu.VMEM((2, ext * he8, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(

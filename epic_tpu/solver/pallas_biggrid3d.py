@@ -74,18 +74,22 @@ def _round_up(x: int, m: int) -> int:
 
 def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 2):
     """Pick (band, k) in PLANES for a volume: the deepest K <= chunk_depth
-    whose extended band fits HALF the VMEM cell budget (the double-buffered
+    whose extended band fits the per-slot VMEM budget (the double-buffered
     DMA kernel holds two extended slots), halo <= half the extended band,
     planes spread evenly over the bands.
 
-    Default chunk_depth = 2 with 16-plane extended bands at 256^2 planes:
-    the double-buffered scan (tools/tpu_probe20.py) measured 49.0 G
-    visits/s (24.5 G updates/s, reproducible to 0.2%) for b12_k2 vs 47.2
-    (b28_k2), 45.3 (b24_k4) and 29.0 (k=1 — per-sweep writeback dominates);
-    the single-buffered probe18 numbers topped out at 38."""
+    The per-slot budget is BYTES-aware: with the frozen mask stored as
+    int8 a slot pair costs 5 B/cell instead of 8, so the cell budget is
+    EXT_BAND_CELL_BUDGET * 4/5 per slot (= the same bytes the int32-mask
+    kernel proved safe). The round-3 on-chip scan at 256³ (int8 masks,
+    /tmp-era scan recorded in BENCH_NOTES "Round 3"): b20_k2 30.7 G
+    updates/s vs b12_k2 29.3, b28_k2 25.1, b24_k4 24.4 — the deeper band
+    the relaxed budget admits is the win; deeper K loses to volumetric
+    halo redundancy. (Round-2 int32 scan history: tools/attic/tpu_probe20
+    — b12_k2 24.5 G vs b28_k2 23.6, b24_k4 22.7, k=1 14.5.)"""
     d, h, w = shape
     plane = _round_up(h, 8) * _round_up(w, 128)
-    ext_max = max(3, (EXT_BAND_CELL_BUDGET // 2) // plane)
+    ext_max = max(3, (EXT_BAND_CELL_BUDGET * 4 // 5) // plane)
     k = max(1, min(chunk_depth, ext_max // 4))
     band_max = max(1, ext_max - 2 * k)
     nb = -(-d // band_max)
@@ -116,7 +120,9 @@ def _band3d_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
     rows = ext * hp
     t0 = it_ref[0]
     u0 = u_ref[:]
-    not_frozen = f_ref[:] == 0
+    # frozen rides HBM/VMEM as int8 (4x less mask DMA); Mosaic v5e rejects
+    # int8 vector COMPARES, so widen before testing.
+    not_frozen = f_ref[:].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
     local_plane = local_row // hp
@@ -262,7 +268,9 @@ def _band3d_kernel_dma(it_ref, u_hbm, f_hbm, u_out, delta_ref,
 
     t0 = it_ref[0]
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
     local_plane = local_row // hp
@@ -328,7 +336,7 @@ def sweep_chunk_dma(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext * hp, wp), jnp.float32),
-            pltpu.VMEM((2, ext * hp, wp), jnp.int32),
+            pltpu.VMEM((2, ext * hp, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -346,7 +354,7 @@ def sweep_chunk_dma(
 @dataclasses.dataclass(frozen=True)
 class BandedVolume:
     u: jax.Array          # f32[(k + nb*band + k)*hp, Wp]
-    frozen: jax.Array     # int32 same shape
+    frozen: jax.Array     # int8 same shape (4x less DMA per chunk)
     depth: int = dataclasses.field(metadata=dict(static=True))
     height: int = dataclasses.field(metadata=dict(static=True))
     width: int = dataclasses.field(metadata=dict(static=True))
@@ -383,11 +391,12 @@ def _pad_arrays(u, locked, d: int, h: int, w: int, dp: int, hp: int,
     up = jax.lax.dynamic_update_slice(up, u3, (k * hp, 0))
     frozen3 = jnp.pad(
         locked, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=True
-    ).astype(jnp.int32).reshape(d * hp, wp)
-    frozen = jnp.ones((dp * hp, wp), dtype=jnp.int32)
+    ).astype(jnp.int8).reshape(d * hp, wp)
+    frozen = jnp.ones((dp * hp, wp), dtype=jnp.int8)
     frozen = jax.lax.dynamic_update_slice(frozen, frozen3, (k * hp, 0))
     interior = box_mask((dp, hp, wp), (k + 1, 1, 1), (k + d - 1, h - 1, w - 1))
-    frozen = jnp.where(interior.reshape(dp * hp, wp), frozen, 1)
+    frozen = jnp.where(interior.reshape(dp * hp, wp), frozen,
+                       jnp.int8(1))
     return up, frozen
 
 

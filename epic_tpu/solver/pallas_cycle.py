@@ -709,7 +709,9 @@ def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
 
     t0 = it_ref[0] + c * k
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
     local_plane = local_row // hp
@@ -797,7 +799,7 @@ def sweep_cycle3d(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext * hp, wp), jnp.float32),
-            pltpu.VMEM((2, ext * hp, wp), jnp.int32),
+            pltpu.VMEM((2, ext * hp, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -871,11 +871,13 @@ def sharded_banded(q, size=4096, steps=8192):
 
 
 @experiment("sharded3d-banded", "Scaling across devices")
-def sharded3d_banded(q, shape=(128, 512, 512), steps=1024):
+def sharded3d_banded(q, shape=(256, 256, 256), steps=1024):
     """The 3D beyond-VMEM per-shard Pallas path (shard_map + plane-banded
     DMA kernel) on a 1x1 mesh over the real chip — the on-chip twin of the
     virtual-mesh sharded3d tests; gate = equality vs the unsharded banded
-    volume kernel."""
+    volume kernel. 256³ is the banded kernel's home regime (small planes,
+    band 12 — mid-plane shapes degenerate the layout to band 1 and its 5x
+    redundancy: 3.78 G at 128x512x512, recorded in probe_r3c.jsonl)."""
     import jax
 
     from epic_tpu.parallel import make_mesh, sharded3d
