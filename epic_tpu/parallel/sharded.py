@@ -216,7 +216,9 @@ def _band_shard_kernel(scal_ref, u_hbm, f_hbm, u_out, delta_ref,
     row0 = scal_ref[1]
     col0 = scal_ref[2]
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     lr = jax.lax.broadcasted_iota(jnp.int32, (ext, wp), 0)
     lc = jax.lax.broadcasted_iota(jnp.int32, (ext, wp), 1)
     parity = (lr + i * band + row0 + lc + col0) % 2
@@ -258,16 +260,23 @@ def _sweep_k_local_banded(u_ext, frozen_ext, it0, row0, col0, num_sweeps, k,
     h_loc = he - 2 * k
     w_loc = we - 2 * k
     wp = _round_up(we, 128)
+    # int8 masks admit deeper bands, but only high-redundancy layouts
+    # gain from them (see solver.pallas_biggrid.choose_layout).
     ext_max = max(32, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
     band_max = max(8, ext_max - 2 * k)
     nb = -(-h_loc // band_max)
     band = _round_up(-(-h_loc // nb), 8)
+    if 2 * k / band > 0.12:
+        ext_max = max(32, (EXT_BAND_CELL_BUDGET * 8 // 5 // wp) // 8 * 8)
+        band_max = max(8, ext_max - 2 * k)
+        nb = -(-h_loc // band_max)
+        band = _round_up(-(-h_loc // nb), 8)
     hp = nb * band + 2 * k
     ext = band + 2 * k
 
     u_pad = jnp.pad(u_ext, ((0, hp - he), (0, wp - we)),
                     constant_values=np.float32(C.LOG_SPACE_OBSTACLE))
-    f_pad = jnp.pad(frozen_ext.astype(jnp.int32), ((0, hp - he), (0, wp - we)),
+    f_pad = jnp.pad(frozen_ext.astype(jnp.int8), ((0, hp - he), (0, wp - we)),
                     constant_values=1)
     scal = jnp.stack([it0, row0, col0]).astype(jnp.int32)
     vma = frozenset({"my", "mx"})
@@ -290,7 +299,7 @@ def _sweep_k_local_banded(u_ext, frozen_ext, it0, row0, col0, num_sweeps, k,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext, wp), jnp.float32),
-            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.VMEM((2, ext, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -60,13 +60,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
-    """Pick (band, k) for a grid: the deepest K <= chunk_depth whose extended
-    band fits the VMEM budget, with rows spread evenly over the bands so
-    padding waste stays below one sublane tile per band."""
-    h, w = shape
-    wp = _round_up(w, 128)
-    ext_max = max(32, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
+def _layout_for(ext_max: int, h: int, chunk_depth: int):
     k = min(chunk_depth, ext_max // 4)  # at most half the band is halo
     # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. a multiple of 4
     # (k=20 gives stagger-100 solve cycles exactly 5 chunks).
@@ -77,6 +71,30 @@ def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
     return max(8, band), k
 
 
+def choose_layout(shape: tuple[int, int], chunk_depth: int = 16):
+    """Pick (band, k) for a grid: the deepest K <= chunk_depth whose extended
+    band fits the VMEM budget, with rows spread evenly over the bands so
+    padding waste stays below one sublane tile per band.
+
+    int8 mask slots cost 5 B/cell vs the int32 era's 8, so the proven
+    scoped-VMEM bytes could admit 8/5 the band rows — but deeper bands
+    only PAY where the old layout's halo redundancy was high (round-3
+    on-chip A/B: 16384² 41.2 vs 38.3 G and 8192² 44.4 vs 43.6 G for the
+    deeper band, while 2048²/4096² LOST 4-5% — at low redundancy the
+    larger DMA slices degrade double-buffer overlap before the ~2%
+    redundancy saving pays, the same effect the tiled3d slab scan hit).
+    The budget therefore extends only when the proven-size layout spends
+    more than ~12% of its traffic on halos."""
+    h, w = shape
+    wp = _round_up(w, 128)
+    ext_max = max(32, (EXT_BAND_CELL_BUDGET // wp) // 8 * 8)
+    band, k = _layout_for(ext_max, h, chunk_depth)
+    if 2 * k / band > 0.12:
+        ext_max = max(32, (EXT_BAND_CELL_BUDGET * 8 // 5 // wp) // 8 * 8)
+        band, k = _layout_for(ext_max, h, chunk_depth)
+    return band, k
+
+
 def _band_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
                  *, num_sweeps, band, k, w):
     """K guarded sweeps on one extended band of the stacked layout."""
@@ -84,7 +102,9 @@ def _band_kernel(it_ref, u_ref, f_ref, u_out, delta_ref,
     ext = band + 2 * k
     t0 = it_ref[0]
     u0 = u_ref[:]
-    not_frozen = f_ref[:] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_ref[:].astype(jnp.int32) == 0
     # Global row of extended-local row r is i*band - k + r (guard rows make
     # every index valid in the padded array). Parity needs the global row.
     local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
@@ -221,7 +241,7 @@ def _band_kernel_dma_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
 
     t0 = it_ref[0]
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
     parity = (local_row + i * band - k + col) % 2
@@ -302,7 +322,7 @@ def sweep_chunk_dma_check(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext, wp), jnp.float32),
-            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.VMEM((2, ext, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -357,7 +377,7 @@ def sweep_chunk_dma(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext, wp), jnp.float32),
-            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.VMEM((2, ext, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -388,10 +408,11 @@ def _pad_arrays(u, locked, h: int, w: int, hp: int, wp: int, k: int):
     # transients (see solver/_padding.py).
     up = jnp.full((hp, wp), np.float32(C.LOG_SPACE_OBSTACLE))
     up = up.at[k : k + h, :w].set(u)
-    frozen = jnp.ones((hp, wp), dtype=jnp.int32)
-    frozen = frozen.at[k : k + h, :w].set(locked.astype(jnp.int32))
+    frozen = jnp.ones((hp, wp), dtype=jnp.int8)
+    frozen = frozen.at[k : k + h, :w].set(locked.astype(jnp.int8))
     frozen = jnp.where(
-        box_mask((hp, wp), (k + 1, 1), (k + h - 1, w - 1)), frozen, 1)
+        box_mask((hp, wp), (k + 1, 1), (k + h - 1, w - 1)), frozen,
+        jnp.int8(1))
     return up, frozen
 
 

@@ -136,7 +136,9 @@ def _cycle_kernel_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, u1_ref,
 
     t0 = it_ref[0] + c * k
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
     parity = (local_row + i * band - k + col) % 2
@@ -243,7 +245,7 @@ def sweep_cycle(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext, wp), jnp.float32),
-            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.VMEM((2, ext, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -312,7 +314,7 @@ def sweep_cycle_check(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ext, wp), jnp.float32),
-            pltpu.VMEM((2, ext, wp), jnp.int32),
+            pltpu.VMEM((2, ext, wp), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((band, wp), jnp.float32),
@@ -435,7 +437,9 @@ def _cycle_kernel_tiled_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 
     t0 = it_ref[0] + c * k
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 0)
     local_col = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 1)
     parity = (local_row + local_col + i * band + j * wt + k) % 2
@@ -926,7 +930,9 @@ def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 
     t0 = it_ref[0] + c * k
     u0 = u_vmem[slot]
-    not_frozen = f_vmem[slot] == 0
+    # int8 mask widened before the compare (Mosaic v5e rejects int8
+    # vector compares, not int8 DMAs).
+    not_frozen = f_vmem[slot].astype(jnp.int32) == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, wext), 0)
     lx = jax.lax.broadcasted_iota(jnp.int32, (rows, wext), 1)
     lz = local_row // yext

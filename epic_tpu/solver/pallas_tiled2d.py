@@ -163,6 +163,10 @@ def _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
 
     t0 = it_ref[0]
     u0 = u_vmem[slot]
+    # Masks stay int32 on the TILED path: int8 slabs measured ~3%
+    # SLOWER on chip (strided int8 row copies pay more DMA overhead per
+    # byte) and the slab budget cannot grow anyway — int8 pays only on
+    # the contiguous banded kernels (see pallas_biggrid).
     not_frozen = f_vmem[slot] == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 0)
     local_col = jax.lax.broadcasted_iota(jnp.int32, (ext_r, wext), 1)

@@ -84,6 +84,12 @@ def tile_layouts(shape: tuple[int, int, int], chunk_depth: int = 2):
                     if wt > _round_up(w, 128):
                         continue
                     wext = wt + 2 * _HX
+                    # int8 masks would admit 8/5 the slab cells in the same
+                    # scoped-VMEM bytes, but the bigger slabs measured
+                    # SLOWER on chip despite lower redundancy (18.2 vs
+                    # 19.9 G at 32x2048x2048, band 16 vs 8 — DMA overlap
+                    # degrades before the redundancy saving pays), so the
+                    # cell cap stays at the proven slab size.
                     if ext_z * yext * wext > EXT_BAND_CELL_BUDGET:
                         continue
                     red = (ext_z / band) * (yext / yt) * (wext / wt)
@@ -172,6 +178,9 @@ def _tile3d_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,
 
     t0 = it_ref[0]
     u0 = u_vmem[slot]
+    # Masks stay int32 on the TILED path: int8 slabs measured ~1-3%
+    # slower on chip (strided int8 row copies); int8 pays only on the
+    # contiguous banded kernels (see pallas_biggrid3d).
     not_frozen = f_vmem[slot] == 0
     local_row = jax.lax.broadcasted_iota(jnp.int32, (rows, wext), 0)
     lx = jax.lax.broadcasted_iota(jnp.int32, (rows, wext), 1)
@@ -339,7 +348,7 @@ def sweep_chunk_tiled3d_check(
 @dataclasses.dataclass(frozen=True)
 class TiledVolume:
     u: jax.Array          # f32[(nb*band + 2k) * (ny*yt + 2*_HY), nx*wt + 2*_HX]
-    frozen: jax.Array     # int32 same shape
+    frozen: jax.Array     # int32 same shape (int8 slabs measured slower)
     depth: int = dataclasses.field(metadata=dict(static=True))
     height: int = dataclasses.field(metadata=dict(static=True))
     width: int = dataclasses.field(metadata=dict(static=True))
