@@ -480,10 +480,11 @@ def _update_n_sharded(
                     "the banded per-shard kernel needs a plane-sharded mesh "
                     "(z resident); z-sharded meshes use 'pallas'/'xla'")
             # The double-buffered extended slot ((band + 2*depth) planes)
-            # must fit the scoped-VMEM budget even at band=1.
+            # must fit the scoped-VMEM budget even at band=1 (int8 mask
+            # slots: 5 B/cell per slot pair vs the int32 era's 8).
             plane = (_round_up(h_loc + 2 * depth, 8)
                      * _round_up(w_loc + 2 * depth, 128))
-            depth_max = max(1, ((EXT_BAND_CELL_BUDGET // 2) // plane - 1) // 2)
+            depth_max = max(1, ((EXT_BAND_CELL_BUDGET * 4 // 5) // plane - 1) // 2)
             depth = max(1, min(depth, depth_max))
         frozen_full = _exchange_frozen_k(frozen_loc, mesh, depth)
 

@@ -871,13 +871,15 @@ def sharded_banded(q, size=4096, steps=8192):
 
 
 @experiment("sharded3d-banded", "Scaling across devices")
-def sharded3d_banded(q, shape=(256, 256, 256), steps=1024):
+def sharded3d_banded(q, shape=(256, 256, 256), steps=1024, depths=(2, 4, 8)):
     """The 3D beyond-VMEM per-shard Pallas path (shard_map + plane-banded
     DMA kernel) on a 1x1 mesh over the real chip — the on-chip twin of the
     virtual-mesh sharded3d tests; gate = equality vs the unsharded banded
-    volume kernel. 256³ is the banded kernel's home regime (small planes,
-    band 12 — mid-plane shapes degenerate the layout to band 1 and its 5x
-    redundancy: 3.78 G at 128x512x512, recorded in probe_r3c.jsonl)."""
+    volume kernel. 256³ is the banded kernel's home regime (small planes —
+    mid-plane shapes degenerate the layout: 3.78 G at 128x512x512,
+    probe_r3c.jsonl). Scans the exchange chunk depth: the halo exchange +
+    banded repad amortize over k sweeps, so deeper chunks trade kernel
+    trapezoid redundancy against per-chunk copy traffic."""
     import jax
 
     from epic_tpu.parallel import make_mesh, sharded3d
@@ -886,25 +888,29 @@ def sharded3d_banded(q, shape=(256, 256, 256), steps=1024):
     interp = _interpret()
     kern = "pallas_banded_interpret" if interp else "pallas_banded"
     if q:
-        shape, steps = (12, 16, 64), 8
+        shape, steps, depths = (12, 16, 64), 8, (2, 4)
     u, locked = _vol_np(*shape)
     mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
-    out_s = sharded3d.update_n(_state(u, locked), steps, mesh,
-                               chunk_depth=2, kernel=kern)
     out_b = b3.update_n(_state(u, locked), steps)
-    d = _device_max_abs_diff(out_s.u, out_b.u)
-    assert d == 0.0, d
-    st = _state(u, locked)
-    _stage(st)
-    t0 = time.perf_counter()
-    out_s = sharded3d.update_n(st, steps, mesh, chunk_depth=2, kernel=kern)
-    checksum = float(out_s.delta)  # scalar program output = barrier
-    dt = time.perf_counter() - t0
-    cells = int(np.prod(shape))
+    rows = []
+    for depth in depths:
+        out_s = sharded3d.update_n(_state(u, locked), steps, mesh,
+                                   chunk_depth=depth, kernel=kern)
+        d = _device_max_abs_diff(out_s.u, out_b.u)
+        assert d == 0.0, (depth, d)
+        st = _state(u, locked)
+        _stage(st)
+        t0 = time.perf_counter()
+        out_s = sharded3d.update_n(st, steps, mesh, chunk_depth=depth,
+                                   kernel=kern)
+        checksum = float(out_s.delta)  # scalar program output = barrier
+        dt = time.perf_counter() - t0
+        cells = int(np.prod(shape))
+        rows.append(dict(depth=depth,
+                         g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                         checksum=checksum))
     return dict(shape="x".join(map(str, shape)), steps=steps, mesh="1x1",
-                kernel=kern, max_abs_diff_vs_biggrid3d=d,
-                g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
-                checksum=checksum)
+                kernel=kern, rows=rows)
 
 
 # ---------------------------------------------------------------------------
