@@ -81,8 +81,8 @@ def choose_layout(shape: tuple[int, int, int], chunk_depth: int = 2):
     The per-slot budget is BYTES-aware: with the frozen mask stored as
     int8 a slot pair costs 5 B/cell instead of 8, so the cell budget is
     EXT_BAND_CELL_BUDGET * 4/5 per slot (= the same bytes the int32-mask
-    kernel proved safe). The round-3 on-chip scan at 256³ (int8 masks,
-    /tmp-era scan recorded in BENCH_NOTES "Round 3"): b20_k2 30.7 G
+    kernel proved safe). The round-3 on-chip scan at 256³ with int8 masks
+    (BENCH_NOTES "int8 frozen masks"): b20_k2 30.7 G
     updates/s vs b12_k2 29.3, b28_k2 25.1, b24_k4 24.4 — the deeper band
     the relaxed budget admits is the win; deeper K loses to volumetric
     halo redundancy. (Round-2 int32 scan history: tools/attic/tpu_probe20
