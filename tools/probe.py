@@ -827,6 +827,63 @@ def wideplane_update(q, shape=(32, 2048, 2048), steps=1024):
     return res
 
 
+@experiment("wideplane-solve", "Wide-plane volumes (z-band x y x x tiles)")
+def wideplane_solve(q, shape=(32, 2048, 2048), cap=1000):
+    """Wide-plane 3D solve protocol (check-chunk + cycle-fill through
+    sweep_cycle_tiled3d) — capped so one while-loop dispatch stays under
+    the remote-worker watchdog."""
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    if q:
+        shape, cap = (8, 256, 512), 200
+    u, locked = _vol_np(*shape)
+    out = t3.solve(_state(u, locked), max_iterations=cap)  # warm
+    iters = int(out.iteration)
+    reps = 1 if q else 2
+    best = None
+    for _ in range(reps):
+        st = _state(u, locked)
+        _stage(st)
+        t0 = time.perf_counter()
+        out = t3.solve(st, max_iterations=cap)
+        checksum = float(out.delta) + int(out.iteration)
+        dt = time.perf_counter() - t0
+        assert int(out.iteration) == iters
+        if best is None or dt < best:
+            best = dt
+    cells = np.prod(shape)
+    return dict(shape="x".join(map(str, shape)), iterations=iters,
+                converged=bool(out.converged), reps=reps,
+                g_updates_per_s=round(cells / 2 * iters / best / 1e9, 2),
+                checksum=checksum)
+
+
+@experiment("tunnel-rates", "Tunnel transfer rates (measurement hazard)")
+def tunnel_rates(q, mb=256):
+    """H2D / D2H bandwidth through the tunnel (the numbers that set the
+    staging discipline: round-2 measured 41/14 MB/s; the round-3 staging
+    artifacts implied ~100 MB/s effective H2D — pin it)."""
+    import jax
+    import jax.numpy as jnp
+
+    if q:
+        mb = 2
+    n = mb * 1024 * 1024 // 4
+    x = np.random.default_rng(0).random(n, np.float32)
+    # H2D: device_put + data-dependent readback barrier.
+    jax.device_put(x[: 1024]).block_until_ready()  # warm the path
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    float(np.asarray(jnp.sum(d[:1])))  # tiny data-dependent barrier
+    h2d = mb / (time.perf_counter() - t0)
+    # D2H: full readback.
+    t0 = time.perf_counter()
+    back = np.asarray(d)
+    d2h = mb / (time.perf_counter() - t0)
+    assert back[0] == x[0] and back[-1] == x[-1]
+    return dict(mb=mb, h2d_mb_per_s=round(h2d, 1), d2h_mb_per_s=round(d2h, 1))
+
+
 # ---------------------------------------------------------------------------
 # multi-chip composition (single chip: validates compile + rate of the
 # shard_map + banded-DMA path; equivalence vs the unsharded kernel)
@@ -921,10 +978,10 @@ def sharded3d_banded(q, shape=(256, 256, 256), steps=1024, depths=(2, 4, 8)):
 # so a worker OOM there cannot poison the rest of the battery (the first
 # r3 battery lost 8 experiments to exactly that cascade).
 BATTERY = [
-    "maze-chunk", "maze-solve", "batched-solve", "batched-map",
-    "vol-update", "vol-solve", "wideplane-update", "biggrid-update",
-    "biggrid-solve", "solve-body-iso", "sharded-banded", "sharded3d-banded",
-    "tiled-solve", "tiled-update",
+    "tunnel-rates", "maze-chunk", "maze-solve", "batched-solve",
+    "batched-map", "vol-update", "vol-solve", "wideplane-update",
+    "wideplane-solve", "biggrid-update", "biggrid-solve", "solve-body-iso",
+    "sharded-banded", "sharded3d-banded", "tiled-solve", "tiled-update",
 ]
 
 
