@@ -329,8 +329,11 @@ def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
     cycle); capped so one while-loop dispatch stays under the remote-worker
     watchdog. Reports iterations + rate; iteration count must be ≡ 1 mod
     stagger on a converged exit. Entries may carry a third element — the
-    chunk depth k (k=20 divides stagger 100 into exactly 5 chunks, killing
-    the per-cycle 4-sweep remainder dispatch the k=16 layout pays)."""
+    chunk depth k. (k=20 would divide stagger 100 into exactly 5 chunks,
+    killing the per-cycle 4-sweep remainder the k=16 layout pays, but the
+    check-cycle kernel slices at k-row offsets and Mosaic cannot prove
+    8-divisibility for k=20 — compile fails; the remainder costs ~1-2%
+    in-program, so k stays 16.)"""
     from epic_tpu.solver import pallas_biggrid as bg
 
     interp = _interpret()
