@@ -395,7 +395,7 @@ def sweep_chunk_dma(
 @dataclasses.dataclass(frozen=True)
 class BandedGrid:
     u: jax.Array          # f32[k + nb*band + k, Wp]
-    frozen: jax.Array     # int32 same shape
+    frozen: jax.Array     # int8 same shape (4x less mask DMA)
     height: int = dataclasses.field(metadata=dict(static=True))
     width: int = dataclasses.field(metadata=dict(static=True))
     band: int = dataclasses.field(metadata=dict(static=True))
