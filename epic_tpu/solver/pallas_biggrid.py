@@ -62,8 +62,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _layout_for(ext_max: int, h: int, chunk_depth: int):
     k = min(chunk_depth, ext_max // 4)  # at most half the band is halo
-    # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. a multiple of 4
-    # (k=20 gives stagger-100 solve cycles exactly 5 chunks).
+    # k needs 2k ≡ 0 (mod 8) for sublane alignment, i.e. a multiple of 4.
+    # (k=20 would make stagger-100 cycles exactly 5 chunks, but the
+    # check-cycle kernel slices at k-row offsets and Mosaic cannot prove
+    # 8-divisibility for k=20 — it fails to compile; k stays 16.)
     k = max(8, k // 4 * 4)
     band_max = ext_max - 2 * k
     nb = -(-h // band_max)
@@ -149,7 +151,7 @@ def sweep_chunk_bands(
 ):
     """num_sweeps (<= k) sweeps over the guard-padded grid.
 
-    u_pad: f32[k + nb*band + k, Wp]; frozen_ext: int32[nb*(band+2k), Wp],
+    u_pad: f32[k + nb*band + k, Wp]; frozen_ext: int8[nb*(band+2k), Wp],
     the pre-stacked mask from :func:`stack_frozen` (guard rows, boundary
     ring, and alignment padding frozen).
 
