@@ -177,7 +177,7 @@ def sweep_chunk_bands(
 ):
     """num_sweeps (<= k) 3D sweeps over the guard-padded flat volume.
 
-    u_pad: f32[(k + nb*band + k)*hp, Wp]; frozen_ext: int32 pre-stacked mask
+    u_pad: f32[(k + nb*band + k)*hp, Wp]; frozen_ext: int8 pre-stacked mask
     from :func:`stack_frozen`. Returns (u_pad', delta of the chunk's first
     sweep). Guard planes pass through untouched.
     """
