@@ -312,7 +312,12 @@ def _solve_padded(
         # the reference's post-check-sweep state and iteration ≡ 1 (mod
         # stagger) — harmonic_cpu.cpp:158-173. Halves the round-2 while-body
         # overhead (a dedicated 1-sweep check chunk + cond branch cost ~40%
-        # of the maze solve's wall clock).
+        # of the maze solve's wall clock). A round-3 experiment ran a
+        # speculative SECOND cycle per while iteration under lax.cond to
+        # halve the while sync count: no measured gain (329.8k vs 328.4k
+        # sweeps/s on maze) — the ~59 µs/cycle residual vs the open chain
+        # is per-cycle cost (check-kernel u1 writeback + the exit selects),
+        # not while_loop sync, so the simple body stays.
         u_k, u1, delta = sweep_chunk_check.__wrapped__(
             u, frozen, iteration, stagger, interpret
         )

@@ -112,3 +112,26 @@ def test_sweep_chunk_check_matches_plain_chunks():
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u1_ref))
     np.testing.assert_array_equal(np.asarray(u_k), np.asarray(uk_ref))
     assert float(delta) == float(d_ref)
+
+
+@pytest.mark.parametrize("cap", [200, 250, 1000_000])
+def test_solve_speculative_double_cycle_matches_core(cap):
+    """The solve while-body runs a speculative second stagger cycle per
+    iteration (halves the while_loop sync count on maze-class grids);
+    trajectories must stay step-for-step identical to the single-cycle
+    protocol — including capped exits at non-multiple-of-2-cycle caps
+    (the body falls back to single-stepping near the cap)."""
+    import numpy as np
+
+    import epic_tpu
+    from epic_tpu import maps
+    from epic_tpu.solver import core, pallas_sweep as ps
+
+    img = maps.recursive_maze(48, 64, seed=9)
+    out_p = ps.solve(epic_tpu.from_occupancy_image(img, epsilon=1e-4),
+                     max_iterations=cap)
+    out_c = core.solve(epic_tpu.from_occupancy_image(img, epsilon=1e-4),
+                       max_iterations=cap)
+    assert int(out_p.iteration) == int(out_c.iteration)
+    assert bool(out_p.converged) == bool(out_c.converged)
+    np.testing.assert_array_equal(np.asarray(out_p.u), np.asarray(out_c.u))
