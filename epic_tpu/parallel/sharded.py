@@ -445,6 +445,11 @@ def _update_n_sharded(
             # DMA band slices need 2k rows per side sublane-aligned
             # (pallas_biggrid.choose_layout): exchange depth multiple of 4.
             depth = max(4, depth // 4 * 4)
+            if depth > min(h_loc, w_loc):
+                raise ValueError(
+                    "the banded per-shard kernel needs local shards of at "
+                    f"least 4 cells per axis (got {h_loc}x{w_loc}); use "
+                    "kernel='pallas' or 'xla' for such tiny shards")
         # The frozen mask is static within the call: exchange its halos ONCE
         # at full depth and slice for shallower remainder chunks, instead of
         # paying a ppermute pair per chunk.

@@ -502,7 +502,7 @@ def main() -> None:  # pragma: no cover - CLI
     ap.add_argument("--backend", default=defaults.solver.backend,
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--kernel", default=defaults.solver.kernel,
-                    choices=["masked", "packed"])
+                    choices=["masked"])
     ap.add_argument("--log-json", action="store_true",
                     help="emit structured JSON-lines logs")
     args = ap.parse_args()

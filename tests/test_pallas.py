@@ -116,11 +116,12 @@ def test_sweep_chunk_check_matches_plain_chunks():
 
 @pytest.mark.parametrize("cap", [200, 250, 1000_000])
 def test_solve_speculative_double_cycle_matches_core(cap):
-    """The solve while-body runs a speculative second stagger cycle per
-    iteration (halves the while_loop sync count on maze-class grids);
-    trajectories must stay step-for-step identical to the single-cycle
-    protocol — including capped exits at non-multiple-of-2-cycle caps
-    (the body falls back to single-stepping near the cap)."""
+    """The solve while-body runs ONE check-folded stagger cycle per
+    iteration (a speculative double-cycle body was measured and rejected —
+    commit ab7771e); trajectories must stay step-for-step identical to
+    core.solve, including capped exits at max_iterations values that are
+    not a multiple of the stagger cycle (the body single-steps the
+    remainder near the cap)."""
     import numpy as np
 
     import epic_tpu

@@ -177,6 +177,25 @@ def test_banded_multiband_nonaligned(mesh8):
     assert float(d_x) == float(d_b)
 
 
+def test_banded_tiny_shard_rejected(mesh8):
+    """Forcing kernel='pallas_banded' on shards shorter than the 4-cell
+    sublane-aligned exchange depth must raise a clear ValueError instead of
+    failing at trace time with a shape mismatch (auto-dispatch never routes
+    such tiny shards to the banded path)."""
+    img = maps.open_room(6, 8)  # 2x4 mesh -> 3x2 local shards
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh8, P("my", "mx"))
+    u, frozen = sharded._pad_for_mesh(st, mesh8)
+    u = jax.device_put(u, sh)
+    frozen = jax.device_put(frozen, sh)
+    with pytest.raises(ValueError, match="at least 4 cells"):
+        sharded._update_n_sharded(
+            u, frozen, st.iteration, mesh8, 4, 4, "pallas_banded_interpret"
+        )
+
+
 def test_banded_solve_matches_core(mesh8):
     """Full sharded solve through the banded per-shard kernel: protocol
     (iteration count) identical, field equal to the single-device solve."""
