@@ -614,7 +614,17 @@ def set_cells_resident(sh: ShardedGrid, xy, types) -> ShardedGrid:
 def update_n(state: GridState, num_steps: int, mesh: Mesh,
              chunk_depth: int = DEFAULT_CHUNK_DEPTH,
              kernel: str = "auto") -> GridState:
-    """Sharded anytime chunk; semantics of core.update_n on a device mesh."""
+    """Sharded anytime chunk; semantics of core.update_n on a device mesh.
+
+    kernel="resident" routes to the tile-pure guard-aligned layout
+    (:mod:`epic_tpu.parallel.resident`) — no per-chunk relayout copies;
+    width-gated for wide shards (resident.MIN_WIDTH)."""
+    if kernel in ("resident", "resident_interpret"):
+        from . import resident
+
+        return resident.update_n(
+            state, num_steps, mesh, chunk_depth,
+            interpret=True if kernel.endswith("_interpret") else None)
     h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, P("my", "mx"))
@@ -679,7 +689,16 @@ def solve(
     chunk_depth: int = DEFAULT_CHUNK_DEPTH,
     kernel: str = "auto",
 ) -> GridState:
-    """Sharded solve-to-convergence; protocol identical to core.solve."""
+    """Sharded solve-to-convergence; protocol identical to core.solve.
+
+    kernel="resident" keeps the whole while-loop inside shard_map on the
+    tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident`)."""
+    if kernel in ("resident", "resident_interpret"):
+        from . import resident
+
+        return resident.solve(
+            state, mesh, stagger, max_iterations, chunk_depth,
+            interpret=True if kernel.endswith("_interpret") else None)
     h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, P("my", "mx"))

@@ -538,7 +538,17 @@ def _update_n_sharded(
 def update_n(state: GridState, num_steps: int, mesh: Mesh,
              chunk_depth: int = DEFAULT_CHUNK_DEPTH,
              kernel: str = "auto") -> GridState:
-    """Sharded 3D anytime chunk; semantics of core.update_n on a mesh."""
+    """Sharded 3D anytime chunk; semantics of core.update_n on a mesh.
+
+    kernel="resident" routes to the tile-pure guard-aligned layout
+    (:mod:`epic_tpu.parallel.resident3d`) — no per-chunk relayout copies;
+    plane-sharded meshes with 8/128-aligned shards only."""
+    if kernel in ("resident", "resident_interpret"):
+        from . import resident3d
+
+        return resident3d.update_n(
+            state, num_steps, mesh, min(chunk_depth, 2),
+            interpret=True if kernel.endswith("_interpret") else None)
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, _spec(mesh))
@@ -601,7 +611,16 @@ def solve(
     max_iterations: int = 1_000_000,
     kernel: str = "auto",
 ) -> GridState:
-    """Sharded 3D solve-to-convergence; protocol identical to core.solve."""
+    """Sharded 3D solve-to-convergence; protocol identical to core.solve.
+
+    kernel="resident" keeps the whole while-loop inside shard_map on the
+    tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident3d`)."""
+    if kernel in ("resident", "resident_interpret"):
+        from . import resident3d
+
+        return resident3d.solve(
+            state, mesh, stagger, max_iterations,
+            interpret=True if kernel.endswith("_interpret") else None)
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, _spec(mesh))

@@ -930,6 +930,165 @@ def sharded_banded(q, size=4096, steps=8192):
                 checksum=checksum)
 
 
+@experiment("sharded-resident", "Scaling across devices")
+def sharded_resident(q, size=4096, steps=8192):
+    """The tile-pure resident shard layout (guard rows + 128-lane guard
+    tiles, ping-pong aliased-HBM per-shard kernel — VERDICT r3 items 1/4)
+    on a 1x1 mesh over the real chip, A/B against the banded shard path it
+    replaces at the same shard width; gate = bit-equality between the two
+    compositions (the virtual-mesh suite pins both to core)."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, sharded
+
+    interp = _interpret()
+    kern_b = "pallas_banded_interpret" if interp else "pallas_banded"
+    kern_r = "resident_interpret" if interp else "resident"
+    if q:
+        size, steps = 128, 16
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    out_b = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
+                             kernel=kern_b)
+    out_r = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
+                             kernel=kern_r)
+    d = _device_max_abs_diff(out_r.u, out_b.u)
+    assert d == 0.0, d
+    rows = []
+    for kern in (kern_b, kern_r):
+        st = _state(u, locked)
+        _stage(st)
+        t0 = time.perf_counter()
+        out = sharded.update_n(st, steps, mesh, chunk_depth=16, kernel=kern)
+        checksum = float(out.delta)  # scalar program output = barrier
+        dt = time.perf_counter() - t0
+        rows.append(dict(kernel=kern,
+                         g_updates_per_s=round(size * size / 2 * steps / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(size=size, steps=steps, mesh="1x1",
+                max_abs_diff_resident_vs_banded=d, rows=rows)
+
+
+@experiment("resident-iso", "Scaling across devices")
+def resident_iso(q, size=4096, steps=8192):
+    """Attribute the resident layout's residual vs the banded shard path:
+    run the resident chunk loop with (a) fresh-fill twins per chunk (the
+    cycle_fill pattern), (b) same but the guard exchange REPLACED by a
+    no-op (wrong results — times the 4 ppermute+DUS per chunk), (c) a
+    POSITIONALLY-STABLE carried pair running TWO chunks per fori body
+    (a->b then b->a, so both back-edge outputs alias their inputs and the
+    loop carries zero copies — the swapped-pair carry measured 34.7 G and
+    the fresh-fill body 37.8 vs banded 39.7). Rates are NOT
+    exactness-gated for (b); this is a diagnostic, not a product path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from epic_tpu.parallel import make_mesh, resident
+    from epic_tpu.parallel.sharded import _pad_for_mesh
+
+    interp = _interpret()
+    if q:
+        size, steps = 128, 16
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+
+    def program(no_exchange, paired):
+        @functools.partial(
+            jax.jit, static_argnames=("mesh", "num_steps", "interpret"),
+            donate_argnums=(0,),
+        )
+        def upd(uu, frozen, iteration, mesh, num_steps, interpret):
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P("my", "mx"), P("my", "mx"), P()),
+                out_specs=(P("my", "mx"), P()),
+                check_vma=not interpret,
+            )
+            def run(u_loc, frozen_loc, it0):
+                h_loc, w_loc = u_loc.shape
+                k, band, nb, hp, wg = resident._layout(h_loc, w_loc, 16)
+                row0, col0 = resident._origin(mesh, h_loc, w_loc, k)
+                u_a, f_res = resident._pad_resident(
+                    u_loc, frozen_loc, mesh, k, hp)
+
+                def chunk2(cur, alt, it):
+                    if not no_exchange:
+                        cur = resident._exchange_guards(
+                            cur, mesh, k, h_loc, w_loc)
+                    src, dst, d = resident._chunk_resident(
+                        cur, alt, f_res, it, row0, col0, k, band, k,
+                        h_loc, w_loc, interpret)
+                    return src, dst, d
+
+                def chunk(cur, it):
+                    alt = resident._fill_twin(hp, wg, interpret)
+                    _, dst, d = chunk2(cur, alt, it)
+                    return dst, d
+
+                if paired:
+                    u_b = resident._fill_twin(hp, wg, interpret)
+                    stale, cur, delta = chunk2(u_a, u_b, it0)
+
+                    def body(i, carry):
+                        a, b, it = carry
+                        # a = current, b = twin; two chunks keep the carry
+                        # positions stable (a2 aliases a, b2 aliases b).
+                        a_stale, b_new, _ = chunk2(a, b, it)
+                        b_stale, a2, _ = chunk2(b_new, a_stale, it + k)
+                        return a2, b_stale, it + 2 * k
+
+                    n2 = (num_steps // k - 1) // 2
+                    u_a, _, _ = jax.lax.fori_loop(
+                        0, n2, body, (cur, stale, it0 + k))
+                else:
+                    u_a, delta = chunk(u_a, it0)
+
+                    def body(i, carry):
+                        cur, it = carry
+                        cur, _ = chunk(cur, it)
+                        return cur, it + k
+
+                    u_a, _ = jax.lax.fori_loop(
+                        0, num_steps // k - 1, body, (u_a, it0 + k))
+                delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
+                out = jax.lax.slice(
+                    u_a, (k, resident.GC), (k + h_loc, resident.GC + w_loc))
+                return out, delta.reshape(1)
+
+            return run(uu, frozen, iteration)
+
+        return upd
+
+    rows = []
+    for name, no_ex, paired in (("full", False, False),
+                                ("no-exchange", True, False),
+                                ("paired", False, True)):
+        upd = program(no_ex, paired)
+        st = _state(u, locked)
+        uu, frozen = _pad_for_mesh(st, mesh)
+        sharding = NamedSharding(mesh, P("my", "mx"))
+        uu = jax.device_put(uu, sharding)
+        frozen = jax.device_put(frozen, sharding)
+        # warm
+        out, d = upd(uu, frozen, jnp.int32(0), mesh, steps, interp)
+        float(d[0])
+        uu2, frozen2 = _pad_for_mesh(_state(u, locked), mesh)
+        uu2 = jax.device_put(uu2, sharding)
+        frozen2 = jax.device_put(frozen2, sharding)
+        _stage(uu2, frozen2)
+        t0 = time.perf_counter()
+        out, d = upd(uu2, frozen2, jnp.int32(0), mesh, steps, interp)
+        checksum = float(d[0])
+        dt = time.perf_counter() - t0
+        rows.append(dict(variant=name,
+                         g_updates_per_s=round(size * size / 2 * steps / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(size=size, steps=steps, mesh="1x1", rows=rows)
+
+
 @experiment("sharded3d-banded", "Scaling across devices")
 def sharded3d_banded(q, shape=(256, 256, 256), steps=1024, depths=(2, 4, 8)):
     """The 3D beyond-VMEM per-shard Pallas path (shard_map + plane-banded
@@ -973,6 +1132,77 @@ def sharded3d_banded(q, shape=(256, 256, 256), steps=1024, depths=(2, 4, 8)):
                 kernel=kern, rows=rows)
 
 
+@experiment("sharded3d-resident", "Scaling across devices")
+def sharded3d_resident(q, shape=(256, 256, 256), steps=1024,
+                       wide_shape=(64, 1024, 1024), wide_steps=256):
+    """The tile-pure resident 3D shard layout (VERDICT r3 item 1) on a 1x1
+    mesh over the real chip: A/B against the banded 3D shard path at 256³
+    (its home regime, 9.9 G in round 3), and alone at a 1k-wide shard
+    (where plane-banding cannot compile — probe24 wall — and round 3 had
+    no Pallas composition at all); gates = bit-equality vs the banded
+    composition / the unsharded tiled3d kernel."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, resident3d, sharded3d
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    interp = _interpret()
+    kern_b = "pallas_banded_interpret" if interp else "pallas_banded"
+    if q:
+        shape, steps = (12, 16, 128), 8
+        wide_shape, wide_steps = (8, 16, 256), 4
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    rows = []
+
+    u, locked = _vol_np(*shape)
+    out_b = sharded3d.update_n(_state(u, locked), steps, mesh,
+                               chunk_depth=2, kernel=kern_b)
+    out_r = resident3d.update_n(_state(u, locked), steps, mesh)
+    d = _device_max_abs_diff(out_r.u, out_b.u)
+    assert d == 0.0, d
+    cells = int(np.prod(shape))
+    for name, fn in (
+        ("banded", lambda st: sharded3d.update_n(st, steps, mesh,
+                                                 chunk_depth=2,
+                                                 kernel=kern_b)),
+        ("resident", lambda st: resident3d.update_n(st, steps, mesh)),
+    ):
+        st = _state(u, locked)
+        _stage(st)
+        t0 = time.perf_counter()
+        out = fn(st)
+        checksum = float(out.delta)  # scalar program output = barrier
+        dt = time.perf_counter() - t0
+        rows.append(dict(shape="x".join(map(str, shape)), kernel=name,
+                         steps=steps,
+                         g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                         checksum=checksum))
+
+    # Wide shard: no banded composition exists; gate vs unsharded tiled3d.
+    uw, lockedw = _vol_np(*wide_shape)
+    out_t = t3.update_n(_state(uw, lockedw), wide_steps)
+    out_r = resident3d.update_n(_state(uw, lockedw), wide_steps, mesh)
+    dw = _device_max_abs_diff(out_r.u, out_t.u)
+    assert dw == 0.0, dw
+    cellsw = int(np.prod(wide_shape))
+    for name, fn in (
+        ("tiled3d-unsharded", lambda st: t3.update_n(st, wide_steps)),
+        ("resident", lambda st: resident3d.update_n(st, wide_steps, mesh)),
+    ):
+        st = _state(uw, lockedw)
+        _stage(st)
+        t0 = time.perf_counter()
+        out = fn(st)
+        checksum = float(out.delta)
+        dt = time.perf_counter() - t0
+        rows.append(dict(shape="x".join(map(str, wide_shape)), kernel=name,
+                         steps=wide_steps,
+                         g_updates_per_s=round(cellsw / 2 * wide_steps / dt / 1e9, 2),
+                         checksum=checksum))
+    return dict(mesh="1x1", max_abs_diff_vs_banded=d,
+                max_abs_diff_wide_vs_tiled3d=dw, rows=rows)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -984,7 +1214,8 @@ BATTERY = [
     "tunnel-rates", "maze-chunk", "maze-solve", "batched-solve",
     "batched-map", "vol-update", "vol-solve", "wideplane-update",
     "wideplane-solve", "biggrid-update", "biggrid-solve", "solve-body-iso",
-    "sharded-banded", "sharded3d-banded", "tiled-solve", "tiled-update",
+    "sharded-banded", "sharded-resident", "sharded3d-banded",
+    "tiled-solve", "tiled-update",
 ]
 
 
