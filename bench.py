@@ -53,9 +53,14 @@ def main() -> None:
          dict(sizes=(4096,))),
         ("biggrid_solve_4096", probe.biggrid_solve,
          dict(sizes=((4096, 10000),))),
+        ("biggrid_converged_4096", probe.biggrid_converge, {}),
         ("batched_solve", probe.batched_solve, {}),
+        ("batched_goals", probe.batched_goals, {}),
         ("vol_update_256", probe.vol_update, {}),
+        ("vol_solve_256", probe.vol_solve, {}),
         ("sharded_banded_4096", probe.sharded_banded, {}),
+        ("sharded_resident_4096", probe.sharded_resident, {}),
+        ("sharded3d_resident", probe.sharded3d_resident, {}),
     ):
         try:
             detail[key] = fn(q, **kw)

@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
+from ._padding import box_mask
 from .pallas_sweep import _VMEM_LIMIT, make_sweep_fn
 
 # Per-block cell budget: the kernel materializes ~8 block-sized f32
@@ -413,6 +414,149 @@ def solve_batch_device(
         wp,
         meta["block_rows"],
         interpret,
+    )
+    return (
+        unstack(u_out, meta),
+        np.asarray(iters)[:b],
+        np.asarray(deltas)[:b],
+        np.asarray(retired)[:b],
+    )
+
+
+def batch_meta(b: int, h: int, w: int,
+               group_shape: tuple[int, int] | None = None):
+    """The collage layout for B (h x w) lanes, data-free (pad_batch's
+    geometry only — shared by the goal-delta builder below)."""
+    if h % 2:
+        raise ValueError("map height must be even for collage batching")
+    wp = _round_up(w, 128)
+    hp8 = _round_up(h, 8)
+    if group_shape is None:
+        gpc = max(1, min(b, 1024 // wp)) if wp <= 1024 else 1
+        per_col_cells = hp8 * gpc * wp
+        gpr = max(1, BLOCK_CELL_BUDGET // per_col_cells)
+        group_shape = (gpr, gpc)
+    gpr, gpc = group_shape
+    per_group = gpr * gpc
+    n_blocks = -(-b // per_group)
+    return dict(b=b, h=h, w=w, hp8=hp8, wp=wp, gpr=gpr, gpc=gpc,
+                n_blocks=n_blocks, block_rows=gpr * hp8, cols=gpc * wp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "h", "w", "hp8", "wp", "gpr", "gpc", "n_blocks"),
+)
+def _goal_batch_arrays(base_u, base_locked, goal_xy, obstacle_xy,
+                       b: int, h: int, w: int, hp8: int, wp: int,
+                       gpr: int, gpc: int, n_blocks: int):
+    """One device program: broadcast the base tile to every lane, scatter
+    the per-lane goal cells (u = 0, frozen) and extra obstacle cells
+    (u = -1e6, frozen), and fold into the collage layout. Negative /
+    out-of-range coordinates are dropped (ragged goal sets pad with -1)."""
+    n_lanes = n_blocks * gpr * gpc
+    fill = np.float32(C.LOG_SPACE_OBSTACLE)
+    u_tile = jnp.pad(base_u.astype(jnp.float32),
+                     ((0, hp8 - h), (0, wp - w)), constant_values=fill)
+    interior = box_mask((hp8, wp), (1, 1), (h - 1, w - 1))
+    f_pad = jnp.pad(base_locked.astype(jnp.int32),
+                    ((0, hp8 - h), (0, wp - w)), constant_values=1)
+    f_tile = jnp.where(interior, f_pad, 1)
+    u_t = jnp.broadcast_to(u_tile, (n_lanes, hp8, wp))
+    f_t = jnp.broadcast_to(f_tile, (n_lanes, hp8, wp))
+    # Padding lanes beyond b are fully frozen.
+    lane_ids = jnp.arange(n_lanes)[:, None, None]
+    f_t = jnp.where(lane_ids < b, f_t, 1)
+
+    def scatter(u_t, f_t, xy, value):
+        # xy: [b, G, 2] (x, y); a negative coordinate drops the pair.
+        # JAX array indexing WRAPS negative indices (a -1 pad would write
+        # the lane's far corner), so remap them to an always-OOB sentinel
+        # that mode="drop" discards.
+        oob = jnp.int32(1 << 30)
+        lanes = jnp.broadcast_to(jnp.arange(b)[:, None], xy.shape[:2])
+        bad = (xy[..., 0] < 0) | (xy[..., 1] < 0)
+        xs = jnp.where(bad, oob, xy[..., 0])
+        ys = jnp.where(bad, oob, xy[..., 1])
+        u_t = u_t.at[lanes, ys, xs].set(value, mode="drop")
+        f_t = f_t.at[lanes, ys, xs].set(1, mode="drop")
+        return u_t, f_t
+
+    if obstacle_xy is not None:
+        u_t, f_t = scatter(u_t, f_t, obstacle_xy, fill)
+    u_t, f_t = scatter(u_t, f_t, goal_xy, np.float32(C.LOG_SPACE_GOAL))
+    u_c = (u_t.reshape(n_blocks, gpr, gpc, hp8, wp)
+           .transpose(0, 1, 3, 2, 4)
+           .reshape(n_blocks * gpr * hp8, gpc * wp))
+    f_c = (f_t.reshape(n_blocks, gpr, gpc, hp8, wp)
+           .transpose(0, 1, 3, 2, 4)
+           .reshape(n_blocks * gpr * hp8, gpc * wp))
+    return u_c, f_c
+
+
+def make_goal_batch(
+    base_u,
+    base_locked,
+    goal_xy,
+    obstacle_xy=None,
+    group_shape: tuple[int, int] | None = None,
+):
+    """Collage for B scenarios SHARING one base grid, each lane with its
+    own goal set (and optional extra obstacles) — SURVEY §7 Phase 2's
+    (goal-mask, obstacle-delta) axes. The host uploads ONE (h x w) base
+    map plus index arrays instead of B full grids: at 4096 128² lanes the
+    full-collage upload is ~0.5 GB over a ~41 MB/s link (~13 s); this
+    builder moves ~190 KB.
+
+    goal_xy: int [B, G, 2] of (x, y) cell coords per lane; pad ragged
+    sets with (-1, -1). obstacle_xy: optional [B, K, 2] per-lane extra
+    obstacles (applied before goals, so a goal wins a collision, matching
+    set_cells last-wins order). Returns (u_collage, frozen_collage, meta)
+    for :func:`solve_collage_device` / the chunk steppers.
+    """
+    base_u = jnp.asarray(base_u, jnp.float32)
+    goal_xy = jnp.asarray(goal_xy, jnp.int32)
+    b = goal_xy.shape[0]
+    h, w = base_u.shape
+    meta = batch_meta(b, h, w, group_shape)
+    u_c, f_c = _goal_batch_arrays(
+        base_u, jnp.asarray(base_locked), goal_xy,
+        None if obstacle_xy is None else jnp.asarray(obstacle_xy, jnp.int32),
+        b, h, w, meta["hp8"], meta["wp"], meta["gpr"], meta["gpc"],
+        meta["n_blocks"])
+    return u_c, f_c, meta
+
+
+def solve_batch_goals(
+    base_u,
+    base_locked,
+    goal_xy,
+    obstacle_xy=None,
+    epsilon: float = C.DEFAULT_EPSILON,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    group_shape: tuple[int, int] | None = None,
+    interpret: bool | None = None,
+):
+    """Device-resident lockstep solve of B distinct-goal scenarios on one
+    shared base grid (:func:`make_goal_batch` + the compiled
+    check/retire/freeze loop of :func:`solve_batch_device`).
+
+    Returns (u[B, H, W], iterations[B], deltas[B], converged[B]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    u_c, frozen_c, meta = make_goal_batch(base_u, base_locked, goal_xy,
+                                          obstacle_xy, group_shape)
+    b, h, w = meta["b"], meta["h"], meta["w"]
+    gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
+    n_lanes = nb * gpr * gpc
+    retired0 = np.zeros(n_lanes, bool)
+    retired0[b:] = True
+    u_out, retired, iters, deltas, _ = _solve_collage_device(
+        u_c, frozen_c, jnp.asarray(retired0), jnp.float32(epsilon),
+        stagger, max_iterations, max(h, w), nb, gpr, gpc,
+        meta["hp8"], meta["wp"], meta["block_rows"], interpret,
     )
     return (
         unstack(u_out, meta),

@@ -475,15 +475,21 @@ def update_n(state: GridState, num_steps: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stagger", "max_iterations", "band", "k", "interpret",
+    static_argnames=("stagger", "band", "k", "interpret",
                      "height", "width"),
     donate_argnums=(0,),
 )
 def _solve_banded(
-    u, frozen_pad, epsilon, stagger: int, max_iterations: int, band: int,
-    k: int, interpret: bool, height: int, width: int,
+    u, frozen_pad, epsilon, stagger: int, max_iterations, band: int,
+    k: int, interpret: bool, height: int, width: int, it0=None,
 ):
     """Full solve protocol on the banded path, one device program.
+
+    ``max_iterations`` is a TRACED bound and ``it0`` a traced start
+    iteration, so :func:`solve_segments` can resume the identical while
+    loop across watchdog-safe dispatch segments without recompiling per
+    segment (the remote compile service costs minutes per distinct
+    jaxpr).
 
     The staggered check is FOLDED into the first K-chunk of each cycle via
     :func:`sweep_chunk_dma_check` (which also returns the post-check-sweep
@@ -590,8 +596,9 @@ def _solve_banded(
                                         (u, iteration))
             return u, iteration, delta, done
 
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     return jax.lax.while_loop(
-        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
     )
 
 
@@ -615,6 +622,54 @@ def solve(
         state,
         u=u[g.k : g.k + g.height, : g.width],
         iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
+
+
+def solve_segments(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    segment_iterations: int = 5_000,
+    chunk_depth: int = 16,
+    interpret: bool | None = None,
+) -> GridState:
+    """Solve-to-convergence as watchdog-safe compiled SEGMENTS.
+
+    One dispatch holding more than ~45-60 s of device work crashes the
+    remote TPU worker this environment tunnels through (probe26/27), so a
+    mega-grid convergence cannot always run as :func:`solve`'s single
+    while-loop dispatch. This wrapper runs the SAME compiled loop
+    (:func:`_solve_banded`) with a traced iteration window: each segment
+    resumes at the previous segment's iteration and stops at the next
+    multiple of ``segment_iterations`` (always on a stagger-cycle
+    boundary, where the protocol re-checks anyway), donating the padded
+    buffers across dispatches. Trajectories are BIT-identical to
+    :func:`solve` — one program, segmented bounds — unlike
+    :mod:`epic_tpu.solver.host_solve`, which pays one dispatch per
+    stagger cycle (hundreds of tunnel round-trips on a long solve).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = pad_state(state, chunk_depth)
+    u = g.u
+    it = jnp.int32(0)
+    delta = state.epsilon + 1.0
+    converged = jnp.asarray(False)
+    # The per-segment int()/bool() reads are 4-byte D2H syncs — the whole
+    # point: the host regains control between segments instead of holding
+    # one unbounded dispatch.
+    while not bool(converged) and int(it) < max_iterations:
+        bound = min(int(it) + segment_iterations, max_iterations)
+        u, it, delta, converged = _solve_banded(
+            u, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
+            interpret, g.height, g.width, it0=it,
+        )
+    return dataclasses.replace(
+        state,
+        u=u[g.k : g.k + g.height, : g.width],
+        iteration=it,
         delta=delta,
         converged=converged,
     )

@@ -691,6 +691,28 @@ def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
             rsem.at[rslot, 2],
         ).wait()
 
+    def wait_write(wslot):
+        # Drain one outstanding band writeback on wsem[wslot]. DMA waits
+        # are (semaphore, size) pairs and every writeback shares one
+        # shape, so a same-shaped descriptor stands in for the original.
+        pltpu.make_async_copy(
+            u_vmem.at[0, pl.ds(k * hp, band * hp), :],
+            a_ref.at[pl.ds(k * hp, band * hp), :],
+            wsem.at[wslot],
+        ).wait()
+
+    # Deferred writeback (3D bands are SHALLOW — band*hp rows, ~30 us of
+    # compute at 256³ — so an in-step start+wait stalled every band on its
+    # ~5 MB writeback): wait the PREVIOUS program's write here, before the
+    # prefetch below overwrites its u_vmem slot (write lin-1 reads slot
+    # (lin+1)%2, exactly the slot prefetch lin+1 fills). At most one write
+    # is ever in flight, so the only write/read DMA overlap is program
+    # lin's own write vs the chunk-boundary prefetch — disjoint under the
+    # same (nb-2)*band >= k condition that gates cross_prefetch.
+    @pl.when(lin >= 1)
+    def _():
+        wait_write(jax.lax.rem(lin + 1, 2))
+
     @pl.when(lin == 0)
     def _():
         start_read(0, 0, 0)
@@ -741,17 +763,19 @@ def _cycle_kernel3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, delta_ref,
             wsem.at[wslot],
         )
 
+    # Start the writeback on the program-parity semaphore and return;
+    # program lin+1 (or the kernel-exit drain) waits it.
     @pl.when(jax.lax.rem(c, 2) == 0)
     def _():
-        wcp = write_to(b_ref, 0)
-        wcp.start()
-        wcp.wait()
+        write_to(b_ref, slot).start()
 
     @pl.when(jax.lax.rem(c, 2) == 1)
     def _():
-        wcp = write_to(a_ref, 1)
-        wcp.start()
-        wcp.wait()
+        write_to(a_ref, slot).start()
+
+    @pl.when(lin == nc * nb - 1)
+    def _():
+        wait_write(slot)
 
 
 @functools.partial(

@@ -376,6 +376,36 @@ def biggrid_solve(q, sizes=((2048, 12000), (4096, 10000), (8192, 4000))):
     return dict(rows=rows)
 
 
+@experiment("biggrid-converge", "Solve-to-convergence (full protocol)")
+def biggrid_converge(q, size=4096, segment=10000, cap=200_000):
+    """A CONVERGED mega-grid solve (VERDICT r3 item 5: the
+    solve-to-convergence contract, harmonic_cpu.cpp:158-173, deserves a
+    driver-visible converged row — round 3's 4096² solve sat at delta
+    0.10 vs eps 0.01 at its 10k-iteration rate cap). Runs
+    pallas_biggrid.solve_segments: the SAME compiled while loop as
+    solve(), resumed across watchdog-safe dispatch segments
+    (bit-identical trajectories — tests/test_pallas_biggrid.py)."""
+    from epic_tpu.solver import pallas_biggrid as bg
+
+    interp = _interpret()
+    if q:
+        size, segment, cap = 128, 60, 4000
+    u, locked = _grid_np(size, size)
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = bg.solve_segments(st, max_iterations=cap,
+                            segment_iterations=segment, interpret=interp)
+    iters = int(out.iteration)  # host-synced per segment already
+    dt = time.perf_counter() - t0
+    assert bool(out.converged), (iters, float(out.delta))
+    assert iters % 100 == 1 or q
+    return dict(size=size, iterations=iters, converged=bool(out.converged),
+                delta=float(out.delta), solve_wall_s=round(dt, 1),
+                segment_iterations=segment,
+                g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2))
+
+
 @experiment("tiled-update", "Wide grids: 2D-tiled DMA chunks")
 def tiled_update(q, sizes=((16384, 16384), (32768, 16384))):
     """Wide-grid regime: the 2D-tiled cycle kernel chunk chain; gate =
@@ -552,6 +582,74 @@ def batched_solve(q, lanes=4096, size=128):
                 mean_iterations=float(np.mean(iters)),
                 lane0_max_abs_diff_vs_xla=lane_diff,
                 batch_wall_s=round(dt, 2), staged=True)
+
+
+@experiment("batched-goals", "Batched scenarios (BASELINE config 3)")
+def batched_goals(q, lanes=4096, size=128):
+    """Distinct-goal lanes on ONE shared base map (SURVEY §7 Phase 2's
+    goal-mask axis; VERDICT r3 item 8): the collage is built ON DEVICE
+    from one staged base grid + a [B, 1, 2] goal-index array, so the
+    upload is ~(size² + 8B) bytes instead of B full grids (~0.5 GB at
+    4096x128² through the ~41 MB/s tunnel). Gate: the built collage is
+    BIT-equal to pad_batch over the host-materialized batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu import maps
+    from epic_tpu.solver import batched, pallas_batched as pb
+
+    if q:
+        lanes, size = 8, 32
+    img = maps.random_obstacles(size, size, density=0.12, seed=5)
+    rng = np.random.default_rng(5)
+    free_y, free_x = np.nonzero(img != 0)
+    picks = rng.choice(len(free_y), size=lanes, replace=True)
+    goal_xy = np.stack([free_x[picks], free_y[picks]], axis=-1)[:, None, :]
+    base_u = np.full(img.shape, np.float32(-1e6))
+    base_locked = img == 0
+
+    # Gate at a small lane count: device-built collage == host-built.
+    gate_n = min(64, lanes)
+    u_h, l_h = batched.batch_from_goal_sets(
+        img, [[tuple(goal_xy[i, 0])] for i in range(gate_n)])
+    u_ref, f_ref, _ = pb.pad_batch(np.asarray(u_h), np.asarray(l_h))
+    u_dev, f_dev, _ = pb.make_goal_batch(base_u, base_locked,
+                                         goal_xy[:gate_n])
+    assert _device_equal(u_dev, u_ref)
+    assert _device_equal(f_dev, jnp.asarray(np.asarray(f_ref)))
+
+    # Stage ONLY the base grid + indices, then build + solve, leaving the
+    # collage device-resident (production extracts per-lane paths from
+    # device gathers; a full-collage D2H rides the ~14 MB/s tunnel and
+    # would measure the transport). Completion barrier = the small
+    # loop-dependent iters/retired outputs, as in _batched_staged_run.
+    base_u_d = jnp.asarray(base_u)
+    base_l_d = jnp.asarray(base_locked)
+    gxy_d = jnp.asarray(goal_xy, jnp.int32)
+    meta = pb.batch_meta(lanes, size, size)
+    gpr, gpc, nb = meta["gpr"], meta["gpc"], meta["n_blocks"]
+    retired0 = np.zeros(nb * gpr * gpc, bool)
+    retired0[lanes:] = True
+
+    def run():
+        u_c, f_c, _ = pb.make_goal_batch(base_u_d, base_l_d, gxy_d)
+        out = pb._solve_collage_device(
+            u_c, f_c, jnp.asarray(retired0), jnp.float32(1e-2), 100,
+            2000, size, nb, gpr, gpc, meta["hp8"], meta["wp"],
+            meta["block_rows"], _interpret())
+        u_out, retired, iters, deltas, _ = out
+        return u_out, np.asarray(iters)[:lanes], np.asarray(retired)[:lanes]
+
+    run()  # compile + warm
+    _stage(base_u_d, gxy_d)
+    float(jnp.sum(base_l_d.astype(jnp.float32)[0]))
+    t0 = time.perf_counter()
+    u_out, iters, conv = run()
+    dt = time.perf_counter() - t0
+    assert conv.all(), f"{(~conv).sum()} lanes failed to converge"
+    return dict(lanes=lanes, size=size, solves_per_s=round(lanes / dt),
+                mean_iterations=float(np.mean(iters)),
+                batch_wall_s=round(dt, 2), upload="base+indices")
 
 
 @experiment("batched-map", "Batched scenarios (BASELINE config 3)")
@@ -1203,6 +1301,181 @@ def sharded3d_resident(q, shape=(256, 256, 256), steps=1024,
                 max_abs_diff_wide_vs_tiled3d=dw, rows=rows)
 
 
+@experiment("resident3d-iso", "Scaling across devices")
+def resident3d_iso(q, shape=(64, 1024, 1024), steps=256):
+    """Attribute the resident 3D layout's tax vs the unsharded tiled3d
+    kernel at a 1k-wide shard: (a) full semantics at chunk_depth 2, (b)
+    the guard exchange REPLACED by a no-op (wrong results — times the 4
+    ppermute+DUS per chunk), (c) chunk_depth 4 (half the exchanges and
+    dispatches, more z-trapezoid redundancy). Diagnostic, not a product
+    path."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, resident3d
+
+    interp = _interpret()
+    if q:
+        shape, steps = (8, 16, 256), 4
+    u, locked = _vol_np(*shape)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    cells = int(np.prod(shape))
+    rows = []
+
+    def timed(name, depth):
+        st = _state(u, locked)
+        out = resident3d.update_n(st, steps, mesh, chunk_depth=depth)  # warm
+        float(out.delta)
+        st = _state(u, locked)
+        _stage(st)
+        t0 = time.perf_counter()
+        out = resident3d.update_n(st, steps, mesh, chunk_depth=depth)
+        checksum = float(out.delta)
+        dt = time.perf_counter() - t0
+        rows.append(dict(variant=name, depth=depth,
+                         g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                         checksum=checksum))
+
+    timed("full", 2)
+    timed("depth4", 4)
+    real_exchange = resident3d._exchange_guards
+    resident3d._exchange_guards = lambda u_flat, *a, **k: u_flat
+    resident3d._update_n_resident.clear_cache()
+    try:
+        timed("no-exchange", 2)
+    finally:
+        resident3d._exchange_guards = real_exchange
+        resident3d._update_n_resident.clear_cache()
+
+    # Diagnostic (d): the same slab kernel but 8 chunks per cycle DISPATCH
+    # (exchange every 8 chunks — WRONG at shard edges beyond the guard
+    # freshness, fine on a 1x1 mesh where guards are frozen): isolates the
+    # per-chunk dispatch boundary bubble from the kernel itself.
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from epic_tpu.parallel.sharded3d import _pad_for_mesh
+    from epic_tpu.solver.pallas_tiled3d import _HX, _HY
+
+    NC = 8
+
+    def cycle_nc(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interp):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from epic_tpu.solver.pallas_cycle import _cycle_kernel_tiled3d
+
+        rp, wp = u_src.shape
+        nb, ny, nx = resident3d._grid_dims(rp, wp, band, k, yt, wt, hp2)
+        nsteps = nb * ny * nx
+        ext_z, yext, wext = band + 2 * k, yt + 2 * _HY, wt + 2 * _HX
+        scal = jnp.asarray(it).astype(jnp.int32).reshape(1)
+        vma = frozenset({"my", "mx"})
+        a_out, b_out, deltas = pl.pallas_call(
+            functools.partial(_cycle_kernel_tiled3d, k=k, band=band, yt=yt,
+                              wt=wt, hy=_HY, hx=_HX, hp2=hp2, nb=nb, ny=ny,
+                              nx=nx, nc=NC),
+            grid=(NC, nsteps),
+            out_shape=(
+                jax.ShapeDtypeStruct((rp, wp), jnp.float32, vma=vma),
+                jax.ShapeDtypeStruct((rp, wp), jnp.float32, vma=vma),
+                jax.ShapeDtypeStruct((NC, nsteps), jnp.float32, vma=vma),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                     [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            scratch_shapes=[
+                pltpu.VMEM((2, ext_z * yext, wext), jnp.float32),
+                pltpu.VMEM((2, ext_z * yext, wext), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 3, ext_z)),
+                pltpu.SemaphoreType.DMA((2, band)),
+            ],
+            input_output_aliases={1: 0, 2: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interp,
+        )(scal, u_src, u_dst, f_res)
+        return a_out, b_out, jnp.max(deltas)
+
+    @functools.partial(
+        jax.jit, static_argnames=("mesh", "num_steps", "interpret"),
+        donate_argnums=(0,))
+    def upd8(uu, frozen, iteration, mesh, num_steps, interpret):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(resident3d._SPEC, resident3d._SPEC, P()),
+            out_specs=(resident3d._SPEC, P()),
+            check_vma=not interpret,
+        )
+        def run(u_loc, frozen_loc, it0):
+            d, h_loc, w_loc = u_loc.shape
+            band, k, yt, wt = resident3d.choose_layout(d, h_loc, w_loc, 2)
+            nb = -(-d // band)
+            dp = nb * band + 2 * k
+            hp2 = h_loc + 2 * _HY
+            wp2 = w_loc + 2 * _HX
+            u_res, f_res = resident3d._pad_resident(
+                u_loc, frozen_loc, mesh, k, dp)
+            alt = resident3d._fill_twin(dp * hp2, wp2, interpret)
+
+            def cyc(cur, other, it):
+                cur = resident3d._exchange_guards(cur, mesh, h_loc, w_loc,
+                                                  hp2)
+                a, b, dd = cycle_nc(cur, other, f_res, it, band, k, yt, wt,
+                                    hp2, interpret)
+                return (b, a, dd) if NC % 2 else (a, b, dd)
+
+            u_res, alt, delta = cyc(u_res, alt, it0)
+            n2 = (num_steps // (k * NC) - 1) // 2
+
+            def body(i, carry):
+                a, b, it2 = carry
+                b2, a2, _ = cyc(a, b, it2)
+                a3, b3, _ = cyc(b2, a2, it2 + k * NC)
+                return b3, a3, it2 + 2 * k * NC
+
+            u_res, alt, _ = jax.lax.fori_loop(
+                0, n2, body, (u_res, alt, it0 + k * NC))
+            delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
+            u3 = u_res.reshape(dp, hp2, wp2)
+            out = jax.lax.slice(
+                u3, (k, _HY, _HX), (k + d, _HY + h_loc, _HX + w_loc))
+            return out, delta.reshape(1)
+
+        return run(uu, frozen, iteration)
+
+    st = _state(u, locked)
+    uu, frozen = _pad_for_mesh(st, mesh)
+    sharding = NamedSharding(mesh, resident3d._SPEC)
+    uu = jax.device_put(uu, sharding)
+    frozen = jax.device_put(frozen, sharding)
+    out, d8 = upd8(uu, frozen, jnp.int32(0), mesh, steps, _interpret())
+    float(d8[0])  # warm
+    uu2, frozen2 = _pad_for_mesh(_state(u, locked), mesh)
+    uu2 = jax.device_put(uu2, sharding)
+    frozen2 = jax.device_put(frozen2, sharding)
+    _stage(uu2, frozen2)
+    t0 = time.perf_counter()
+    out, d8 = upd8(uu2, frozen2, jnp.int32(0), mesh, steps, _interpret())
+    checksum = float(d8[0])
+    dt = time.perf_counter() - t0
+    # The paired cycle loop runs an odd dispatch count; account the sweeps
+    # actually executed.
+    k_used = 2
+    steps_eff = (1 + 2 * max(0, (steps // (k_used * NC) - 1) // 2)) * k_used * NC
+    rows.append(dict(variant="cycle8-dispatch", depth=2, steps_eff=steps_eff,
+                     g_updates_per_s=round(cells / 2 * steps_eff / dt / 1e9, 2),
+                     checksum=checksum))
+    return dict(shape="x".join(map(str, shape)), steps=steps, mesh="1x1",
+                rows=rows)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -1212,9 +1485,10 @@ def sharded3d_resident(q, shape=(256, 256, 256), steps=1024,
 # r3 battery lost 8 experiments to exactly that cascade).
 BATTERY = [
     "tunnel-rates", "maze-chunk", "maze-solve", "batched-solve",
-    "batched-map", "vol-update", "vol-solve", "wideplane-update",
-    "wideplane-solve", "biggrid-update", "biggrid-solve", "solve-body-iso",
-    "sharded-banded", "sharded-resident", "sharded3d-banded",
+    "batched-goals", "batched-map", "vol-update", "vol-solve",
+    "wideplane-update", "wideplane-solve", "biggrid-update",
+    "biggrid-solve", "biggrid-converge", "solve-body-iso", "sharded-banded",
+    "sharded-resident", "sharded3d-banded", "sharded3d-resident",
     "tiled-solve", "tiled-update",
 ]
 
