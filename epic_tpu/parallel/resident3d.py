@@ -60,7 +60,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from ..grid import GridState
-from ..solver.pallas_biggrid3d import EXT_BAND_CELL_BUDGET
 from ..solver.pallas_tiled3d import _HX, _HY
 from .sharded import _neighbor_perm
 from .sharded3d import _has_z, _pad_for_mesh, padded_shape
@@ -70,11 +69,19 @@ _VMEM_LIMIT = 128 * 1024 * 1024
 
 def tile_layouts(d: int, h_loc: int, w_loc: int, chunk_depth: int = 2):
     """Candidate (band, k, yt, wt) slab layouts for one shard, sorted by
-    total halo redundancy (pallas_tiled3d.tile_layouts with a DIVISOR
-    constraint: the guards must sit exactly at the shard boundary, so the
-    tile grid cannot round the shard extents up)."""
-    yts = [yt for yt in range(8, h_loc + 1, 8) if h_loc % yt == 0]
-    wts = [wt for wt in range(128, w_loc + 1, 128) if w_loc % wt == 0]
+    total halo redundancy. The structure is pallas_tiled3d.tile_layouts
+    — tile extents need NOT divide the shard: y/x round-up padding lives
+    BEYOND the guard rows/tiles (interior at (_HY, _HX), guards
+    immediately after it at (_HY + h_loc, _HX + w_loc), frozen padding
+    filling the remainder of the tile grid; the padded cells are frozen
+    and their kernel writebacks are overwritten by the next exchange).
+    An earlier divisor-constrained chooser cost 12.5% redundancy (2.81 vs
+    2.5) plus 45% more slabs at 64x1024x1024 shards. The candidate lists
+    add small tiles (yt 8/16) so shallow shards — (8, 1)-mesh strips —
+    stay representable."""
+    from ..solver.pallas_biggrid3d import EXT_BAND_CELL_BUDGET
+    from ..solver.pallas_tiled3d import _round_up
+
     out = []
     for k in (2, 4):
         if k > max(2, chunk_depth):
@@ -83,9 +90,13 @@ def tile_layouts(d: int, h_loc: int, w_loc: int, chunk_depth: int = 2):
             if band > max(1, d):
                 continue
             ext_z = band + 2 * k
-            for yt in yts:
+            for yt in (8, 16, 32, 64, 96, 224, 480, 992):
+                if yt > _round_up(h_loc, 8):
+                    continue
                 yext = yt + 2 * _HY
-                for wt in wts:
+                for wt in (128, 256, 512, 768, 1024, 1792, 3840):
+                    if wt > _round_up(w_loc, 128):
+                        continue
                     wext = wt + 2 * _HX
                     if ext_z * yext * wext > EXT_BAND_CELL_BUDGET:
                         continue
@@ -98,7 +109,8 @@ def eligible(d: int, h_loc: int, w_loc: int, chunk_depth: int = 2) -> bool:
     """Whether a shard extent can take the resident layout: tile-pure
     guard writes need 8-aligned rows and 128-aligned lanes (which also
     keep the reused kernels' parity math exact — shard offsets vanish
-    mod 2), and a divisor slab layout must fit the scoped-VMEM budget."""
+    mod 2, and the guard row/lane offsets _HY + h_loc / _HX + w_loc stay
+    tile-aligned), and a slab layout must fit the scoped-VMEM budget."""
     return (h_loc % 8 == 0 and w_loc % 128 == 0
             and bool(tile_layouts(d, h_loc, w_loc, chunk_depth)))
 
@@ -111,6 +123,13 @@ def choose_layout(d: int, h_loc: int, w_loc: int, chunk_depth: int = 2):
             f"{d}x{h_loc}x{w_loc} shard")
     _, _, band, k, yt, wt = cands[0]
     return band, k, yt, wt
+
+
+def _plane_dims(h_loc: int, w_loc: int, yt: int, wt: int):
+    """(hp2, wp): per-plane padded extents for a shard under (yt, wt)."""
+    ny = -(-h_loc // yt)
+    nx = -(-w_loc // wt)
+    return ny * yt + 2 * _HY, nx * wt + 2 * _HX
 
 
 def _check_shard(shape, mesh: Mesh, chunk_depth: int) -> None:
@@ -170,23 +189,24 @@ def _exchange_guards(u_flat, mesh: Mesh, h_loc: int, w_loc: int, hp2: int):
     return u.reshape(rp, wp)
 
 
-def _pad_resident(u_loc, frozen_loc, mesh: Mesh, k: int, dp: int):
+def _pad_resident(u_loc, frozen_loc, mesh: Mesh, k: int, dp: int,
+                  hp2: int, wp: int):
     """Build the resident pair (u f32[dp*hp2, wp], frozen int32 — the
     tiled kernels keep int32 masks) from a shard's local volume, ONCE per
-    entry call. The frozen guards are exchanged here (the mask is static
-    within a call); ppermute zero-fill marks out-of-mesh guards frozen."""
+    entry call. Interior at (k, _HY, _HX); guard rows/tiles immediately
+    after it; round-up tile padding frozen beyond them. The frozen guards
+    are exchanged here (the mask is static within a call); ppermute
+    zero-fill marks out-of-mesh guards frozen."""
     d, h_loc, w_loc = u_loc.shape
-    hp2 = h_loc + 2 * _HY
-    wp = w_loc + 2 * _HX
     u = jnp.pad(
         u_loc,
-        ((k, dp - d - k), (_HY, _HY), (_HX, _HX)),
+        ((k, dp - d - k), (_HY, hp2 - h_loc - _HY), (_HX, wp - w_loc - _HX)),
         constant_values=np.float32(C.LOG_SPACE_OBSTACLE),
     ).reshape(dp * hp2, wp)
     u = _exchange_guards(u, mesh, h_loc, w_loc, hp2)
     unfrozen = jnp.pad(
         (~frozen_loc).astype(jnp.float32),
-        ((k, dp - d - k), (_HY, _HY), (_HX, _HX)),
+        ((k, dp - d - k), (_HY, hp2 - h_loc - _HY), (_HX, wp - w_loc - _HX)),
         constant_values=0.0,
     ).reshape(dp * hp2, wp)
     unfrozen = _exchange_guards(unfrozen, mesh, h_loc, w_loc, hp2)
@@ -366,9 +386,9 @@ def _update_n_resident(
         band, k, yt, wt = choose_layout(d, h_loc, w_loc, chunk_depth)
         nb = -(-d // band)
         dp = nb * band + 2 * k
-        hp2 = h_loc + 2 * _HY
-        wp = w_loc + 2 * _HX
-        u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp)
+        hp2, wp = _plane_dims(h_loc, w_loc, yt, wt)
+        u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp, hp2,
+                                     wp)
 
         def chunk2(cur, alt, it):
             cur = _exchange_guards(cur, mesh, h_loc, w_loc, hp2)
@@ -446,9 +466,9 @@ def _solve_resident(
         band, k, yt, wt = choose_layout(d, h_loc, w_loc, chunk_depth)
         nb = -(-d // band)
         dp = nb * band + 2 * k
-        hp2 = h_loc + 2 * _HY
-        wp = w_loc + 2 * _HX
-        u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp)
+        hp2, wp = _plane_dims(h_loc, w_loc, yt, wt)
+        u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp, hp2,
+                                     wp)
         n_full, rem = divmod(stagger - 1, k)
         n2, odd = divmod(n_full, 2)
 

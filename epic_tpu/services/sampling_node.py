@@ -24,10 +24,15 @@ the right home for sequential tree search):
   iff its containing cell is not an obstacle (the state validity checker
   the reference sketches); motions are checked by segment sampling at
   half-cell resolution;
-- algorithms: RRT_CONNECT (the one the reference constructs) and RRT_STAR
-  (the reference attaches a PathLengthOptimizationObjective, :122-126,165 —
-  pointing at the optimizing planners it never instantiated). The other
-  enum values raise, mirroring the reference's empty else branch (:167-169).
+- algorithms: ALL SIX of the reference's enum slots
+  (epic_navigation_node_ompl.h:47-53) are constructed — RRT_CONNECT (the
+  only one the reference ever built, :166-169), RRT_STAR (the optimizing
+  planner its PathLengthOptimizationObjective points at, :122-126),
+  LAZY_RRT (unvalidated growth + lazy branch validation with subtree
+  pruning), and the PRM family: PRM_STAR (eager edges, shrinking
+  r(n) ~ sqrt(log n / n) connection radius), LAZY_PRM (unvalidated edges,
+  fixed radius, validate-on-candidate-path), LAZY_PRM_STAR (lazy edges on
+  the star schedule).
 
 ComputePath — the part the reference left TODO — returns the best path
 found so far with the harmonic node's pose conventions: first pose is the
@@ -55,26 +60,38 @@ ALGORITHM_PRM_STAR = 4
 ALGORITHM_LAZY_PRM_STAR = 5
 NUM_ALGORITHMS = 6
 
-_IMPLEMENTED = {ALGORITHM_RRT_CONNECT, ALGORITHM_RRT_STAR}
+_IMPLEMENTED = {
+    ALGORITHM_RRT_CONNECT, ALGORITHM_RRT_STAR, ALGORITHM_LAZY_RRT,
+    ALGORITHM_LAZY_PRM, ALGORITHM_PRM_STAR, ALGORITHM_LAZY_PRM_STAR,
+}
+_PRM_FAMILY = {ALGORITHM_LAZY_PRM, ALGORITHM_PRM_STAR,
+               ALGORITHM_LAZY_PRM_STAR}
 
 
 class _Tree:
-    """A growable point tree with vectorized nearest-neighbour queries."""
+    """A growable point tree with vectorized nearest-neighbour queries.
+
+    ``active`` supports LazyRRT's repair step: when lazy validation finds
+    an invalid edge, the child's whole subtree is disabled (OMPL's
+    LazyRRT::removeMotion) and excluded from nearest/near queries."""
 
     def __init__(self, root: np.ndarray, capacity: int = 1024):
         self.pts = np.empty((capacity, 2), dtype=np.float64)
         self.parent = np.empty(capacity, dtype=np.int64)
         self.cost = np.empty(capacity, dtype=np.float64)
+        self.active = np.empty(capacity, dtype=bool)
         self.n = 1
         self.pts[0] = root
         self.parent[0] = -1
         self.cost[0] = 0.0
+        self.active[0] = True
 
     def _grow(self) -> None:
         cap = self.pts.shape[0] * 2
         self.pts = np.resize(self.pts, (cap, 2))
         self.parent = np.resize(self.parent, cap)
         self.cost = np.resize(self.cost, cap)
+        self.active = np.resize(self.active, cap)
 
     def add(self, pt: np.ndarray, parent: int, cost: float) -> int:
         if self.n == self.pts.shape[0]:
@@ -83,16 +100,20 @@ class _Tree:
         self.pts[i] = pt
         self.parent[i] = parent
         self.cost[i] = cost
+        self.active[i] = True
         self.n += 1
         return i
 
     def nearest(self, q: np.ndarray) -> int:
         d = self.pts[: self.n] - q
-        return int(np.argmin(np.einsum("ij,ij->i", d, d)))
+        dd = np.einsum("ij,ij->i", d, d)
+        dd[~self.active[: self.n]] = np.inf
+        return int(np.argmin(dd))
 
     def near(self, q: np.ndarray, radius: float) -> np.ndarray:
         d = self.pts[: self.n] - q
-        return np.nonzero(np.einsum("ij,ij->i", d, d) <= radius * radius)[0]
+        hit = np.einsum("ij,ij->i", d, d) <= radius * radius
+        return np.nonzero(hit & self.active[: self.n])[0]
 
     def path_to_root(self, i: int) -> list[np.ndarray]:
         out = []
@@ -100,6 +121,83 @@ class _Tree:
             out.append(self.pts[i].copy())
             i = int(self.parent[i])
         return out
+
+    def nodes_to_root(self, i: int) -> list[int]:
+        out = []
+        while i >= 0:
+            out.append(i)
+            i = int(self.parent[i])
+        return out
+
+    def disable_subtree(self, root: int) -> None:
+        kill = {root}
+        self.active[root] = False
+        # One forward pass suffices: children always have larger indices.
+        for j in range(root + 1, self.n):
+            if self.active[j] and int(self.parent[j]) in kill:
+                self.active[j] = False
+                kill.add(j)
+
+
+class _Roadmap:
+    """An undirected weighted graph over sampled configurations (the PRM
+    family's data structure): adjacency dicts + a validated-edge set for
+    the lazy variants."""
+
+    def __init__(self, start: np.ndarray, goal: np.ndarray):
+        self.pts = np.empty((1024, 2), dtype=np.float64)
+        self.pts[0] = start
+        self.pts[1] = goal
+        self.n = 2
+        self.adj: list[dict[int, float]] = [{}, {}]
+        self.validated: set[tuple[int, int]] = set()
+
+    def add(self, pt: np.ndarray) -> int:
+        if self.n == self.pts.shape[0]:
+            self.pts = np.resize(self.pts, (self.pts.shape[0] * 2, 2))
+        i = self.n
+        self.pts[i] = pt
+        self.adj.append({})
+        self.n += 1
+        return i
+
+    def near(self, q: np.ndarray, radius: float) -> np.ndarray:
+        d = self.pts[: self.n] - q
+        return np.nonzero(np.einsum("ij,ij->i", d, d) <= radius * radius)[0]
+
+    def connect(self, i: int, j: int, w: float) -> None:
+        self.adj[i][j] = w
+        self.adj[j][i] = w
+
+    def drop_edge(self, i: int, j: int) -> None:
+        self.adj[i].pop(j, None)
+        self.adj[j].pop(i, None)
+
+    def shortest_path(self, src: int = 0, dst: int = 1) -> list[int] | None:
+        """Dijkstra over the current adjacency; None when disconnected."""
+        import heapq
+
+        dist = {src: 0.0}
+        prev: dict[int, int] = {}
+        heap = [(0.0, src)]
+        seen: set[int] = set()
+        while heap:
+            d, i = heapq.heappop(heap)
+            if i in seen:
+                continue
+            if i == dst:
+                path = [dst]
+                while path[-1] != src:
+                    path.append(prev[path[-1]])
+                return path[::-1]
+            seen.add(i)
+            for j, w in self.adj[i].items():
+                nd = d + w
+                if nd < dist.get(j, math.inf):
+                    dist[j] = nd
+                    prev[j] = i
+                    heapq.heappush(heap, (nd, j))
+        return None
 
 
 @dataclass
@@ -127,19 +225,15 @@ class SamplingPlanner:
     ):
         if not (0 <= algorithm < NUM_ALGORITHMS):
             raise ValueError(f"unknown algorithm {algorithm}")
-        if algorithm not in _IMPLEMENTED:
-            # The reference's initAlg has an empty else for these slots
-            # (epic_navigation_node_ompl.cpp:167-169).
-            raise NotImplementedError(
-                f"algorithm {algorithm} is not implemented (reference parity:"
-                " only RRT-Connect was ever constructed)"
-            )
+        assert algorithm in _IMPLEMENTED  # all six enum slots are built
         self.algorithm = algorithm
         self.range = range_
         self.goal_tolerance = goal_tolerance
         self._seed = seed
         self.prob: _Problem | None = None
         self._trees: tuple[_Tree, _Tree] | None = None
+        self._roadmap: _Roadmap | None = None
+        self._lazy_validated: set[int] = set()
         self._solution: np.ndarray | None = None   # [N, 2] map coords
         self._solved = False
         self.iterations = 0
@@ -162,6 +256,9 @@ class SamplingPlanner:
             h, w = obstacle.shape
             self.range = 0.2 * math.hypot(w, h)
         self._trees = (_Tree(start), _Tree(goal))
+        self._roadmap = (_Roadmap(start, goal)
+                         if self.algorithm in _PRM_FAMILY else None)
+        self._lazy_validated = set()
         self._solution = None
         self._solved = False
         self.iterations = 0
@@ -201,27 +298,37 @@ class SamplingPlanner:
               iterations: int | None = None) -> bool:
         """Grow the search, like ompl_planner->solve(t)
         (epic_navigation_node_ompl.cpp:118). Returns True if a solution
-        exists after the budget. RRT-Connect stops improving once solved;
-        RRT* keeps optimizing for the whole budget (path-length objective,
-        :122-126)."""
+        exists after the budget. The non-optimizing planners (RRT-Connect,
+        LazyRRT) stop improving once solved; the optimizing ones (RRT*,
+        PRM*, LazyPRM*) keep refining for the whole budget (path-length
+        objective, :122-126). The lazy planners validate motions only on
+        candidate solution paths."""
         if self.prob is None:
             raise RuntimeError("setup() has not been called")
         t_end = None if budget_s is None else time.monotonic() + budget_s
         it_end = None if iterations is None else self.iterations + iterations
         if t_end is None and it_end is None:
             it_end = self.iterations + 1000
+        non_optimizing = self.algorithm in (ALGORITHM_RRT_CONNECT,
+                                            ALGORITHM_LAZY_RRT)
         while True:
             if t_end is not None and time.monotonic() >= t_end:
                 break
             if it_end is not None and self.iterations >= it_end:
                 break
-            if self._solved and self.algorithm == ALGORITHM_RRT_CONNECT:
+            if self._solved and non_optimizing:
                 break
             self.iterations += 1
             if self.algorithm == ALGORITHM_RRT_CONNECT:
                 self._step_rrt_connect()
-            else:
+            elif self.algorithm == ALGORITHM_RRT_STAR:
                 self._step_rrt_star()
+            elif self.algorithm == ALGORITHM_LAZY_RRT:
+                self._step_lazy_rrt()
+            else:
+                self._step_prm()
+        if self.algorithm in _PRM_FAMILY:
+            self._extract_prm_solution()
         return self._solved
 
     @property
@@ -330,6 +437,121 @@ class SamplingPlanner:
             if self._solution is None or self._path_len(pts) < self._path_len(self._solution):
                 self._solution = pts
             self._solved = True
+
+    # -- LazyRRT ------------------------------------------------------------
+
+    def _step_lazy_rrt(self) -> None:
+        """OMPL LazyRRT: grow WITHOUT motion validation; when the tree
+        reaches the goal, validate the candidate branch lazily and prune
+        the subtree below the first invalid edge (removeMotion)."""
+        tree = self._trees[0]
+        if self.prob.rng.random() < 0.05:
+            q = self.prob.goal.copy()
+        else:
+            q = self._sample()
+        i = tree.nearest(q)
+        new = self._steer(tree.pts[i], q)
+        if not self._state_valid(new):
+            return
+        j = tree.add(new, i, tree.cost[i] + float(np.linalg.norm(new - tree.pts[i])))
+        if np.linalg.norm(new - self.prob.goal) > self.goal_tolerance:
+            if (np.linalg.norm(new - self.prob.goal) <= self.range
+                    and self._state_valid(self.prob.goal)):
+                j = tree.add(self.prob.goal.copy(), j,
+                             tree.cost[j] + float(np.linalg.norm(
+                                 self.prob.goal - new)))
+            else:
+                return
+        # Candidate branch root..goal: validate unvalidated edges
+        # (_lazy_validated holds child nodes whose parent edge checked out).
+        nodes = tree.nodes_to_root(j)[::-1]
+        for a, b in zip(nodes, nodes[1:]):
+            if b in self._lazy_validated:
+                continue
+            if self._motion_valid(tree.pts[a], tree.pts[b]):
+                self._lazy_validated.add(b)
+            else:
+                tree.disable_subtree(b)
+                return
+        pts = np.asarray([tree.pts[i_].copy() for i_ in nodes])
+        if self._solution is None or self._path_len(pts) < self._path_len(self._solution):
+            self._solution = pts
+        self._solved = True
+
+    # -- PRM family ----------------------------------------------------------
+
+    def _prm_radius(self) -> float:
+        """Connection radius. LazyPRM keeps the planner range (OMPL's
+        default connection strategy); the star variants shrink it as
+        r(n) ~ sqrt(log n / n) (PRM*'s asymptotic-optimality schedule),
+        floored at half the range so sparse early graphs still connect."""
+        if self.algorithm == ALGORITHM_LAZY_PRM:
+            return self.range
+        n = self._roadmap.n
+        r = self.range * 4.0 * math.sqrt(math.log(n + 1) / (n + 1))
+        return float(np.clip(r, self.range * 0.5, self.range * 2.0))
+
+    # Degree bound for roadmap connections (OMPL's KStrategy: PRM* uses
+    # k ~ e(1+1/d) log n; a fixed small k keeps the lazy repair loop's
+    # Dijkstra-per-dropped-edge cost bounded — an unbounded radius disc
+    # connects O(n) neighbours per sample and the edge count explodes
+    # quadratically).
+    PRM_MAX_DEGREE = 12
+
+    def _step_prm(self) -> None:
+        """Sample one valid configuration and connect it to its nearest
+        neighbours (at most PRM_MAX_DEGREE within the connection radius).
+        PRM* validates motions eagerly at insertion; the lazy variants
+        insert edges unchecked (validation happens on candidate solution
+        paths in :func:`_extract_prm_solution`)."""
+        rm = self._roadmap
+        p = self._sample()
+        if not self._state_valid(p):
+            return
+        lazy = self.algorithm != ALGORITHM_PRM_STAR
+        radius = self._prm_radius()
+        near = rm.near(p, radius)
+        if len(near) > self.PRM_MAX_DEGREE:
+            d2 = np.einsum("ij,ij->i", rm.pts[near] - p, rm.pts[near] - p)
+            near = near[np.argsort(d2)[: self.PRM_MAX_DEGREE]]
+        i = rm.add(p)
+        for m in near:
+            m = int(m)
+            w = float(np.linalg.norm(rm.pts[m] - p))
+            if lazy:
+                rm.connect(i, m, w)
+            elif self._motion_valid(rm.pts[m], p):
+                rm.connect(i, m, w)
+                rm.validated.add((min(i, m), max(i, m)))
+
+    def _extract_prm_solution(self) -> None:
+        """Shortest roadmap path start->goal; lazy variants validate its
+        edges and drop invalid ones, re-searching until a fully validated
+        path survives or the graph disconnects (OMPL LazyPRM's
+        checkForSolution loop)."""
+        rm = self._roadmap
+        while True:
+            nodes = rm.shortest_path()
+            if nodes is None:
+                return
+            ok = True
+            for a, b in zip(nodes, nodes[1:]):
+                key = (min(a, b), max(a, b))
+                if key in rm.validated:
+                    continue
+                if self._motion_valid(rm.pts[a], rm.pts[b]):
+                    rm.validated.add(key)
+                else:
+                    rm.drop_edge(a, b)
+                    ok = False
+                    break
+            if ok:
+                pts = np.asarray([rm.pts[i].copy() for i in nodes])
+                if (self._solution is None
+                        or self._path_len(pts) < self._path_len(self._solution)):
+                    self._solution = pts
+                self._solved = True
+                return
 
 
 class EpicNavigationNodeSampling:

@@ -117,6 +117,24 @@ def test_resident3d_eligibility_and_layouts():
     assert resident3d.eligible(256, 1024, 1024)   # the wide-shard regime
     assert not resident3d.eligible(256, 250, 256)   # rows not 8-aligned
     assert not resident3d.eligible(256, 256, 200)   # lanes not 128-aligned
+    # The chooser is the UNSHARDED one (no divisor constraint): the shard
+    # pads beyond its guards, so the layout matches pallas_tiled3d's.
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    assert (resident3d.choose_layout(64, 1024, 1024)
+            == t3.choose_layout((64, 1024, 1024)))
     band, k, yt, wt = resident3d.choose_layout(256, 1024, 1024)
-    assert 1024 % yt == 0 and 1024 % wt == 0
     assert k >= 2 and band >= 1
+
+
+def test_resident3d_nondivisor_tiles_bit_equal(mesh8):
+    """Shard extents that do NOT divide into the chosen tile grid (round-up
+    padding beyond the guards) must still be bit-equal to the banded shard
+    path."""
+    st1 = _volume(8, 48, 1024, seed=12)  # 24-row shards: tiles round up
+    st2 = _volume(8, 48, 1024, seed=12)
+    out_b = sharded3d.update_n(st1, 4, mesh8, chunk_depth=2,
+                               kernel="pallas_banded_interpret")
+    out_r = resident3d.update_n(st2, 4, mesh8)
+    np.testing.assert_array_equal(np.asarray(out_b.u), np.asarray(out_r.u))
+    assert float(out_b.delta) == float(out_r.delta)

@@ -11,6 +11,7 @@ import pytest
 
 from epic_tpu import constants as C
 from epic_tpu.services import messages as msg
+from epic_tpu.services import sampling_node
 from epic_tpu.services.sampling_node import (
     ALGORITHM_LAZY_PRM,
     ALGORITHM_RRT_CONNECT,
@@ -79,11 +80,56 @@ def test_rrt_star_keeps_optimizing():
     assert len_late <= straight * 1.15   # near-optimal in free space
 
 
-def test_unimplemented_algorithms_raise():
-    with pytest.raises(NotImplementedError):
-        SamplingPlanner(ALGORITHM_LAZY_PRM)
+def test_unknown_algorithm_raises():
     with pytest.raises(ValueError):
         SamplingPlanner(17)
+
+
+def _walled_obstacle(h=24, w=24):
+    """A wall across the middle with one door — lazy planners must discard
+    the straight-line shortcut their unvalidated edges propose."""
+    obstacle = np.zeros((h, w), dtype=bool)
+    obstacle[0, :] = obstacle[-1, :] = obstacle[:, 0] = obstacle[:, -1] = True
+    obstacle[h // 2, :] = True
+    obstacle[h // 2, w - 6 : w - 2] = False   # the door
+    return obstacle
+
+
+@pytest.mark.parametrize("alg", [
+    sampling_node.ALGORITHM_LAZY_RRT,
+    sampling_node.ALGORITHM_LAZY_PRM,
+    sampling_node.ALGORITHM_PRM_STAR,
+    sampling_node.ALGORITHM_LAZY_PRM_STAR,
+])
+def test_all_enum_slots_solve_walled_map(alg):
+    """Every reference enum slot (epic_navigation_node_ompl.h:47-53) is now
+    constructed; each must route through the door, with every returned
+    segment collision-free (the lazy variants must not leak an
+    unvalidated through-wall edge into the solution)."""
+    obstacle = _walled_obstacle()
+    p = SamplingPlanner(alg, seed=9)
+    p.setup(obstacle, start=(3.0, 3.0), goal=(20.0, 20.0))
+    assert p.solve(iterations=6000)
+    path = p.solution_path()
+    assert path is not None and len(path) >= 2
+    np.testing.assert_allclose(path[0], (3.0, 3.0))
+    np.testing.assert_allclose(path[-1], (20.0, 20.0))
+    for a, b in zip(path, path[1:]):
+        assert p._motion_valid(a, b), (a, b)
+
+
+def test_prm_star_keeps_optimizing():
+    obstacle = np.zeros((24, 24), dtype=bool)
+    obstacle[0, :] = obstacle[-1, :] = obstacle[:, 0] = obstacle[:, -1] = True
+    p = SamplingPlanner(sampling_node.ALGORITHM_PRM_STAR, seed=3)
+    p.setup(obstacle, start=(2.0, 2.0), goal=(21.0, 21.0))
+    assert p.solve(iterations=500)
+    len_early = p._path_len(p.solution_path())
+    p.solve(iterations=3000)
+    len_late = p._path_len(p.solution_path())
+    straight = float(np.hypot(19.0, 19.0))
+    assert len_late <= len_early + 1e-9
+    assert len_late <= straight * 1.15
 
 
 def test_node_state_machine_and_path_population():
