@@ -392,6 +392,29 @@ def _pad_for_mesh(state: GridState, mesh: Mesh):
 DEFAULT_CHUNK_DEPTH = 16
 
 
+def _prefers_resident(shape, mesh: Mesh, chunk_depth: int) -> bool:
+    """auto-dispatch gate for the resident layout: TPU backend,
+    beyond-VMEM shards (where the per-shard compute would take the banded
+    DMA path, whose per-chunk relayout the resident layout exists to
+    remove), tile-aligned extents. Whole-shard VMEM shards keep the
+    plain pallas path (no relayout exists there to remove)."""
+    import jax
+
+    from ..solver.pallas_sweep import VMEM_CELL_BUDGET
+    from . import resident
+
+    if jax.default_backend() != "tpu":
+        return False
+    hp, wp = padded_shape(shape, mesh)
+    h_loc = hp // mesh.shape["my"]
+    w_loc = wp // mesh.shape["mx"]
+    depth = min(chunk_depth, h_loc, w_loc)
+    ext_cells = (_round_up(h_loc + 2 * depth, 8)
+                 * _round_up(w_loc + 2 * depth, 128))
+    return (ext_cells > VMEM_CELL_BUDGET
+            and resident.eligible(h_loc, w_loc))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_steps", "chunk_depth", "kernel"),
@@ -618,7 +641,11 @@ def update_n(state: GridState, num_steps: int, mesh: Mesh,
 
     kernel="resident" routes to the tile-pure guard-aligned layout
     (:mod:`epic_tpu.parallel.resident`) — no per-chunk relayout copies;
-    width-gated for wide shards (resident.MIN_WIDTH)."""
+    "auto" picks it for beyond-VMEM aligned shards (41.7 vs the banded
+    path's 39.6 G at 4096² on chip, bit-equal — probe sharded-resident)."""
+    if kernel == "auto" and _prefers_resident(state.u.shape, mesh,
+                                              chunk_depth):
+        kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
         from . import resident
 
@@ -692,7 +719,11 @@ def solve(
     """Sharded solve-to-convergence; protocol identical to core.solve.
 
     kernel="resident" keeps the whole while-loop inside shard_map on the
-    tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident`)."""
+    tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident`);
+    "auto" picks it for beyond-VMEM aligned shards."""
+    if kernel == "auto" and _prefers_resident(state.u.shape, mesh,
+                                              chunk_depth):
+        kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
         from . import resident
 

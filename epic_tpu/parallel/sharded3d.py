@@ -430,6 +430,33 @@ def _pmax(x, mesh: Mesh):
 DEFAULT_CHUNK_DEPTH = 8
 
 
+def _prefers_resident(shape, mesh: Mesh, chunk_depth: int) -> bool:
+    """auto-dispatch gate for the resident 3D layout: TPU backend,
+    plane-sharded mesh, tile-aligned shard extents, and a shard whose
+    plane-banded layout cannot hold a non-degenerate band (the wide-plane
+    regime — probe24's scoped-VMEM wall): there the banded composition
+    collapses to band=1 / XLA while the resident tiled3d composition runs
+    17.2 G at 64x1024x1024 shards (92% of the unsharded kernel, probe
+    sharded3d-resident). Small-plane shards (256³-class) KEEP the banded
+    path: its k=2 halos out-run the resident layout's 128-lane guard
+    redundancy there (9.9 vs 8.75 G measured)."""
+    import jax
+
+    from ..solver import pallas_biggrid3d
+    from . import resident3d
+
+    if jax.default_backend() != "tpu" or _has_z(mesh):
+        return False
+    dp, hp, wp = padded_shape(shape, mesh)
+    h_loc = hp // mesh.shape["my"]
+    w_loc = wp // mesh.shape["mx"]
+    depth = min(chunk_depth, h_loc, w_loc)
+    banded_ok = pallas_biggrid3d.feasible(
+        (dp, h_loc + 2 * depth, w_loc + 2 * depth))
+    return (not banded_ok
+            and resident3d.eligible(dp, h_loc, w_loc))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_steps", "chunk_depth", "kernel"),
@@ -542,7 +569,11 @@ def update_n(state: GridState, num_steps: int, mesh: Mesh,
 
     kernel="resident" routes to the tile-pure guard-aligned layout
     (:mod:`epic_tpu.parallel.resident3d`) — no per-chunk relayout copies;
-    plane-sharded meshes with 8/128-aligned shards only."""
+    plane-sharded meshes with 8/128-aligned shards only. "auto" picks it
+    for wide-plane shards where plane-banding degenerates."""
+    if kernel == "auto" and _prefers_resident(state.u.shape, mesh,
+                                              chunk_depth):
+        kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
         from . import resident3d
 
@@ -614,7 +645,12 @@ def solve(
     """Sharded 3D solve-to-convergence; protocol identical to core.solve.
 
     kernel="resident" keeps the whole while-loop inside shard_map on the
-    tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident3d`)."""
+    tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident3d`);
+    "auto" picks it for wide-plane shards where plane-banding
+    degenerates."""
+    if kernel == "auto" and _prefers_resident(
+            state.u.shape, mesh, DEFAULT_CHUNK_DEPTH):
+        kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
         from . import resident3d
 

@@ -505,7 +505,17 @@ def main() -> None:  # pragma: no cover - CLI
                     choices=["masked"])
     ap.add_argument("--log-json", action="store_true",
                     help="emit structured JSON-lines logs")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend via jax.config (environments"
+                         " that pin a backend at interpreter start override"
+                         " the JAX_PLATFORMS env var, so an env-level pin is"
+                         " not enough for hermetic runs)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..metrics import configure_logging
 

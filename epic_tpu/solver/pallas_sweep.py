@@ -164,6 +164,90 @@ def _multisweep_solve_kernel(scal_ref, eps_ref, u_ref, frozen_ref, u_out_ref,
             0, num_sweeps - 1, lambda k, u: sweep(u, k + 1), u1)
 
 
+def _solve_whole_kernel(scal_ref, eps_ref, u_ref, frozen_ref, u_out_ref,
+                        it_ref, delta_ref, done_ref, *, stagger):
+    """The ENTIRE solve protocol in ONE kernel launch.
+
+    Even with the exit decision folded in (:func:`_multisweep_solve_kernel`)
+    the maze-class solve paid ~55 us of per-cycle overhead against the
+    open chunk chain — not u1 writebacks or host selects (both removed,
+    334k vs 409k sweeps/s) and not while_loop sync (the rejected
+    double-cycle body), but the in-program pallas dispatch floor itself.
+    A VMEM-resident grid needs no dispatch boundary at all: the
+    convergence while-loop runs INSIDE the kernel (scalar-carried
+    iteration/delta/done, the grid as a VMEM value), so a 50k-sweep solve
+    is one launch. Exit semantics are bit-identical to
+    harmonic_cpu.cpp:158-173: the staggered check rides each cycle's
+    first sweep, and a passing check keeps u1 (the cycle's remaining
+    sweeps are computed and discarded once, at exit — vector selects are
+    cheaper in-loop than a scalar branch). scal = [m_max,
+    max_iterations]."""
+    m_max = scal_ref[0]
+    max_iterations = scal_ref[1]
+    eps = eps_ref[0]
+    u0 = u_ref[:]
+    sweep = make_sweep_fn(u0, jnp.logical_not(frozen_ref[:]), 0)
+
+    def cond(carry):
+        _, it, _, done = carry
+        return jnp.logical_not(done) & (it < max_iterations)
+
+    def body(carry):
+        u, it, _, _ = carry
+        u1 = sweep(u, it)
+        delta = jnp.max(jnp.abs(u1 - u))
+        done = (delta < eps) & (it + 1 >= m_max)
+        u_full = jax.lax.fori_loop(
+            1, stagger, lambda s, x: sweep(x, it + s), u1)
+        u = jnp.where(done, u1, u_full)
+        it = it + jnp.where(done, 1, stagger)
+        return u, it, delta, done
+
+    u, it, delta, done = jax.lax.while_loop(
+        cond, body, (u0, jnp.int32(0), eps + 1.0, jnp.asarray(False)))
+    u_out_ref[:] = u
+    it_ref[0] = it
+    delta_ref[0] = delta
+    done_ref[0] = done.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stagger", "interpret"), donate_argnums=(0,)
+)
+def _solve_whole(u, frozen, epsilon, m_max, max_iterations, stagger: int,
+                 interpret: bool = False):
+    """Dispatch the single-launch whole-solve kernel; returns
+    (u', iterations, delta, converged)."""
+    h, w = u.shape
+    scal = jnp.stack([jnp.asarray(m_max, jnp.int32),
+                      jnp.asarray(max_iterations, jnp.int32)])
+    out_u, out_it, out_delta, out_done = pl.pallas_call(
+        functools.partial(_solve_whole_kernel, stagger=stagger),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, jnp.asarray(epsilon, jnp.float32).reshape(1), u, frozen)
+    return out_u, out_it[0], out_delta[0], out_done[0] != 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_sweeps", "interpret"), donate_argnums=(0,)
 )
@@ -426,15 +510,14 @@ def solve(
             "solver.core (XLA) or solver.pallas_biggrid"
         )
     padded = pad_state(state)
-    u, iteration, delta, converged = _solve_padded(
+    u, iteration, delta, converged = _solve_whole(
         padded.u,
         padded.frozen,
         state.epsilon,
-        stagger,
+        max(padded.height, padded.width),
         max_iterations,
+        stagger,
         interpret,
-        padded.height,
-        padded.width,
     )
     return dataclasses.replace(
         state,

@@ -140,3 +140,17 @@ def test_eligible_gate():
     assert not resident.eligible(2043, 2048)      # rows not 8-aligned
     assert not resident.eligible(2048, 256)       # below MIN_WIDTH
     assert resident.eligible(8, 512)
+
+
+def test_auto_dispatch_gate(monkeypatch):
+    """'auto' routes beyond-VMEM aligned shards to the resident layout on
+    TPU (measured faster than the banded relayout path), keeps VMEM-sized
+    and misaligned shards on the classic paths, and never fires on CPU."""
+    from epic_tpu.parallel.sharded import _prefers_resident
+
+    mesh1 = make_mesh((1, 1), devices=np.array(jax.devices()[:1]))
+    assert not _prefers_resident((4096, 4096), mesh1, 16)  # cpu backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _prefers_resident((4096, 4096), mesh1, 16)
+    assert not _prefers_resident((482, 482), mesh1, 16)    # fits VMEM
+    assert not _prefers_resident((4100, 4100), mesh1, 16)  # misaligned

@@ -138,3 +138,17 @@ def test_resident3d_nondivisor_tiles_bit_equal(mesh8):
     out_r = resident3d.update_n(st2, 4, mesh8)
     np.testing.assert_array_equal(np.asarray(out_b.u), np.asarray(out_r.u))
     assert float(out_b.delta) == float(out_r.delta)
+
+
+def test_auto_dispatch_gate3d(monkeypatch):
+    """'auto' routes wide-plane shards (plane-banding degenerate) to the
+    resident 3D layout on TPU and keeps small-plane shards banded."""
+    from epic_tpu.parallel.sharded3d import _prefers_resident, make_mesh3d
+
+    mesh1 = make_mesh((1, 1), devices=np.array(jax.devices()[:1]))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _prefers_resident((64, 1024, 1024), mesh1, 2)
+    assert not _prefers_resident((256, 256, 256), mesh1, 2)   # banded wins
+    assert not _prefers_resident((64, 1002, 1024), mesh1, 2)  # misaligned
+    zmesh = make_mesh3d((1, 1, 1), devices=np.array(jax.devices()[:1]))
+    assert not _prefers_resident((64, 1024, 1024), zmesh, 2)  # z-sharded

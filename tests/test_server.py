@@ -430,11 +430,16 @@ def test_cli_main_subprocess(tmp_path):
     port = s.getsockname()[1]
     s.close()
 
+    # --cpu forces the backend at jax.config level: the ambient
+    # sitecustomize pins a tunnelled TPU and overrides the JAX_PLATFORMS
+    # env var, so without it this subprocess silently ran its map preload
+    # through the remote-compile tunnel (minutes, and flaky when the
+    # tunnel is loaded — the only non-hermetic test in the suite).
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.Popen(
         [sys.executable, "-m", "epic_tpu.services.server",
          "--port", str(port), "--backend", "xla", "--map", str(png),
-         "--epsilon", "1e-2", "--steps-per-update", "25"],
+         "--epsilon", "1e-2", "--steps-per-update", "25", "--cpu"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
     )
     try:
