@@ -205,6 +205,25 @@ def _resident_kernel(scal_ref, u_src_in, u_dst_in, f_hbm, src_ref, dst_ref,
 
     slot = jax.lax.rem(i, 2)
 
+    def wait_write(wslot):
+        # Drain one outstanding band writeback on wsem[wslot]; DMA waits
+        # are (semaphore, size) pairs and every writeback shares one
+        # shape, so a same-shaped descriptor stands in for the original.
+        pltpu.make_async_copy(
+            u_vmem.at[0, pl.ds(k, band), :],
+            dst_ref.at[pl.ds(k, band), :],
+            wsem.at[wslot],
+        ).wait()
+
+    # Deferred writeback (the _cycle_kernel3d pattern): wait the PREVIOUS
+    # program's write here — before the prefetch below overwrites its
+    # u_vmem slot (write i-1 reads slot (i+1)%2, exactly the slot
+    # prefetch i+1 fills) — instead of stalling each band on its own
+    # write in-step.
+    @pl.when(i >= 1)
+    def _():
+        wait_write(jax.lax.rem(i + 1, 2))
+
     @pl.when(i == 0)
     def _():
         cu, cf = copies(0, 0)
@@ -250,13 +269,15 @@ def _resident_kernel(scal_ref, u_src_in, u_dst_in, f_hbm, src_ref, dst_ref,
     delta_ref[i, 0] = jnp.max(jnp.abs(u1 - u0))
     u = jax.lax.fori_loop(1, num_sweeps, sweep, u1)
     u_vmem[slot] = u
-    wcp = pltpu.make_async_copy(
+    pltpu.make_async_copy(
         u_vmem.at[slot, pl.ds(k, band), :],
         dst_ref.at[pl.ds(k + i * band, band), :],
         wsem.at[slot],
-    )
-    wcp.start()
-    wcp.wait()
+    ).start()
+
+    @pl.when(i == nb - 1)
+    def _():
+        wait_write(slot)
 
 
 def _chunk_resident(u_src, u_dst, f_res, it0, row0, col0, num_sweeps,

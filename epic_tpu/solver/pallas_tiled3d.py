@@ -444,13 +444,14 @@ def update_n(state: GridState, num_steps: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stagger", "max_iterations", "band", "k", "yt", "wt",
+    static_argnames=("stagger", "band", "k", "yt", "wt",
                      "hp2", "interpret", "m_max"),
     donate_argnums=(0,),
 )
 def _solve_tiled3d(
-    u, frozen_pad, epsilon, stagger: int, max_iterations: int, band: int,
+    u, frozen_pad, epsilon, stagger: int, max_iterations, band: int,
     k: int, yt: int, wt: int, hp2: int, interpret: bool, m_max: int,
+    it0=None,
 ):
     """Full solve protocol on the 3D-tiled path, one device program, with
     the staggered check folded into the first K-chunk of each cycle
@@ -503,8 +504,13 @@ def _solve_tiled3d(
         u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
         return u, iteration, delta, done
 
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments without per-segment recompiles (the
+    # pallas_biggrid.solve_segments pattern).
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     return jax.lax.while_loop(
-        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
     )
 
 
@@ -530,6 +536,45 @@ def solve(
         state,
         u=unpad(dataclasses.replace(g, u=u)),
         iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
+
+
+def solve_segments(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    segment_iterations: int = 1_000,
+    chunk_depth: int = 2,
+    interpret: bool | None = None,
+) -> GridState:
+    """Wide-plane solve-to-convergence as watchdog-safe compiled SEGMENTS
+    (the pallas_biggrid.solve_segments pattern): each dispatch resumes
+    the SAME compiled while loop at the previous segment's iteration,
+    donating the padded buffers across dispatches — bit-identical
+    trajectories to :func:`solve`. Wide-plane volumes NEED this: their
+    ``iter >= max(shape)`` floor (e.g. 2048 at 32x2048x2048) rarely fits
+    one sub-watchdog dispatch."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if state.u.ndim != 3:
+        raise ValueError(f"pallas_tiled3d requires a 3D grid, got {state.u.ndim}D")
+    g = pad_state(state, chunk_depth)
+    u = g.u
+    it = jnp.int32(0)
+    delta = state.epsilon + 1.0
+    converged = jnp.asarray(False)
+    while not bool(converged) and int(it) < max_iterations:
+        bound = min(int(it) + segment_iterations, max_iterations)
+        u, it, delta, converged = _solve_tiled3d(
+            u, g.frozen, state.epsilon, stagger, bound, g.band,
+            g.k, g.yt, g.wt, g.hp2, interpret, max(state.u.shape), it0=it,
+        )
+    return dataclasses.replace(
+        state,
+        u=unpad(dataclasses.replace(g, u=u)),
+        iteration=it,
         delta=delta,
         converged=converged,
     )

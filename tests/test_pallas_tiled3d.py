@@ -210,3 +210,27 @@ def test_rejects_2d():
                      np.zeros((40, 140), bool), 1e-2)
     with pytest.raises(ValueError):
         pallas_tiled3d.update_n(st2, 1)
+
+
+def test_tiled3d_solve_segments_bit_equals_solve():
+    """Segmented wide-plane solving must be BIT-identical to the
+    single-dispatch solve (same compiled loop, segmented bounds)."""
+    import numpy as np
+
+    from epic_tpu.grid import make_state
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    rng = np.random.default_rng(3)
+    u = np.full((6, 40, 272), -1e6, np.float32)
+    locked = rng.random(u.shape) < 0.08
+    locked[0] = locked[-1] = True
+    locked[:, 0] = locked[:, -1] = True
+    locked[:, :, 0] = locked[:, :, -1] = True
+    u[3, 20, 136] = 0.0
+    locked[3, 20, 136] = True
+    out1 = t3.solve(make_state(u, locked, epsilon=1e-2), stagger=10)
+    out2 = t3.solve_segments(make_state(u, locked, epsilon=1e-2),
+                             stagger=10, segment_iterations=37)
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out1.converged) and bool(out2.converged)
+    np.testing.assert_array_equal(np.asarray(out1.u), np.asarray(out2.u))

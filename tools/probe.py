@@ -391,6 +391,9 @@ def biggrid_converge(q, size=4096, segment=10000, cap=200_000):
     if q:
         size, segment, cap = 128, 60, 4000
     u, locked = _grid_np(size, size)
+    out = bg.solve_segments(_state(u, locked), max_iterations=cap,
+                            segment_iterations=segment,
+                            interpret=interp)  # warm (segment programs)
     st = _state(u, locked)
     _stage(st)
     t0 = time.perf_counter()
@@ -633,9 +636,11 @@ def batched_goals(q, lanes=4096, size=128):
 
     def run():
         u_c, f_c, _ = pb.make_goal_batch(base_u_d, base_l_d, gxy_d)
+        # cap 8000: randomly-placed goals make a long convergence tail
+        # (the first run saw 12/4096 lanes still over eps at 2000).
         out = pb._solve_collage_device(
             u_c, f_c, jnp.asarray(retired0), jnp.float32(1e-2), 100,
-            2000, size, nb, gpr, gpc, meta["hp8"], meta["wp"],
+            8000, size, nb, gpr, gpc, meta["hp8"], meta["wp"],
             meta["block_rows"], _interpret())
         u_out, retired, iters, deltas, _ = out
         return u_out, np.asarray(iters)[:lanes], np.asarray(retired)[:lanes]
@@ -954,33 +959,33 @@ def wideplane_update(q, shape=(32, 2048, 2048), steps=1024):
 
 
 @experiment("wideplane-solve", "Wide-plane volumes (z-band x y x x tiles)")
-def wideplane_solve(q, shape=(32, 2048, 2048), cap=1000):
-    """Wide-plane 3D solve protocol (check-chunk + cycle-fill through
-    sweep_cycle_tiled3d) — capped so one while-loop dispatch stays under
-    the remote-worker watchdog."""
+def wideplane_solve(q, shape=(32, 2048, 2048), segment=500, cap=20_000):
+    """Wide-plane 3D solve TO CONVERGENCE via segmented compiled
+    while-loops (t3.solve_segments, bit-identical to solve() — the
+    >= max(shape) floor of wide-plane volumes never fit one sub-watchdog
+    dispatch, so round-3 could only report a rate-capped row)."""
     from epic_tpu.solver import pallas_tiled3d as t3
 
     if q:
-        shape, cap = (8, 256, 512), 200
+        shape, segment, cap = (8, 256, 512), 100, 600
     u, locked = _vol_np(*shape)
-    out = t3.solve(_state(u, locked), max_iterations=cap)  # warm
+    out = t3.solve_segments(_state(u, locked), max_iterations=cap,
+                            segment_iterations=segment)  # warm
     iters = int(out.iteration)
-    reps = 1 if q else 2
-    best = None
-    for _ in range(reps):
-        st = _state(u, locked)
-        _stage(st)
-        t0 = time.perf_counter()
-        out = t3.solve(st, max_iterations=cap)
-        checksum = float(out.delta) + int(out.iteration)
-        dt = time.perf_counter() - t0
-        assert int(out.iteration) == iters
-        if best is None or dt < best:
-            best = dt
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = t3.solve_segments(st, max_iterations=cap,
+                            segment_iterations=segment)
+    checksum = float(out.delta) + int(out.iteration)
+    dt = time.perf_counter() - t0
+    assert int(out.iteration) == iters
+    assert bool(out.converged) or q, (iters, float(out.delta))
     cells = np.prod(shape)
     return dict(shape="x".join(map(str, shape)), iterations=iters,
-                converged=bool(out.converged), reps=reps,
-                g_updates_per_s=round(cells / 2 * iters / best / 1e9, 2),
+                converged=bool(out.converged),
+                segment_iterations=segment, solve_wall_s=round(dt, 1),
+                g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
                 checksum=checksum)
 
 
