@@ -41,6 +41,21 @@ def _worker_state(size: int = 48, mode: str = "solve"):
     from epic_tpu import grid as G
 
     n = size
+    if mode == "solve_resident":
+        # Wide grid so the 2x4 mesh's local blocks are 128-lane aligned
+        # (keep in lockstep with tools/multihost_worker.py).
+        rng = np.random.default_rng(7)
+        w = 512
+        obstacle = np.zeros((n, w), dtype=bool)
+        obstacle[rng.random((n, w)) < 0.15] = True
+        goal = np.zeros((n, w), dtype=bool)
+        goal[n // 2, w // 2] = True
+        obstacle[n // 2, w // 2] = False
+        obstacle[0, :] = obstacle[-1, :] = True
+        obstacle[:, 0] = obstacle[:, -1] = True
+        u = np.where(goal, C.LOG_SPACE_GOAL,
+                     C.LOG_SPACE_FREE).astype(np.float32)
+        return G.make_state(u, goal | obstacle, epsilon=1e-3)
     if mode == "solve3d":
         d = max(4, n // 4)
         rng = np.random.default_rng(7)
@@ -68,7 +83,7 @@ def _worker_state(size: int = 48, mode: str = "solve"):
     return G.make_state(u, locked, epsilon=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["solve", "solve3d"])
+@pytest.mark.parametrize("mode", ["solve", "solve3d", "solve_resident"])
 def test_two_process_sharded_solve_matches_single_process(tmp_path, mode):
     port = _free_port()
     out = tmp_path / "mh.npz"

@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", default="solve",
-                    choices=["solve", "update", "solve3d"])
+                    choices=["solve", "update", "solve3d", "solve_resident"])
     ap.add_argument("--size", type=int, default=48)
     args = ap.parse_args()
 
@@ -75,12 +75,15 @@ def main() -> None:
                 sl[ax] = edge
                 obstacle[tuple(sl)] = True
     else:
+        # The resident layout needs 128-lane-aligned shard widths: a wide
+        # grid (48 x 512 -> 24 x 128 local blocks on the 2x4 mesh).
+        w = 512 if args.mode == "solve_resident" else n
         rng = np.random.default_rng(7)
-        obstacle = np.zeros((n, n), dtype=bool)
-        obstacle[rng.random((n, n)) < 0.15] = True
-        goal = np.zeros((n, n), dtype=bool)
-        goal[n // 2, n // 2] = True
-        obstacle[n // 2, n // 2] = False
+        obstacle = np.zeros((n, w), dtype=bool)
+        obstacle[rng.random((n, w)) < 0.15] = True
+        goal = np.zeros((n, w), dtype=bool)
+        goal[n // 2, w // 2] = True
+        obstacle[n // 2, w // 2] = False
         obstacle[0, :] = obstacle[-1, :] = True
         obstacle[:, 0] = obstacle[:, -1] = True
 
@@ -94,6 +97,11 @@ def main() -> None:
 
     if args.mode == "solve":
         out = sharded.solve(state, mesh)
+    elif args.mode == "solve_resident":
+        # The tile-pure guard-aligned layout: guard exchanges (ppermute +
+        # DUS) cross the process boundary here — the DCN-analog validation
+        # of parallel.resident.
+        out = sharded.solve(state, mesh, kernel="resident")
     elif args.mode == "solve3d":
         from epic_tpu.parallel import sharded3d
 
