@@ -58,8 +58,10 @@ def main() -> None:
         ("batched_goals", probe.batched_goals, {}),
         ("vol_update_256", probe.vol_update, {}),
         ("vol_solve_256", probe.vol_solve, {}),
+        ("wideplane_solve_converged", probe.wideplane_solve, {}),
         ("sharded_banded_4096", probe.sharded_banded, {}),
-        ("sharded_resident_4096", probe.sharded_resident, {}),
+        ("sharded_resident", probe.sharded_resident, {}),
+        ("sharded_solve_4096", probe.sharded_solve, {}),
         ("sharded3d_resident", probe.sharded3d_resident, {}),
     ):
         try:

@@ -49,9 +49,11 @@ def solve_grid(state, stagger=None, **kw):
     dispatch; on mega-grids (>= 16k wide) the protocol's >= max(H, W)-sweep
     floor can exceed a remote worker's dispatch watchdog (~60 s — see
     docs/BENCH_NOTES.md). Cap ``max_iterations`` so a single dispatch stays
-    under ~45 s there and loop on ``converged`` from the host — or, when
-    the convergence floor itself exceeds one dispatch, use the host-driven
-    protocol loop (:mod:`epic_tpu.solver.host_solve`). Real hosts need no
+    under ~45 s there and loop on ``converged`` from the host — or pass
+    ``segment_iterations=N``: the big-grid regimes then run
+    ``solve_segments`` (the SAME compiled while loop resumed across
+    dispatch segments, trajectories bit-identical — the 16384² BASELINE
+    grid converges in ~173 s on one chip this way). Real hosts need no
     cap."""
     import jax as _jax
 
@@ -67,14 +69,18 @@ def solve_grid(state, stagger=None, **kw):
         return core.solve(state, stagger, **kw)
     if pallas_sweep.fits_vmem(state.u.shape):
         # The VMEM kernel has no tiling layout; drop big-grid-only kwargs
-        # so one call site works across the dispatch regimes.
-        kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
+        # (its whole solve is one short kernel — segmentation is moot).
+        kw = {kk: v for kk, v in kw.items()
+              if kk not in ("chunk_depth", "segment_iterations")}
         return pallas_sweep.solve(state, stagger, **kw)
     # Evaluate the regime rule at the SAME chunk depth the solve will pad
     # with (mirrors Planner._kernel_module).
-    if pallas_tiled2d.prefer_tiled(state.u.shape, kw.get("chunk_depth", 16)):
-        return pallas_tiled2d.solve(state, stagger, **kw)
-    return pallas_biggrid.solve(state, stagger, **kw)
+    mod = (pallas_tiled2d
+           if pallas_tiled2d.prefer_tiled(state.u.shape,
+                                          kw.get("chunk_depth", 16))
+           else pallas_biggrid)
+    fn = mod.solve_segments if "segment_iterations" in kw else mod.solve
+    return fn(state, stagger, **kw)
 
 
 def update_grid(state, num_steps, **kw):
@@ -112,15 +118,21 @@ def solve_volume(state, stagger=None, **kw):
         kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
         return core.solve(state, stagger, **kw)
     if pallas_sweep3d.fits_vmem(state.u.shape):
-        kw = {kk: v for kk, v in kw.items() if kk != "chunk_depth"}
+        kw = {kk: v for kk, v in kw.items()
+              if kk not in ("chunk_depth", "segment_iterations")}
         return pallas_sweep3d.solve(state, stagger, **kw)
+    segmented = "segment_iterations" in kw
     if pallas_biggrid3d.feasible(state.u.shape):
-        return pallas_biggrid3d.solve(state, stagger, **kw)
+        fn = (pallas_biggrid3d.solve_segments if segmented
+              else pallas_biggrid3d.solve)
+        return fn(state, stagger, **kw)
     # Wide-plane volumes (a single padded plane > ~700k cells) cannot fit
     # even a minimal 3-plane extended band in scoped VMEM (probe24 wall);
     # run the (z, y, x)-tiled kernel there, XLA as the last resort.
     if pallas_tiled3d.feasible(state.u.shape):
-        return pallas_tiled3d.solve(state, stagger, **kw)
+        fn = (pallas_tiled3d.solve_segments if segmented
+              else pallas_tiled3d.solve)
+        return fn(state, stagger, **kw)
     kw = {kk: v for kk, v in kw.items() if kk == "max_iterations"}
     return core.solve(state, stagger, **kw)
 

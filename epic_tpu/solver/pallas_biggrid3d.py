@@ -453,13 +453,13 @@ def update_n(state: GridState, num_steps: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stagger", "max_iterations", "band", "k", "hp",
+    static_argnames=("stagger", "band", "k", "hp",
                      "interpret", "m_max"),
     donate_argnums=(0,),
 )
 def _solve_banded(
-    u, frozen_pad, epsilon, stagger: int, max_iterations: int, band: int,
-    k: int, hp: int, interpret: bool, m_max: int,
+    u, frozen_pad, epsilon, stagger: int, max_iterations, band: int,
+    k: int, hp: int, interpret: bool, m_max: int, it0=None,
 ):
     """Full solve protocol on the banded 3D path, one device program.
 
@@ -513,8 +513,13 @@ def _solve_banded(
         )
         return u, iteration, delta, done
 
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments without per-segment recompiles (the
+    # pallas_biggrid.solve_segments pattern).
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     u_out, iteration, delta, converged = jax.lax.while_loop(
-        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
     )
     return u_out, iteration, delta, converged
 
@@ -543,6 +548,47 @@ def solve(
         state,
         u=u3[g.k : g.k + g.depth, : g.height, : g.width],
         iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
+
+
+def solve_segments(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    segment_iterations: int = 5_000,
+    chunk_depth: int = 2,
+    interpret: bool | None = None,
+) -> GridState:
+    """Big-volume solve-to-convergence as watchdog-safe compiled SEGMENTS
+    (the pallas_biggrid.solve_segments pattern, 3D twin): each dispatch
+    resumes the SAME compiled while loop at the previous segment's
+    iteration, donating the padded buffers across dispatches —
+    bit-identical trajectories to :func:`solve`. Deep volumes whose
+    ``iter >= max(shape)`` floor holds tens of seconds of device work
+    need this in remote-watchdog environments."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if state.u.ndim != 3:
+        raise ValueError(f"pallas_biggrid3d requires a 3D grid, got {state.u.ndim}D")
+    g = pad_state(state, chunk_depth)
+    u = g.u
+    it = jnp.int32(0)
+    delta = state.epsilon + 1.0
+    converged = jnp.asarray(False)
+    while not bool(converged) and int(it) < max_iterations:
+        bound = min(int(it) + segment_iterations, max_iterations)
+        u, it, delta, converged = _solve_banded(
+            u, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
+            g.hp, interpret, max(state.u.shape), it0=it,
+        )
+    dp = u.shape[0] // g.hp
+    u3 = u.reshape(dp, g.hp, u.shape[1])
+    return dataclasses.replace(
+        state,
+        u=u3[g.k : g.k + g.depth, : g.height, : g.width],
+        iteration=it,
         delta=delta,
         converged=converged,
     )

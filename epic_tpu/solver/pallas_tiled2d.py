@@ -415,13 +415,14 @@ def update_n(state: GridState, num_steps: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stagger", "max_iterations", "band", "k", "wt",
+    static_argnames=("stagger", "band", "k", "wt",
                      "interpret", "height", "width"),
     donate_argnums=(0,),
 )
 def _solve_tiled(
-    u, frozen, epsilon, stagger: int, max_iterations: int, band: int,
+    u, frozen, epsilon, stagger: int, max_iterations, band: int,
     k: int, wt: int, interpret: bool, height: int, width: int,
+    it0=None,
 ):
     """Full solve protocol on the tiled path, one device program.
 
@@ -527,8 +528,13 @@ def _solve_tiled(
                                         (u, iteration))
             return u, iteration, delta, done
 
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments without per-segment recompiles (the
+    # pallas_biggrid.solve_segments pattern).
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     return jax.lax.while_loop(
-        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
+        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
     )
 
 
@@ -552,6 +558,44 @@ def solve(
         state,
         u=u[g.k : g.k + g.height, _HX : _HX + g.width],
         iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
+
+
+def solve_segments(
+    state: GridState,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    segment_iterations: int = 5_000,
+    chunk_depth: int = 16,
+    interpret: bool | None = None,
+) -> GridState:
+    """Solve-to-convergence as watchdog-safe compiled SEGMENTS (the
+    pallas_biggrid.solve_segments pattern, tiled twin): each dispatch
+    resumes the SAME compiled while loop at the previous segment's
+    iteration, donating the padded buffers across dispatches —
+    bit-identical trajectories to :func:`solve`. The wide-grid regime
+    (prefer_tiled, ~12k widths up) NEEDS this: its ``iter >= max(H, W)``
+    floor alone can exceed the ~45 s remote-worker watchdog
+    (probe26/27)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = pad_state(state, chunk_depth)
+    u = g.u
+    it = jnp.int32(0)
+    delta = state.epsilon + 1.0
+    converged = jnp.asarray(False)
+    while not bool(converged) and int(it) < max_iterations:
+        bound = min(int(it) + segment_iterations, max_iterations)
+        u, it, delta, converged = _solve_tiled(
+            u, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
+            g.wt, interpret, g.height, g.width, it0=it,
+        )
+    return dataclasses.replace(
+        state,
+        u=u[g.k : g.k + g.height, _HX : _HX + g.width],
+        iteration=it,
         delta=delta,
         converged=converged,
     )

@@ -94,6 +94,31 @@ def test_solve_matches_core_protocol():
     assert float(out_t.delta) == pytest.approx(float(out_ref.delta), abs=1e-6)
 
 
+def test_solve_segments_bit_equals_solve():
+    """Segmented wide-grid solving (watchdog-safe mega-grid convergence)
+    must be BIT-identical to the single-dispatch solve — same compiled
+    loop, segmented iteration bounds, including a cap landing
+    mid-segment."""
+    st1 = _state(64, 160, seed=7, eps=1e-2)
+    st2 = _state(64, 160, seed=7, eps=1e-2)
+    out1 = pallas_tiled2d.solve(st1, stagger=13)
+    out2 = pallas_tiled2d.solve_segments(st2, stagger=13,
+                                         segment_iterations=41)
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out1.converged) and bool(out2.converged)
+    np.testing.assert_array_equal(np.asarray(out1.u), np.asarray(out2.u))
+    assert float(out1.delta) == float(out2.delta)
+
+    st3 = _state(64, 160, seed=7, eps=1e-8)
+    st4 = _state(64, 160, seed=7, eps=1e-8)
+    out3 = pallas_tiled2d.solve(st3, stagger=13, max_iterations=95)
+    out4 = pallas_tiled2d.solve_segments(st4, stagger=13, max_iterations=95,
+                                         segment_iterations=50)
+    assert int(out3.iteration) == int(out4.iteration)
+    assert bool(out3.converged) == bool(out4.converged)
+    np.testing.assert_array_equal(np.asarray(out3.u), np.asarray(out4.u))
+
+
 def test_layout_chooser_budget_and_redundancy():
     for shape in [(16384, 16384), (32768, 32768), (8192, 8192),
                   (4096, 65536)]:

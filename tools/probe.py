@@ -511,6 +511,38 @@ def tiled_solve(q, sizes=((16384, 16384, 2500),)):
     return dict(rows=rows)
 
 
+@experiment("tiled-converge", "Solve-to-convergence (full protocol)")
+def tiled_converge(q, size=16384, segment=5000, cap=200_000):
+    """The full 16k x 16k BASELINE mega-grid solved TO CONVERGENCE at the
+    tiled kernel's full rate via t2.solve_segments (bit-identical to the
+    single-dispatch solve; each ~5000-iteration segment holds ~16 s of
+    device work — under the remote watchdog). Round-3 could only converge
+    this shape through host_solve's per-cycle dispatches (386 s)."""
+    from epic_tpu.solver import pallas_tiled2d as t2
+
+    interp = _interpret()
+    if q:
+        size, segment, cap = 384, 120, 4000
+    u, locked = _grid_np(size, size)
+    # Warm the segment program (one short capped run — same jaxpr).
+    out = t2.solve_segments(_state(u, locked), max_iterations=min(segment, cap),
+                            segment_iterations=segment, interpret=interp)
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = t2.solve_segments(st, max_iterations=cap,
+                            segment_iterations=segment, interpret=interp)
+    checksum = float(out.delta) + int(out.iteration)
+    dt = time.perf_counter() - t0
+    iters = int(out.iteration)
+    assert bool(out.converged) or q, (iters, float(out.delta))
+    return dict(size=size, iterations=iters, converged=bool(out.converged),
+                delta=float(out.delta), solve_wall_s=round(dt, 1),
+                segment_iterations=segment,
+                g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2),
+                checksum=checksum)
+
+
 def _batch_np(lanes, size, seed=0):
     rng = np.random.default_rng(seed)
     u = np.full((lanes, size, size), -1e6, np.float32)
@@ -839,6 +871,21 @@ def vol_update(q, shape=(256, 256, 256), n_chunks=512, reps=3,
     dt = time.perf_counter() - t0
     res["planner_g_updates_per_s"] = round(
         cells / 2 * 8 * tick / dt / 1e9, 2)
+
+    # Matched-granularity tick (VERDICT r3 item 3): tick == prod_steps
+    # puts one FULL 512-chunk cycle per dispatch — the same dispatch
+    # granularity as the kernel headline above. The residual tax of the
+    # small-tick row is cycle-length amortization (64 chunks/dispatch at
+    # tick=128), not planner overhead.
+    pl3.update(prod_steps)  # warm the big-tick program
+    float(np.asarray(pl3.state.delta))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        pl3.update(prod_steps)
+    res["planner_bigtick_checksum"] = float(np.asarray(pl3.state.delta))
+    dt = time.perf_counter() - t0
+    res["planner_bigtick_g_updates_per_s"] = round(
+        cells / 2 * 3 * prod_steps / dt / 1e9, 2)
     return res
 
 
@@ -1059,12 +1106,15 @@ def sharded_banded(q, size=4096, steps=8192):
 
 
 @experiment("sharded-resident", "Scaling across devices")
-def sharded_resident(q, size=4096, steps=8192):
+def sharded_resident(q, sizes=((4096, 8192), (8192, 4096))):
     """The tile-pure resident shard layout (guard rows + 128-lane guard
     tiles, ping-pong aliased-HBM per-shard kernel — VERDICT r3 items 1/4)
     on a 1x1 mesh over the real chip, A/B against the banded shard path it
     replaces at the same shard width; gate = bit-equality between the two
-    compositions (the virtual-mesh suite pins both to core)."""
+    compositions (the virtual-mesh suite pins both to core). ``sizes`` is
+    (size, steps) pairs: the 8192 row shows the guard-redundancy tax
+    shrinking with shard width ((256 guard lanes)/width — the layout's
+    cost model)."""
     import jax
 
     from epic_tpu.parallel import make_mesh, sharded
@@ -1073,28 +1123,70 @@ def sharded_resident(q, size=4096, steps=8192):
     kern_b = "pallas_banded_interpret" if interp else "pallas_banded"
     kern_r = "resident_interpret" if interp else "resident"
     if q:
-        size, steps = 128, 16
+        sizes = ((128, 16),)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    rows = []
+    for size, steps in sizes:
+        u, locked = _grid_np(size, size)
+        out_b = sharded.update_n(_state(u, locked), steps, mesh,
+                                 chunk_depth=16, kernel=kern_b)
+        out_r = sharded.update_n(_state(u, locked), steps, mesh,
+                                 chunk_depth=16, kernel=kern_r)
+        d = _device_max_abs_diff(out_r.u, out_b.u)
+        assert d == 0.0, (size, d)
+        for kern in (kern_b, kern_r):
+            st = _state(u, locked)
+            _stage(st)
+            t0 = time.perf_counter()
+            out = sharded.update_n(st, steps, mesh, chunk_depth=16,
+                                   kernel=kern)
+            checksum = float(out.delta)  # scalar program output = barrier
+            dt = time.perf_counter() - t0
+            rows.append(dict(size=size, steps=steps, kernel=kern,
+                             max_abs_diff_resident_vs_banded=d,
+                             g_updates_per_s=round(
+                                 size * size / 2 * steps / dt / 1e9, 2),
+                             checksum=checksum))
+    return dict(mesh="1x1", rows=rows)
+
+
+@experiment("sharded-solve", "Scaling across devices")
+def sharded_solve(q, size=4096):
+    """Sharded solve TO CONVERGENCE on a 1x1 mesh over the real chip: the
+    whole convergence while-loop runs INSIDE shard_map on the resident
+    layout (pmax-reduced staggered checks, layout resident across the
+    entire solve — ONE dispatch). Gates: iteration count == the unsharded
+    banded solve (kernels are elementwise-identical) and device equality
+    of the converged fields."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, sharded
+    from epic_tpu.solver import pallas_biggrid as bg
+
+    interp = _interpret()
+    kern = "resident_interpret" if interp else "resident"
+    if q:
+        size = 256
     u, locked = _grid_np(size, size)
     mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
-    out_b = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
-                             kernel=kern_b)
-    out_r = sharded.update_n(_state(u, locked), steps, mesh, chunk_depth=16,
-                             kernel=kern_r)
-    d = _device_max_abs_diff(out_r.u, out_b.u)
+    out_u = bg.solve(_state(u, locked), max_iterations=40_000)
+    out_s = sharded.solve(_state(u, locked), mesh, max_iterations=40_000,
+                          kernel=kern)
+    d = _device_max_abs_diff(out_s.u, out_u.u)
+    iters = int(out_s.iteration)
+    assert iters == int(out_u.iteration), (iters, int(out_u.iteration))
     assert d == 0.0, d
-    rows = []
-    for kern in (kern_b, kern_r):
-        st = _state(u, locked)
-        _stage(st)
-        t0 = time.perf_counter()
-        out = sharded.update_n(st, steps, mesh, chunk_depth=16, kernel=kern)
-        checksum = float(out.delta)  # scalar program output = barrier
-        dt = time.perf_counter() - t0
-        rows.append(dict(kernel=kern,
-                         g_updates_per_s=round(size * size / 2 * steps / dt / 1e9, 2),
-                         checksum=checksum))
-    return dict(size=size, steps=steps, mesh="1x1",
-                max_abs_diff_resident_vs_banded=d, rows=rows)
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out_s = sharded.solve(st, mesh, max_iterations=40_000, kernel=kern)
+    checksum = float(out_s.delta) + int(out_s.iteration)
+    dt = time.perf_counter() - t0
+    return dict(size=size, mesh="1x1", kernel=kern, iterations=iters,
+                converged=bool(out_s.converged),
+                max_abs_diff_vs_unsharded=d, solve_wall_s=round(dt, 2),
+                g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2),
+                checksum=checksum)
 
 
 @experiment("resident-iso", "Scaling across devices")
@@ -1518,8 +1610,9 @@ BATTERY = [
     "batched-goals", "batched-map", "vol-update", "vol-solve",
     "wideplane-update", "wideplane-solve", "biggrid-update",
     "biggrid-solve", "biggrid-converge", "solve-body-iso", "sharded-banded",
-    "sharded-resident", "sharded3d-banded", "sharded3d-resident",
-    "tiled-solve", "tiled-update",
+    "sharded-resident", "sharded-solve", "sharded3d-banded",
+    "sharded3d-resident",
+    "tiled-solve", "tiled-converge", "tiled-update",
 ]
 
 
