@@ -74,6 +74,12 @@ GC = 128  # guard tile width (one lane tile per side)
 # measured slower — ROADMAP 3b); the probe A/Bs pin the boundary.
 MIN_WIDTH = 512
 
+# Solve-loop exchange depth: deeper chunks amortize the per-cycle
+# structure better than the k=16 the open update chain prefers (on-chip
+# scan at 4096²: 35.3 / 40.6 / 38.4 G at depth 16/32/48 pre-fold);
+# trajectories are depth-invariant (chunks are elementwise-exact).
+SOLVE_CHUNK_DEPTH = 32
+
 
 def eligible(h_loc: int, w_loc: int, min_width: int = MIN_WIDTH) -> bool:
     """Whether a shard extent can take the resident layout: tile-pure
@@ -459,7 +465,8 @@ def _solve_resident(
         k, band, nb, hp, wg = _layout(h_loc, w_loc, chunk_depth)
         row0, col0 = _origin(mesh, h_loc, w_loc, k)
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, hp)
-        n_full, rem = divmod(stagger - 1, k)
+        ns1 = min(k, stagger)
+        n_full, rem = divmod(stagger - ns1, k)
         n2, odd = divmod(n_full, 2)
 
         def chunk2(cur, alt, it, ns):
@@ -477,16 +484,29 @@ def _solve_resident(
             # copies at the while/cond joins — probe36/40/42); inside the
             # body the pair ping-pongs through paired fori chunks with
             # stable carry positions (zero back-edge copies, see
-            # _update_n_resident.body).
+            # _update_n_resident.body). The staggered check is FOLDED
+            # into the cycle's first k-chunk: the kernel's per-chunk
+            # delta IS its sweep-0 delta, i.e. the check value, so no
+            # dedicated 1-sweep check chunk runs; the rare done-exit
+            # recomputes the single post-check sweep from the intact
+            # ping-pong src buffer (aliased kernel reads don't destroy
+            # it) — bit-identical to the check chunk it replaces, paid
+            # once per solve (with SOLVE_CHUNK_DEPTH: 35.3 -> 40.9 G on
+            # chip at 4096², iteration-exact vs the unsharded solve).
             u_res, iteration, _, _ = carry
             alt = _fill_twin(hp, wg, interpret)
-            stale, cur, delta = chunk2(u_res, alt, iteration, 1)
-            iteration = iteration + 1
+            stale, cur, delta = chunk2(u_res, alt, iteration, ns1)
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
-            done = (delta < eps) & (iteration >= m_max)
+            done = (delta < eps) & (iteration + 1 >= m_max)
+
+            def finish(args):
+                cur, stale, it = args
+                _, u1, _ = chunk2(stale, cur, it, 1)
+                return u1, it + 1
 
             def run_rest(args):
                 cur, stale, it = args
+                it = it + ns1
 
                 def fbody(i, c):
                     a, b, it2 = c
@@ -502,10 +522,10 @@ def _solve_resident(
                 if rem:
                     stale, cur, _ = chunk2(cur, stale, it, rem)
                     it = it + rem
-                return cur, stale, it
+                return cur, it
 
-            u_res, _, iteration = jax.lax.cond(
-                done, lambda a: a, run_rest, (cur, stale, iteration))
+            u_res, iteration = jax.lax.cond(
+                done, finish, run_rest, (cur, stale, iteration))
             return u_res, iteration, delta, done
 
         u_res, iteration, delta, converged = jax.lax.while_loop(
@@ -569,11 +589,12 @@ def solve(
     mesh: Mesh,
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
-    chunk_depth: int = DEFAULT_CHUNK_DEPTH,
+    chunk_depth: int = SOLVE_CHUNK_DEPTH,
     interpret: bool | None = None,
 ) -> GridState:
     """Sharded solve-to-convergence on the resident layout; protocol
-    identical to core.solve."""
+    identical to core.solve. Defaults to the deeper SOLVE_CHUNK_DEPTH
+    (trajectories are depth-invariant)."""
     from .sharded import _pad_for_mesh
 
     _check_shard(state.u.shape, mesh)

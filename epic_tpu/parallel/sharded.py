@@ -727,6 +727,11 @@ def solve(
     if kernel in ("resident", "resident_interpret"):
         from . import resident
 
+        # The resident solve prefers a deeper exchange depth than the
+        # open update chain (trajectories are depth-invariant); keep an
+        # explicitly-passed non-default depth.
+        if chunk_depth == DEFAULT_CHUNK_DEPTH:
+            chunk_depth = resident.SOLVE_CHUNK_DEPTH
         return resident.solve(
             state, mesh, stagger, max_iterations, chunk_depth,
             interpret=True if kernel.endswith("_interpret") else None)
