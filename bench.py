@@ -63,6 +63,7 @@ def main() -> None:
         ("sharded_resident", probe.sharded_resident, {}),
         ("sharded_solve_4096", probe.sharded_solve, {}),
         ("sharded3d_resident", probe.sharded3d_resident, {}),
+        ("sharded3d_solve", probe.sharded3d_solve, {}),
     ):
         try:
             detail[key] = fn(q, **kw)

@@ -219,6 +219,30 @@ def _pad_resident(u_loc, frozen_loc, mesh: Mesh, k: int, dp: int,
 # ---------------------------------------------------------------------------
 
 
+def _interior_delta(u_a, u_b, d: int, h_loc: int, w_loc: int, k: int,
+                    hp2: int):
+    """max |u_b - u_a| over the shard's INTERIOR cells only.
+
+    The in-kernel slab deltas cover transiently-updated guard cells too;
+    guard cells adjacent to frozen round-up tile padding read the pad
+    where the owning shard reads real neighbour data, so their update
+    arithmetic does NOT duplicate the owner's and their |u1-u0| never
+    decays — near convergence the in-kernel delta sticks at that
+    residual and the staggered check can never pass (caught by
+    test_resident3d_solve_nondivisor_layout_converges). Interior-only
+    deltas pmax to exactly the unsharded kernel's value (frozen padding
+    contributes 0 there; transiently-updated halo cells duplicate
+    neighbouring tiles' centre deltas)."""
+    rp, wp = u_a.shape
+    dpv = rp // hp2
+    a = u_a.reshape(dpv, hp2, wp)
+    b = u_b.reshape(dpv, hp2, wp)
+    lim = (k + d, _HY + h_loc, _HX + w_loc)
+    return jnp.max(jnp.abs(
+        jax.lax.slice(b, (k, _HY, _HX), lim)
+        - jax.lax.slice(a, (k, _HY, _HX), lim)))
+
+
 def _grid_dims(rp: int, wp: int, band: int, k: int, yt: int, wt: int,
                hp2: int):
     dp = rp // hp2
@@ -372,7 +396,11 @@ def _update_n_resident(
     tile-pure guard refreshes between them (guards must be fresh per
     chunk — slab trapezoids only cover within-chunk staleness), a
     remainder chunk through the functional kernel, ONE centre slice at
-    exit. Delta (pmax) from the overall first sweep."""
+    exit. Delta (pmax) from the overall first sweep, computed as the
+    INTERIOR diff of a 1-sweep prologue chunk — the in-kernel slab
+    deltas include guard cells poisoned by round-up tile padding (see
+    :func:`_interior_delta`); the prologue costs k/num_steps (~1% on
+    production ticks)."""
 
     @functools.partial(
         jax.shard_map,
@@ -395,12 +423,16 @@ def _update_n_resident(
             return _chunk_cycle(cur, alt, f_res, it, band, k, yt, wt,
                                 hp2, interpret)
 
-        n_full, rem = divmod(num_steps, k)
-        delta = None
-        it = it0
+        u_res = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
+        u1, _ = _chunk_tile(u_res, f_res, it0, 1, band, k, yt, wt, hp2,
+                            interpret)
+        delta = _interior_delta(u_res, u1, d, h_loc, w_loc, k, hp2)
+        u_res = u1
+        n_full, rem = divmod(num_steps - 1, k)
+        it = it0 + 1
         if n_full:
             alt = _fill_twin(dp * hp2, wp, interpret)
-            stale, u_res, delta = chunk2(u_res, alt, it)
+            stale, u_res, _ = chunk2(u_res, alt, it)
             n2, odd = divmod(n_full - 1, 2)
 
             def body(i, carry):
@@ -421,10 +453,8 @@ def _update_n_resident(
                 it = it + k
         if rem:
             u_res = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-            u_res, dd = _chunk_tile(u_res, f_res, it, rem, band, k, yt,
-                                    wt, hp2, interpret)
-            if delta is None:
-                delta = dd
+            u_res, _ = _chunk_tile(u_res, f_res, it, rem, band, k, yt,
+                                   wt, hp2, interpret)
         delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
         u3 = u_res.reshape(dp, hp2, wp)
         out = jax.lax.slice(
@@ -483,9 +513,13 @@ def _solve_resident(
 
         def body(carry):
             u_res, iteration, _, _ = carry
-            u_res = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-            u_res, delta = _chunk_tile(u_res, f_res, iteration, 1, band,
-                                       k, yt, wt, hp2, interpret)
+            u_pre = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
+            u_res, _ = _chunk_tile(u_pre, f_res, iteration, 1, band,
+                                   k, yt, wt, hp2, interpret)
+            # Check delta over the INTERIOR only — the in-kernel slab
+            # deltas include guard cells poisoned by round-up tile
+            # padding, which never decay (see _interior_delta).
+            delta = _interior_delta(u_pre, u_res, d, h_loc, w_loc, k, hp2)
             iteration = iteration + 1
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
             done = (delta < eps) & (iteration >= m_max)

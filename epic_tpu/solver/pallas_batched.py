@@ -136,20 +136,16 @@ def pad_batch(
     fully frozen.
     """
     b, h, w = u.shape
-    if h % 2:
-        raise ValueError("map height must be even for collage batching")
-    wp = _round_up(w, 128)
-    hp8 = _round_up(h, 8)
-    if group_shape is None:
-        gpc = max(1, min(b, 1024 // wp)) if wp <= 1024 else 1
-        per_col_cells = hp8 * gpc * wp
-        gpr = max(1, BLOCK_CELL_BUDGET // per_col_cells)
-        group_shape = (gpr, gpc)
-    gpr, gpc = group_shape
+    # ONE source of truth for the collage geometry: batch_meta. The
+    # device-built goal collages (make_goal_batch) are bit-equality-gated
+    # against this host builder, so the group-shape heuristic must never
+    # fork.
+    meta = batch_meta(b, h, w, group_shape)
+    wp, hp8 = meta["wp"], meta["hp8"]
+    gpr, gpc = meta["gpr"], meta["gpc"]
+    n_blocks, block_rows = meta["n_blocks"], meta["block_rows"]
+    cols = meta["cols"]
     per_group = gpr * gpc
-    n_blocks = -(-b // per_group)
-    block_rows = gpr * hp8
-    cols = gpc * wp
     hp = n_blocks * block_rows
 
     n_lanes = n_blocks * per_group
@@ -180,8 +176,6 @@ def pad_batch(
         .transpose(0, 1, 3, 2, 4)
         .reshape(n_blocks * gpr * hp8, gpc * wp)
     )
-    meta = dict(b=b, h=h, w=w, hp8=hp8, wp=wp, gpr=gpr, gpc=gpc,
-                n_blocks=n_blocks, block_rows=block_rows, cols=cols)
     return jnp.asarray(u_c), jnp.asarray(np.ascontiguousarray(frozen)), meta
 
 

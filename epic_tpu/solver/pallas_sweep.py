@@ -127,52 +127,17 @@ def _multisweep_check_kernel(it_ref, u_ref, frozen_ref, u_out_ref, u1_out_ref,
     u_out_ref[:] = jax.lax.fori_loop(0, num_sweeps - 1, body, u1)
 
 
-def _multisweep_solve_kernel(scal_ref, eps_ref, u_ref, frozen_ref, u_out_ref,
-                             delta_ref, done_ref, *, num_sweeps):
-    """Whole solve-cycle kernel with the EXIT DECISION folded in.
-
-    The check variant (:func:`_multisweep_check_kernel`) returns u1 plus
-    the post-cycle state and lets the host pick — costing a full-grid u1
-    writeback plus two full-grid selects per cycle (the measured
-    ~59 us/cycle residual between the maze solve and the open chunk
-    chain; VERDICT r3 item 6). Here the kernel reads epsilon and the
-    propagation guard from SMEM, evaluates the reference's exit predicate
-    itself (harmonic_cpu.cpp:158-173: delta < eps AND iteration+1 >=
-    max(H, W), checked right after the cycle's first sweep), and writes
-    EITHER u1 (exit: the post-check-sweep state) OR the full cycle —
-    nothing else leaves the kernel but the 4-byte delta and done flag.
-    scal = [iteration, m_max]."""
-    t0 = scal_ref[0]
-    m_max = scal_ref[1]
-    eps = eps_ref[0]
-    u0 = u_ref[:]
-    sweep = make_sweep_fn(u0, jnp.logical_not(frozen_ref[:]), t0)
-
-    u1 = sweep(u0, 0)
-    delta = jnp.max(jnp.abs(u1 - u0))
-    done = (delta < eps) & (t0 + 1 >= m_max)
-    delta_ref[0] = delta
-    done_ref[0] = done.astype(jnp.int32)
-
-    @pl.when(done)
-    def _():
-        u_out_ref[:] = u1
-
-    @pl.when(jnp.logical_not(done))
-    def _():
-        u_out_ref[:] = jax.lax.fori_loop(
-            0, num_sweeps - 1, lambda k, u: sweep(u, k + 1), u1)
-
-
 def _solve_whole_kernel(scal_ref, eps_ref, u_ref, frozen_ref, u_out_ref,
                         it_ref, delta_ref, done_ref, *, stagger):
     """The ENTIRE solve protocol in ONE kernel launch.
 
-    Even with the exit decision folded in (:func:`_multisweep_solve_kernel`)
-    the maze-class solve paid ~55 us of per-cycle overhead against the
-    open chunk chain — not u1 writebacks or host selects (both removed,
-    334k vs 409k sweeps/s) and not while_loop sync (the rejected
-    double-cycle body), but the in-program pallas dispatch floor itself.
+    Even with the exit decision folded into a per-cycle kernel (the
+    round-4 ``_multisweep_solve_kernel`` experiment, deleted once this
+    superseded it) the maze-class solve paid ~55 us of per-cycle overhead
+    against the open chunk chain — not u1 writebacks or host selects
+    (both removed, 334k vs 409k sweeps/s) and not while_loop sync (the
+    rejected double-cycle body), but the in-program pallas dispatch
+    floor itself.
     A VMEM-resident grid needs no dispatch boundary at all: the
     convergence while-loop runs INSIDE the kernel (scalar-carried
     iteration/delta/done, the grid as a VMEM value), so a 50k-sweep solve
@@ -246,49 +211,6 @@ def _solve_whole(u, frozen, epsilon, m_max, max_iterations, stagger: int,
         interpret=interpret,
     )(scal, jnp.asarray(epsilon, jnp.float32).reshape(1), u, frozen)
     return out_u, out_it[0], out_delta[0], out_done[0] != 0
-
-
-@functools.partial(
-    jax.jit, static_argnames=("num_sweeps", "interpret"), donate_argnums=(0,)
-)
-def sweep_cycle_solve(
-    u: jax.Array,
-    frozen: jax.Array,
-    iteration: jax.Array,
-    epsilon: jax.Array,
-    m_max,
-    num_sweeps: int,
-    interpret: bool = False,
-):
-    """One solve stagger cycle with the exit decision in-kernel; returns
-    ``(u', delta, done)`` where u' is u1 on a passing check and the full
-    cycle otherwise (see :func:`_multisweep_solve_kernel`)."""
-    h, w = u.shape
-    scal = jnp.stack([jnp.asarray(iteration, jnp.int32),
-                      jnp.asarray(m_max, jnp.int32)])
-    out_u, out_delta, out_done = pl.pallas_call(
-        functools.partial(_multisweep_solve_kernel, num_sweeps=num_sweeps),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        input_output_aliases={2: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(scal, jnp.asarray(epsilon, jnp.float32).reshape(1), u, frozen)
-    return out_u, out_delta[0], out_done[0] != 0
 
 
 @functools.partial(
@@ -444,50 +366,6 @@ def update_n(state: GridState, num_steps: int, interpret: bool | None = None) ->
         iteration=state.iteration + num_steps,
         delta=delta,
         converged=(delta < state.epsilon) if num_steps == 1 else jnp.asarray(False),
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("stagger", "max_iterations", "interpret", "height", "width"),
-    donate_argnums=(0, 1),
-)
-def _solve_padded(
-    u,
-    frozen,
-    epsilon,
-    stagger: int,
-    max_iterations: int,
-    interpret: bool,
-    height: int,
-    width: int,
-):
-    m_max = max(height, width)
-
-    def cond(carry):
-        _, iteration, _, converged = carry
-        return ~converged & (iteration < max_iterations)
-
-    def body(carry):
-        u, iteration, _, _ = carry
-        # Whole stagger cycle in ONE kernel with the exit decision folded
-        # in too: on a passing check the kernel writes exactly the
-        # reference's post-check-sweep state (iteration ≡ 1 mod stagger —
-        # harmonic_cpu.cpp:158-173), otherwise the full cycle. The check
-        # fold halved the round-2 while-body overhead (a dedicated 1-sweep
-        # check chunk + cond branch cost ~40% of the maze solve's wall
-        # clock); folding the exit SELECT removes the residual the round-3
-        # double-cycle experiment proved was per-cycle cost, not while-loop
-        # sync (329.8k vs 328.4k sweeps/s): the check kernel's full-grid u1
-        # writeback and the two host-level full-grid selects.
-        u, delta, done = sweep_cycle_solve.__wrapped__(
-            u, frozen, iteration, epsilon, m_max, stagger, interpret
-        )
-        iteration = iteration + jnp.where(done, 1, stagger)
-        return u, iteration, delta, done
-
-    return jax.lax.while_loop(
-        cond, body, (u, jnp.int32(0), epsilon + 1.0, jnp.asarray(False))
     )
 
 

@@ -140,6 +140,31 @@ def test_resident3d_nondivisor_tiles_bit_equal(mesh8):
     assert float(out_b.delta) == float(out_r.delta)
 
 
+def test_resident3d_solve_nondivisor_layout_converges():
+    """REGRESSION: solve on a non-divisor slab layout with a real
+    lower-neighbour shard. Guard cells adjacent to the frozen round-up
+    tile padding read the pad where the owning shard reads real data, so
+    their transient updates never settle; with the in-kernel slab deltas
+    feeding the staggered check the residual stuck at ~0.27 and the
+    solve ran to its cap (states stayed exact — the poison sits >= _HY
+    rows from the interior and k-sweep chunks cannot carry it in). The
+    check delta is now the interior-only diff (_interior_delta)."""
+    mesh = make_mesh((2, 1), devices=np.asarray(jax.devices()[:2]))
+    st1 = _volume(8, 48, 128, seed=9, density=0.08)
+    st2 = _volume(8, 48, 128, seed=9, density=0.08)
+    # 24-row shards: yt=16 rounds up to 32 -> frozen padding right below
+    # the bottom guard rows.
+    band, k, yt, wt = resident3d.choose_layout(8, 24, 128)
+    assert 24 % yt, "fixture must exercise a non-divisor tile layout"
+    out_c = core.solve(st1, stagger=10, max_iterations=2000)
+    out_r = resident3d.solve(st2, mesh, stagger=10, max_iterations=2000)
+    assert bool(out_c.converged) and bool(out_r.converged)
+    assert int(out_c.iteration) == int(out_r.iteration)
+    np.testing.assert_allclose(
+        np.asarray(out_c.u), np.asarray(out_r.u), rtol=2e-6, atol=1e-3
+    )
+
+
 def test_auto_dispatch_gate3d(monkeypatch):
     """'auto' routes wide-plane shards (plane-banding degenerate) to the
     resident 3D layout on TPU and keeps small-plane shards banded."""

@@ -1352,6 +1352,45 @@ def sharded3d_banded(q, shape=(256, 256, 256), steps=1024, depths=(2, 4, 8)):
                 kernel=kern, rows=rows)
 
 
+@experiment("sharded3d-solve", "Scaling across devices")
+def sharded3d_solve(q, shape=(64, 1024, 1024), cap=20_000):
+    """Sharded 3D solve TO CONVERGENCE on a 1x1 mesh over the real chip:
+    the whole while-loop inside shard_map on the resident3d wide-plane
+    layout (one dispatch). Gates: iteration count == the unsharded tiled3d
+    solve (kernels elementwise-identical) and device equality of the
+    converged fields."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, sharded3d
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    interp = _interpret()
+    kern = "resident_interpret" if interp else "resident"
+    if q:
+        shape, cap = (8, 32, 256), 800
+    u, locked = _vol_np(*shape)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    out_u = t3.solve(_state(u, locked), max_iterations=cap)
+    out_s = sharded3d.solve(_state(u, locked), mesh, max_iterations=cap,
+                            kernel=kern)
+    d = _device_max_abs_diff(out_s.u, out_u.u)
+    iters = int(out_s.iteration)
+    assert iters == int(out_u.iteration), (iters, int(out_u.iteration))
+    assert d == 0.0, d
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out_s = sharded3d.solve(st, mesh, max_iterations=cap, kernel=kern)
+    checksum = float(out_s.delta) + int(out_s.iteration)
+    dt = time.perf_counter() - t0
+    cells = int(np.prod(shape))
+    return dict(shape="x".join(map(str, shape)), mesh="1x1", kernel=kern,
+                iterations=iters, converged=bool(out_s.converged),
+                max_abs_diff_vs_unsharded=d, solve_wall_s=round(dt, 2),
+                g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                checksum=checksum)
+
+
 @experiment("sharded3d-resident", "Scaling across devices")
 def sharded3d_resident(q, shape=(256, 256, 256), steps=1024,
                        wide_shape=(64, 1024, 1024), wide_steps=256):
@@ -1540,10 +1579,9 @@ def resident3d_iso(q, shape=(64, 1024, 1024), steps=256):
             band, k, yt, wt = resident3d.choose_layout(d, h_loc, w_loc, 2)
             nb = -(-d // band)
             dp = nb * band + 2 * k
-            hp2 = h_loc + 2 * _HY
-            wp2 = w_loc + 2 * _HX
+            hp2, wp2 = resident3d._plane_dims(h_loc, w_loc, yt, wt)
             u_res, f_res = resident3d._pad_resident(
-                u_loc, frozen_loc, mesh, k, dp)
+                u_loc, frozen_loc, mesh, k, dp, hp2, wp2)
             alt = resident3d._fill_twin(dp * hp2, wp2, interpret)
 
             def cyc(cur, other, it):
@@ -1611,7 +1649,7 @@ BATTERY = [
     "wideplane-update", "wideplane-solve", "biggrid-update",
     "biggrid-solve", "biggrid-converge", "solve-body-iso", "sharded-banded",
     "sharded-resident", "sharded-solve", "sharded3d-banded",
-    "sharded3d-resident",
+    "sharded3d-resident", "sharded3d-solve",
     "tiled-solve", "tiled-converge", "tiled-update",
 ]
 
