@@ -434,14 +434,14 @@ def _update_n_resident(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "stagger", "max_iterations", "height", "width",
+    static_argnames=("mesh", "stagger", "height", "width",
                      "chunk_depth", "interpret"),
     donate_argnums=(0, 1),
 )
 def _solve_resident(
-    u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations: int,
+    u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
     height: int, width: int, chunk_depth: int = DEFAULT_CHUNK_DEPTH,
-    interpret: bool = False,
+    interpret: bool = False, it0=None,
 ):
     """Solve-to-convergence with the while-loop INSIDE shard_map: the
     layout is built once and stays resident across the whole solve; the
@@ -456,11 +456,11 @@ def _solve_resident(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("my", "mx"), P("my", "mx"), P()),
+        in_specs=(P("my", "mx"), P("my", "mx"), P(), P(), P()),
         out_specs=(P("my", "mx"), P(), P(), P()),
         check_vma=not interpret,
     )
-    def run(u_loc, frozen_loc, eps):
+    def run(u_loc, frozen_loc, eps, mi, i0):
         h_loc, w_loc = u_loc.shape
         k, band, nb, hp, wg = _layout(h_loc, w_loc, chunk_depth)
         row0, col0 = _origin(mesh, h_loc, w_loc, k)
@@ -477,7 +477,7 @@ def _solve_resident(
 
         def cond(carry):
             _, iteration, _, converged = carry
-            return ~converged & (iteration < max_iterations)
+            return ~converged & (iteration < mi)
 
         def body(carry):
             # ONE fresh fill twin per while body (a carried pair costs
@@ -530,13 +530,20 @@ def _solve_resident(
 
         u_res, iteration, delta, converged = jax.lax.while_loop(
             cond, body,
-            (u_res, jnp.int32(0), eps + 1.0, jnp.asarray(False)),
+            (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
         )
         out = jax.lax.slice(u_res, (k, GC), (k + h_loc, GC + w_loc))
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
 
-    u, iteration, delta, converged = run(u, frozen, epsilon)
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments (the pallas_biggrid.solve_segments pattern; the
+    # interior slice + re-pad roundtrip between segments is exact — the
+    # next body re-exchanges guards from interiors either way).
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    u, iteration, delta, converged = run(
+        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start)
     return u, iteration[0], delta[0], converged[0]
 
 
@@ -613,6 +620,50 @@ def solve(
         state,
         u=u[:h, :w],
         iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
+
+
+def solve_segments(
+    state: GridState,
+    mesh: Mesh,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    segment_iterations: int = 5_000,
+    chunk_depth: int = SOLVE_CHUNK_DEPTH,
+    interpret: bool | None = None,
+) -> GridState:
+    """Sharded solve-to-convergence as watchdog-safe compiled SEGMENTS
+    (the pallas_biggrid.solve_segments pattern on the resident layout):
+    each dispatch resumes the SAME compiled shard_map while loop at the
+    previous segment's iteration — bit-identical trajectories to
+    :func:`solve`. Mega-grid sharded convergences (e.g. the 16k²
+    BASELINE config on few chips) hold minutes of device work and never
+    fit one sub-watchdog dispatch."""
+    from .sharded import _pad_for_mesh
+
+    _check_shard(state.u.shape, mesh)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    h, w = state.u.shape
+    u, frozen = _pad_for_mesh(state, mesh)
+    sharding = NamedSharding(mesh, P("my", "mx"))
+    u = jax.device_put(u, sharding)
+    frozen = jax.device_put(frozen, sharding)
+    it = jnp.int32(0)
+    delta = state.epsilon + 1.0
+    converged = jnp.asarray(False)
+    while not bool(converged) and int(it) < max_iterations:
+        bound = min(int(it) + segment_iterations, max_iterations)
+        u, it, delta, converged = _solve_resident(
+            u, frozen, state.epsilon, mesh, stagger, bound, h, w,
+            chunk_depth, interpret, it0=it,
+        )
+    return dataclasses.replace(
+        state,
+        u=u[:h, :w],
+        iteration=it,
         delta=delta,
         converged=converged,
     )

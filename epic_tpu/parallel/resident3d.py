@@ -467,13 +467,13 @@ def _update_n_resident(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "stagger", "max_iterations", "dims",
+    static_argnames=("mesh", "stagger", "dims",
                      "chunk_depth", "interpret"),
     donate_argnums=(0, 1),
 )
 def _solve_resident(
-    u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations: int,
-    dims, chunk_depth: int = 2, interpret: bool = False,
+    u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
+    dims, chunk_depth: int = 2, interpret: bool = False, it0=None,
 ):
     """Solve-to-convergence with the while-loop INSIDE shard_map: the
     layout is built once and stays resident across the whole solve; the
@@ -487,11 +487,11 @@ def _solve_resident(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(_SPEC, _SPEC, P()),
+        in_specs=(_SPEC, _SPEC, P(), P(), P()),
         out_specs=(_SPEC, P(), P(), P()),
         check_vma=not interpret,
     )
-    def run(u_loc, frozen_loc, eps):
+    def run(u_loc, frozen_loc, eps, mi, i0):
         d, h_loc, w_loc = u_loc.shape
         band, k, yt, wt = choose_layout(d, h_loc, w_loc, chunk_depth)
         nb = -(-d // band)
@@ -509,7 +509,7 @@ def _solve_resident(
 
         def cond(carry):
             _, iteration, _, converged = carry
-            return ~converged & (iteration < max_iterations)
+            return ~converged & (iteration < mi)
 
         def body(carry):
             u_res, iteration, _, _ = carry
@@ -555,7 +555,7 @@ def _solve_resident(
 
         u_res, iteration, delta, converged = jax.lax.while_loop(
             cond, body,
-            (u_res, jnp.int32(0), eps + 1.0, jnp.asarray(False)),
+            (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
         )
         u3 = u_res.reshape(dp, hp2, wp)
         out = jax.lax.slice(
@@ -563,7 +563,14 @@ def _solve_resident(
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
 
-    u, iteration, delta, converged = run(u, frozen, epsilon)
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments (the pallas_biggrid.solve_segments pattern; the
+    # interior slice + re-pad roundtrip between segments is exact — the
+    # next body re-exchanges guards from interiors either way).
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    u, iteration, delta, converged = run(
+        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start)
     return u, iteration[0], delta[0], converged[0]
 
 
@@ -619,6 +626,47 @@ def solve(
         state,
         u=u[:d, :h, :w],
         iteration=iteration,
+        delta=delta,
+        converged=converged,
+    )
+
+
+def solve_segments(
+    state: GridState,
+    mesh: Mesh,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    segment_iterations: int = 2_000,
+    chunk_depth: int = 2,
+    interpret: bool | None = None,
+) -> GridState:
+    """Sharded 3D solve-to-convergence as watchdog-safe compiled SEGMENTS
+    (the pallas_biggrid.solve_segments pattern on the resident layout):
+    each dispatch resumes the SAME compiled shard_map while loop at the
+    previous segment's iteration — bit-identical trajectories to
+    :func:`solve`. Mega-volume sharded convergences hold minutes of
+    device work and never fit one sub-watchdog dispatch."""
+    _check_shard(state.u.shape, mesh, chunk_depth)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    d, h, w = state.u.shape
+    u, frozen = _pad_for_mesh(state, mesh)
+    sharding = NamedSharding(mesh, _SPEC)
+    u = jax.device_put(u, sharding)
+    frozen = jax.device_put(frozen, sharding)
+    it = jnp.int32(0)
+    delta = state.epsilon + 1.0
+    converged = jnp.asarray(False)
+    while not bool(converged) and int(it) < max_iterations:
+        bound = min(int(it) + segment_iterations, max_iterations)
+        u, it, delta, converged = _solve_resident(
+            u, frozen, state.epsilon, mesh, stagger, bound,
+            (d, h, w), chunk_depth, interpret, it0=it,
+        )
+    return dataclasses.replace(
+        state,
+        u=u[:d, :h, :w],
+        iteration=it,
         delta=delta,
         converged=converged,
     )

@@ -715,12 +715,15 @@ def solve(
     max_iterations: int = 1_000_000,
     chunk_depth: int = DEFAULT_CHUNK_DEPTH,
     kernel: str = "auto",
+    segment_iterations: int | None = None,
 ) -> GridState:
     """Sharded solve-to-convergence; protocol identical to core.solve.
 
     kernel="resident" keeps the whole while-loop inside shard_map on the
     tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident`);
-    "auto" picks it for beyond-VMEM aligned shards."""
+    "auto" picks it for beyond-VMEM aligned shards. segment_iterations
+    runs the resident solve as watchdog-safe compiled segments
+    (bit-identical trajectories — resident.solve_segments)."""
     if kernel == "auto" and _prefers_resident(state.u.shape, mesh,
                                               chunk_depth):
         kernel = "resident"
@@ -732,9 +735,18 @@ def solve(
         # explicitly-passed non-default depth.
         if chunk_depth == DEFAULT_CHUNK_DEPTH:
             chunk_depth = resident.SOLVE_CHUNK_DEPTH
+        interp = True if kernel.endswith("_interpret") else None
+        if segment_iterations is not None:
+            return resident.solve_segments(
+                state, mesh, stagger, max_iterations, segment_iterations,
+                chunk_depth, interpret=interp)
         return resident.solve(
             state, mesh, stagger, max_iterations, chunk_depth,
-            interpret=True if kernel.endswith("_interpret") else None)
+            interpret=interp)
+    if segment_iterations is not None:
+        raise ValueError(
+            "segment_iterations requires the resident layout "
+            "(kernel='resident' or an auto-eligible shard shape)")
     h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, P("my", "mx"))

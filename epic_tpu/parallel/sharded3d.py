@@ -641,22 +641,32 @@ def solve(
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
     kernel: str = "auto",
+    segment_iterations: int | None = None,
 ) -> GridState:
     """Sharded 3D solve-to-convergence; protocol identical to core.solve.
 
     kernel="resident" keeps the whole while-loop inside shard_map on the
     tile-pure guard-aligned layout (:mod:`epic_tpu.parallel.resident3d`);
     "auto" picks it for wide-plane shards where plane-banding
-    degenerates."""
+    degenerates. segment_iterations runs the resident solve as
+    watchdog-safe compiled segments (bit-identical trajectories)."""
     if kernel == "auto" and _prefers_resident(
             state.u.shape, mesh, DEFAULT_CHUNK_DEPTH):
         kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
         from . import resident3d
 
+        interp = True if kernel.endswith("_interpret") else None
+        if segment_iterations is not None:
+            return resident3d.solve_segments(
+                state, mesh, stagger, max_iterations, segment_iterations,
+                interpret=interp)
         return resident3d.solve(
-            state, mesh, stagger, max_iterations,
-            interpret=True if kernel.endswith("_interpret") else None)
+            state, mesh, stagger, max_iterations, interpret=interp)
+    if segment_iterations is not None:
+        raise ValueError(
+            "segment_iterations requires the resident layout "
+            "(kernel='resident' or an auto-eligible wide-plane shard)")
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, _spec(mesh))

@@ -78,6 +78,29 @@ def test_resident_solve_matches_core(mesh8):
     )
 
 
+def test_resident_solve_segments_bit_equals_solve(mesh8):
+    """Segmented sharded solving (watchdog-safe mega-grid convergence on
+    the mesh) must be BIT-identical to the single-dispatch resident
+    solve — same compiled shard_map loop, segmented bounds; the
+    interior-slice + re-pad roundtrip between segments is exact."""
+    img = _aligned_img(32, 512, seed=5, density=0.1)
+    st1, st2, st3 = _state(img), _state(img), _state(img)
+    out1 = resident.solve(st1, mesh8, stagger=10)
+    out2 = resident.solve_segments(st2, mesh8, stagger=10,
+                                   segment_iterations=37)
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out1.converged) and bool(out2.converged)
+    np.testing.assert_array_equal(np.asarray(out1.u), np.asarray(out2.u))
+    assert float(out1.delta) == float(out2.delta)
+    # sharded.solve routes the kwarg (and rejects it off the resident path).
+    out3 = sharded.solve(st3, mesh8, stagger=10, kernel="resident_interpret",
+                         segment_iterations=37)
+    assert int(out3.iteration) == int(out1.iteration)
+    with pytest.raises(ValueError, match="resident"):
+        sharded.solve(_state(img), mesh8, stagger=10,
+                      kernel="pallas_banded_interpret", segment_iterations=9)
+
+
 @pytest.mark.parametrize("cap", [7, 30, 105])
 def test_resident_solve_cap_matches_banded(mesh8, cap):
     """Capped exits must match the banded sharded solve exactly (both

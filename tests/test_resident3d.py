@@ -165,6 +165,31 @@ def test_resident3d_solve_nondivisor_layout_converges():
     )
 
 
+def test_resident3d_solve_segments_bit_equals_solve():
+    """Segmented sharded 3D solving must be BIT-identical to the
+    single-dispatch resident solve — same compiled shard_map loop,
+    segmented bounds."""
+    mesh = make_mesh((4, 2))
+    st1 = _volume(6, 32, 256, seed=5, density=0.06)
+    st2 = _volume(6, 32, 256, seed=5, density=0.06)
+    out1 = resident3d.solve(st1, mesh, stagger=10)
+    out2 = resident3d.solve_segments(st2, mesh, stagger=10,
+                                     segment_iterations=37)
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out1.converged) and bool(out2.converged)
+    np.testing.assert_array_equal(np.asarray(out1.u), np.asarray(out2.u))
+    assert float(out1.delta) == float(out2.delta)
+    st3 = _volume(6, 32, 256, seed=5, density=0.06)
+    out3 = sharded3d.solve(st3, mesh, stagger=10,
+                           kernel="resident_interpret",
+                           segment_iterations=37)
+    assert int(out3.iteration) == int(out1.iteration)
+    with pytest.raises(ValueError, match="resident"):
+        sharded3d.solve(_volume(6, 32, 256), mesh, stagger=10,
+                        kernel="pallas_banded_interpret",
+                        segment_iterations=9)
+
+
 def test_auto_dispatch_gate3d(monkeypatch):
     """'auto' routes wide-plane shards (plane-banding degenerate) to the
     resident 3D layout on TPU and keeps small-plane shards banded."""

@@ -1189,6 +1189,44 @@ def sharded_solve(q, size=4096):
                 checksum=checksum)
 
 
+@experiment("sharded-converge", "Scaling across devices")
+def sharded_converge(q, size=16384, segment=5000, cap=200_000):
+    """The 16k x 16k BASELINE mega-grid solved TO CONVERGENCE through the
+    SHARDED composition (resident layout, whole while-loop inside
+    shard_map, watchdog-safe segments — resident.solve_segments): the
+    multi-chip code path driven end-to-end at the config it exists for,
+    on a 1x1 mesh here. Trajectory gate: the resident chunks are
+    elementwise-identical to the unsharded kernels, so the iteration
+    count must match the unsharded converged solve of the same grid
+    (tiled-converge: 55,901)."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, resident
+
+    if q:
+        size, segment, cap = 512, 200, 4000
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    # Warm the segment program (one short capped run — same jaxpr).
+    out = resident.solve_segments(_state(u, locked),
+                                  mesh, max_iterations=min(segment, cap),
+                                  segment_iterations=segment)
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = resident.solve_segments(st, mesh, max_iterations=cap,
+                                  segment_iterations=segment)
+    checksum = float(out.delta) + int(out.iteration)
+    dt = time.perf_counter() - t0
+    iters = int(out.iteration)
+    assert bool(out.converged) or q, (iters, float(out.delta))
+    return dict(size=size, mesh="1x1", iterations=iters,
+                converged=bool(out.converged), delta=float(out.delta),
+                solve_wall_s=round(dt, 1), segment_iterations=segment,
+                g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2),
+                checksum=checksum)
+
+
 @experiment("resident-iso", "Scaling across devices")
 def resident_iso(q, size=4096, steps=8192):
     """Attribute the resident layout's residual vs the banded shard path:
@@ -1648,7 +1686,7 @@ BATTERY = [
     "batched-goals", "batched-map", "vol-update", "vol-solve",
     "wideplane-update", "wideplane-solve", "biggrid-update",
     "biggrid-solve", "biggrid-converge", "solve-body-iso", "sharded-banded",
-    "sharded-resident", "sharded-solve", "sharded3d-banded",
+    "sharded-resident", "sharded-solve", "sharded-converge", "sharded3d-banded",
     "sharded3d-resident", "sharded3d-solve",
     "tiled-solve", "tiled-converge", "tiled-update",
 ]
