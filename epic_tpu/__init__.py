@@ -37,6 +37,7 @@ from .grid import (
     set_cells_3d,
 )
 from .planner import Planner, PlannerConfig
+from .planner_mesh import MeshPlanner
 from .planner3d import VolumePlanner, VolumePlannerConfig
 from .solver import core as solver_core
 from .solver import reference_np as solver_oracle
@@ -45,6 +46,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "GridState",
+    "MeshPlanner",
     "Planner",
     "PlannerConfig",
     "VolumePlanner",

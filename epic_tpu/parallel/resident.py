@@ -81,6 +81,16 @@ MIN_WIDTH = 512
 SOLVE_CHUNK_DEPTH = 32
 
 
+def solve_chunk_depth(h_loc: int, w_loc: int) -> int:
+    """Width-gated solve depth: k=32 wins while the band layout keeps its
+    guard-row redundancy moderate, but wide shards shrink the band (the
+    ext budget divides by the guarded width) until 2k/band dominates —
+    measured at 16384-wide shards: 27.8 G at depth 32 (band 128, 50%
+    redundancy) vs 30.6 at depth 16. Trajectories are depth-invariant."""
+    k, band, _, _, _ = _layout(h_loc, w_loc, SOLVE_CHUNK_DEPTH)
+    return DEFAULT_CHUNK_DEPTH if 2 * k / band > 0.25 else SOLVE_CHUNK_DEPTH
+
+
 def eligible(h_loc: int, w_loc: int, min_width: int = MIN_WIDTH) -> bool:
     """Whether a shard extent can take the resident layout: tile-pure
     guard writes need 8-aligned rows and 128-aligned lanes, and the guard
@@ -596,15 +606,20 @@ def solve(
     mesh: Mesh,
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
-    chunk_depth: int = SOLVE_CHUNK_DEPTH,
+    chunk_depth: int | None = None,
     interpret: bool | None = None,
 ) -> GridState:
     """Sharded solve-to-convergence on the resident layout; protocol
-    identical to core.solve. Defaults to the deeper SOLVE_CHUNK_DEPTH
-    (trajectories are depth-invariant)."""
+    identical to core.solve. chunk_depth=None picks the width-gated
+    solve depth (:func:`solve_chunk_depth`; trajectories are
+    depth-invariant)."""
     from .sharded import _pad_for_mesh
 
     _check_shard(state.u.shape, mesh)
+    if chunk_depth is None:
+        hp_, wp_ = padded_shape(state.u.shape, mesh)
+        chunk_depth = solve_chunk_depth(hp_ // mesh.shape["my"],
+                                        wp_ // mesh.shape["mx"])
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     h, w = state.u.shape
@@ -631,7 +646,7 @@ def solve_segments(
     stagger: int = C.DEFAULT_STAGGER,
     max_iterations: int = 1_000_000,
     segment_iterations: int = 5_000,
-    chunk_depth: int = SOLVE_CHUNK_DEPTH,
+    chunk_depth: int | None = None,
     interpret: bool | None = None,
 ) -> GridState:
     """Sharded solve-to-convergence as watchdog-safe compiled SEGMENTS
@@ -644,6 +659,10 @@ def solve_segments(
     from .sharded import _pad_for_mesh
 
     _check_shard(state.u.shape, mesh)
+    if chunk_depth is None:
+        hp_, wp_ = padded_shape(state.u.shape, mesh)
+        chunk_depth = solve_chunk_depth(hp_ // mesh.shape["my"],
+                                        wp_ // mesh.shape["mx"])
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     h, w = state.u.shape

@@ -730,18 +730,18 @@ def solve(
     if kernel in ("resident", "resident_interpret"):
         from . import resident
 
-        # The resident solve prefers a deeper exchange depth than the
-        # open update chain (trajectories are depth-invariant); keep an
-        # explicitly-passed non-default depth.
-        if chunk_depth == DEFAULT_CHUNK_DEPTH:
-            chunk_depth = resident.SOLVE_CHUNK_DEPTH
+        # The resident solve prefers a width-gated deeper exchange depth
+        # than the open update chain (trajectories are depth-invariant);
+        # keep an explicitly-passed non-default depth.
+        depth = (None if chunk_depth == DEFAULT_CHUNK_DEPTH
+                 else chunk_depth)
         interp = True if kernel.endswith("_interpret") else None
         if segment_iterations is not None:
             return resident.solve_segments(
                 state, mesh, stagger, max_iterations, segment_iterations,
-                chunk_depth, interpret=interp)
+                depth, interpret=interp)
         return resident.solve(
-            state, mesh, stagger, max_iterations, chunk_depth,
+            state, mesh, stagger, max_iterations, depth,
             interpret=interp)
     if segment_iterations is not None:
         raise ValueError(
