@@ -647,11 +647,20 @@ def update_n(state: GridState, num_steps: int, mesh: Mesh,
                                               chunk_depth):
         kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
-        from . import resident
+        from . import resident, resident_tiled
 
+        interp = True if kernel.endswith("_interpret") else None
+        # Wide shards (the banded redundancy knee, ~13k lanes up) take
+        # the tiled resident layout — same guard-exchange idea over the
+        # unmodified tiled2d kernels.
+        hp_, wp_ = padded_shape(state.u.shape, mesh)
+        if resident_tiled.prefer_tiled_shards(hp_ // mesh.shape["my"],
+                                              wp_ // mesh.shape["mx"],
+                                              chunk_depth):
+            return resident_tiled.update_n(
+                state, num_steps, mesh, chunk_depth, interpret=interp)
         return resident.update_n(
-            state, num_steps, mesh, chunk_depth,
-            interpret=True if kernel.endswith("_interpret") else None)
+            state, num_steps, mesh, chunk_depth, interpret=interp)
     h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, P("my", "mx"))
@@ -728,14 +737,27 @@ def solve(
                                               chunk_depth):
         kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
-        from . import resident
+        from . import resident, resident_tiled
 
-        # The resident solve prefers a width-gated deeper exchange depth
-        # than the open update chain (trajectories are depth-invariant);
-        # keep an explicitly-passed non-default depth.
+        interp = True if kernel.endswith("_interpret") else None
+        hp_, wp_ = padded_shape(state.u.shape, mesh)
+        if resident_tiled.prefer_tiled_shards(hp_ // mesh.shape["my"],
+                                              wp_ // mesh.shape["mx"],
+                                              chunk_depth):
+            # Wide shards: the tiled resident layout (banded redundancy
+            # knee — BENCH_NOTES r4 sharded-converge).
+            if segment_iterations is not None:
+                return resident_tiled.solve_segments(
+                    state, mesh, stagger, max_iterations,
+                    segment_iterations, chunk_depth, interpret=interp)
+            return resident_tiled.solve(
+                state, mesh, stagger, max_iterations, chunk_depth,
+                interpret=interp)
+        # The banded resident solve prefers a width-gated deeper exchange
+        # depth than the open update chain (trajectories are
+        # depth-invariant); keep an explicitly-passed non-default depth.
         depth = (None if chunk_depth == DEFAULT_CHUNK_DEPTH
                  else chunk_depth)
-        interp = True if kernel.endswith("_interpret") else None
         if segment_iterations is not None:
             return resident.solve_segments(
                 state, mesh, stagger, max_iterations, segment_iterations,

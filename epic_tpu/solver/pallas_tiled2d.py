@@ -96,7 +96,15 @@ def prefer_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
     its strided slab DMAs cost a little versus the banded kernel's
     contiguous row slices (probe25: 16384² tiled 42.6 vs banded 38.0 G
     updates/s, but 8192² banded 42.4 vs tiled 40.3). Rule: tiled iff
-    banded redundancy exceeds tiled by > 0.1 (true from ~12k widths up).
+    banded redundancy exceeds tiled by > 0.04 (true from ~13k widths
+    up). The threshold was 0.1 when the banded layout used int32 masks;
+    the round-3 int8 masks deepened its bands (16384²: band 96 -> 168,
+    redundancy 1.33 -> 1.19) which silently flipped this gate back to
+    banded at 16384² — where the measured rates still favour tiled
+    (round-4 battery: tiled 43.6 vs banded 41.0 update, and the banded
+    SOLVE's small bands pay even more). 0.04 restores the measured
+    crossover: banded at 8192² (diff -0.06) and 12288² (-0.01), tiled at
+    16384² (+0.05).
 
     Solves follow the same rule: with the banded solve restructured to
     always-DMA chunks + the folded check (probe32/33: 33.9/40.7/38.9 G at
@@ -106,7 +114,7 @@ def prefer_tiled(shape: tuple[int, int], chunk_depth: int = 16) -> bool:
 
     band_b, k_b = choose_layout(shape, chunk_depth)
     red_banded = (band_b + 2 * k_b) / band_b
-    return red_banded - redundancy_tiled(shape, chunk_depth) > 0.1
+    return red_banded - redundancy_tiled(shape, chunk_depth) > 0.04
 
 
 def _tile_kernel_impl(it_ref, u_hbm, f_hbm, u_out, u1_out, delta_ref,

@@ -1,0 +1,114 @@
+"""Resident TILED 2D shard layout == banded resident == core on virtual
+CPU meshes (ROADMAP 3c: wide shards must not pay the banded redundancy
+knee; the layout changes where bytes live, not what arithmetic runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import epic_tpu
+from epic_tpu import maps
+from epic_tpu.parallel import make_mesh, resident, resident_tiled, sharded
+from epic_tpu.solver import core
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh((2, 4))
+
+
+def _state(h=64, w=1024, seed=3, density=0.1, eps=1e-2):
+    img = maps.random_obstacles(h, w, density=density, seed=seed)
+    return epic_tpu.from_occupancy_image(img, epsilon=eps)
+
+
+@pytest.mark.parametrize("steps", [1, 2, 17, 33])
+def test_tiled_resident_update_bit_equals_banded_resident(mesh8, steps):
+    """Every chunk count (prologue-only, sub-k, full cycles, remainders)
+    must be BIT-equal to the banded resident path."""
+    out_b = resident.update_n(_state(), steps, mesh8)
+    out_t = resident_tiled.update_n(_state(), steps, mesh8)
+    np.testing.assert_array_equal(np.asarray(out_b.u), np.asarray(out_t.u))
+    assert float(out_b.delta) == float(out_t.delta)
+
+
+def test_tiled_resident_update_matches_core(mesh8):
+    out_c = core.update_n(_state(seed=7), 9)
+    out_t = resident_tiled.update_n(_state(seed=7), 9, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(out_c.u), np.asarray(out_t.u), rtol=2e-6, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(out_c.delta), float(out_t.delta), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_tiled_resident_solve_matches_core(mesh8):
+    """Solve through the non-divisor lane layout (wt=1024 tiles on
+    256-lane shards: round-up padding right of the guard tiles — the
+    delta-poisoning configuration; the interior-diff check must converge
+    with the exact core trajectory)."""
+    st1 = _state(seed=5, density=0.06)
+    st2 = _state(seed=5, density=0.06)
+    out_c = core.solve(st1, stagger=10)
+    out_t = resident_tiled.solve(st2, mesh8, stagger=10)
+    assert int(out_c.iteration) == int(out_t.iteration)
+    assert bool(out_t.converged)
+    np.testing.assert_allclose(
+        np.asarray(out_c.u), np.asarray(out_t.u), rtol=2e-6, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("cap", [7, 105])
+def test_tiled_resident_solve_cap_matches_banded(mesh8, cap):
+    st1 = _state(seed=2, density=0.05, eps=1e-8)
+    st2 = _state(seed=2, density=0.05, eps=1e-8)
+    out_b = resident.solve(st1, mesh8, stagger=10, max_iterations=cap)
+    out_t = resident_tiled.solve(st2, mesh8, stagger=10, max_iterations=cap)
+    assert int(out_b.iteration) == int(out_t.iteration)
+    assert bool(out_b.converged) == bool(out_t.converged)
+    np.testing.assert_array_equal(np.asarray(out_b.u), np.asarray(out_t.u))
+
+
+def test_tiled_resident_solve_segments_bit_equals_solve(mesh8):
+    st1 = _state(seed=5, density=0.06)
+    st2 = _state(seed=5, density=0.06)
+    out1 = resident_tiled.solve(st1, mesh8, stagger=10)
+    out2 = resident_tiled.solve_segments(st2, mesh8, stagger=10,
+                                         segment_iterations=137)
+    assert int(out1.iteration) == int(out2.iteration)
+    assert bool(out1.converged) and bool(out2.converged)
+    np.testing.assert_array_equal(np.asarray(out1.u), np.asarray(out2.u))
+    assert float(out1.delta) == float(out2.delta)
+
+
+def test_sharded_dispatch_routes_wide_shards(mesh8, monkeypatch):
+    """kernel='resident' routes wide shards here (the unsharded regime
+    rule on the shard extent) and keeps narrow shards banded-resident."""
+    assert resident_tiled.prefer_tiled_shards(2048, 16384)
+    assert not resident_tiled.prefer_tiled_shards(2048, 4096)
+    # Behavioural check on a small mesh: monkeypatch the gate so the
+    # dispatch path itself is exercised end-to-end.
+    called = {}
+    real = resident_tiled.update_n
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(resident_tiled, "prefer_tiled_shards",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(resident_tiled, "update_n", spy)
+    out = sharded.update_n(_state(), 3, mesh8, kernel="resident_interpret")
+    assert called.get("yes")
+    out_b = resident.update_n(_state(), 3, mesh8)
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(out_b.u))
+
+
+def test_tiled_resident_rejects_misaligned(mesh8):
+    img = maps.random_obstacles(62, 1000, density=0.1, seed=1)
+    st = epic_tpu.from_occupancy_image(img, epsilon=1e-2)
+    with pytest.raises(ValueError, match="resident tiled"):
+        resident_tiled.update_n(st, 3, mesh8)

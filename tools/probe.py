@@ -1201,26 +1201,30 @@ def sharded_converge(q, size=16384, segment=5000, cap=200_000):
     (tiled-converge: 55,901)."""
     import jax
 
-    from epic_tpu.parallel import make_mesh, resident
+    from epic_tpu.parallel import make_mesh, resident_tiled, sharded
 
+    interp = _interpret()
+    kern = "resident_interpret" if interp else "resident"
     if q:
         size, segment, cap = 512, 200, 4000
     u, locked = _grid_np(size, size)
     mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    layout = ("tiled" if resident_tiled.prefer_tiled_shards(size, size)
+              else "banded")
     # Warm the segment program (one short capped run — same jaxpr).
-    out = resident.solve_segments(_state(u, locked),
-                                  mesh, max_iterations=min(segment, cap),
-                                  segment_iterations=segment)
+    out = sharded.solve(_state(u, locked), mesh,
+                        max_iterations=min(segment, cap), kernel=kern,
+                        segment_iterations=segment)
     st = _state(u, locked)
     _stage(st)
     t0 = time.perf_counter()
-    out = resident.solve_segments(st, mesh, max_iterations=cap,
-                                  segment_iterations=segment)
+    out = sharded.solve(st, mesh, max_iterations=cap, kernel=kern,
+                        segment_iterations=segment)
     checksum = float(out.delta) + int(out.iteration)
     dt = time.perf_counter() - t0
     iters = int(out.iteration)
     assert bool(out.converged) or q, (iters, float(out.delta))
-    return dict(size=size, mesh="1x1", iterations=iters,
+    return dict(size=size, mesh="1x1", layout=layout, iterations=iters,
                 converged=bool(out.converged), delta=float(out.delta),
                 solve_wall_s=round(dt, 1), segment_iterations=segment,
                 g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2),
