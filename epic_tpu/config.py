@@ -62,8 +62,94 @@ class ServiceConfig:
 class EpicConfig:
     """The full configuration tree. Consumed by :class:`epic_tpu.planner.
     Planner` (pass it in place of a PlannerConfig), the service-server CLI
-    (``python -m epic_tpu.services.server``), and ``tools/batch_bench.py``."""
+    (``python -m epic_tpu.services.server``), and ``tools/batch_bench.py``.
+
+    Serializable to/from YAML session files (``configs/*.yaml``) — the
+    declarative analog of the reference's per-map launch tuning
+    (launch/epic_navigation_node_umass.launch:8-23 carries map_name +
+    steps_per_update/update_rate per map; here the same knobs live in a
+    checked-in config file instead of code defaults)."""
 
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     service: ServiceConfig = dataclasses.field(default_factory=ServiceConfig)
+    # Startup map: a map_server YAML or PNG path. ``${VAR}`` env refs are
+    # expanded at resolve time; relative paths resolve against the config
+    # file's directory first, then maps.reference_map_path.
+    map: str | None = None
+
+    # -- serialization ----------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EpicConfig":
+        d = dict(d)
+        sections = {}
+        for name, sub_cls in (("solver", SolverConfig), ("mesh", MeshConfig),
+                              ("service", ServiceConfig)):
+            sub = d.pop(name, None) or {}
+            fields = {f.name for f in dataclasses.fields(sub_cls)}
+            unknown = set(sub) - fields
+            if unknown:
+                raise ValueError(
+                    f"unknown {name} config keys: {sorted(unknown)}")
+            sections[name] = sub_cls(**sub)
+        if sections["mesh"].shape is not None:
+            sections["mesh"].shape = tuple(sections["mesh"].shape)
+        sections["mesh"].axis_names = tuple(sections["mesh"].axis_names)
+        map_path = d.pop("map", None)
+        if d:
+            raise ValueError(f"unknown config keys: {sorted(d)}")
+        return cls(map=map_path, **sections)
+
+    def save_yaml(self, path) -> None:
+        import yaml
+
+        d = self.to_dict()
+        if d.get("map") is None:
+            d.pop("map", None)
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)
+
+    @classmethod
+    def load_yaml(cls, path) -> "EpicConfig":
+        import pathlib
+
+        import yaml
+
+        path = pathlib.Path(path)
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        cfg = cls.from_dict(d)
+        cfg._config_dir = path.parent  # for relative map resolution
+        return cfg
+
+    def resolve_map_path(self):
+        """Resolve :attr:`map` to an existing file path, or None.
+
+        Order: env-var expansion, absolute path, path relative to the
+        config file's directory, then the reference fixture search
+        (:func:`epic_tpu.maps.reference_map_path`). Raises FileNotFoundError
+        for a configured map that resolves nowhere."""
+        import os
+        import pathlib
+
+        if self.map is None:
+            return None
+        p = pathlib.Path(os.path.expandvars(self.map))
+        if p.is_absolute():
+            if p.exists():
+                return p
+        else:
+            base = getattr(self, "_config_dir", pathlib.Path("."))
+            if (base / p).exists():
+                return base / p
+            from . import maps
+
+            ref = maps.reference_map_path(str(p)) or maps.reference_map_path(
+                p.name)
+            if ref is not None:
+                return ref
+        raise FileNotFoundError(f"configured map not found: {self.map}")

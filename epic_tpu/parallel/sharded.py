@@ -438,6 +438,12 @@ def _update_n_sharded(
     """
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kernel not in ("pallas", "pallas_interpret", "pallas_banded",
+                      "pallas_banded_interpret", "xla"):
+        # "resident" is a layout, not a per-shard kernel: it must be
+        # routed at the entry points (update_n / update_n_resident /
+        # solve), never fall through to the XLA local-sweep branch.
+        raise ValueError(f"unknown sharded kernel {kernel!r}")
     interpret = kernel.endswith("_interpret")
 
     @functools.partial(
@@ -593,10 +599,36 @@ def update_n_resident(
     chunk_depth: int = DEFAULT_CHUNK_DEPTH, kernel: str = "auto",
 ) -> ShardedGrid:
     """Anytime chunk on a mesh-resident state: no re-pad, no re-upload;
-    the sharded buffers are donated across ticks."""
-    u, delta = _update_n_sharded(
-        sh.u, sh.frozen, sh.iteration, mesh, num_steps, chunk_depth, kernel
-    )
+    the sharded buffers are donated across ticks.
+
+    kernel="resident" (picked by "auto" for beyond-VMEM aligned shards,
+    like :func:`update_n`) runs the guard-aligned resident layouts
+    directly on the resident buffers — wide shards take the tiled twin
+    (:func:`resident_tiled.prefer_tiled_shards`)."""
+    if kernel == "auto" and _prefers_resident((sh.height, sh.width), mesh,
+                                              chunk_depth):
+        kernel = "resident"
+    if kernel in ("resident", "resident_interpret"):
+        from . import resident, resident_tiled
+
+        interp = (kernel.endswith("_interpret")
+                  or jax.default_backend() == "cpu")
+        h_loc = sh.u.shape[0] // mesh.shape["my"]
+        w_loc = sh.u.shape[1] // mesh.shape["mx"]
+        if resident_tiled.prefer_tiled_shards(h_loc, w_loc, chunk_depth):
+            u, delta = resident_tiled._update_n_resident(
+                sh.u, sh.frozen, sh.iteration, mesh, num_steps,
+                chunk_depth, interp)
+        else:
+            resident._check_shard((sh.height, sh.width), mesh)
+            u, delta = resident._update_n_resident(
+                sh.u, sh.frozen, sh.iteration, mesh, num_steps,
+                chunk_depth, interp)
+    else:
+        u, delta = _update_n_sharded(
+            sh.u, sh.frozen, sh.iteration, mesh, num_steps, chunk_depth,
+            kernel
+        )
     return dataclasses.replace(
         sh, u=u, iteration=sh.iteration + num_steps, delta=delta
     )

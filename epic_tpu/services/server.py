@@ -489,20 +489,22 @@ class EpicClient:
 
 
 def main() -> None:  # pragma: no cover - CLI
-    from ..config import EpicConfig, ServiceConfig, SolverConfig
+    from ..config import EpicConfig
 
-    defaults = EpicConfig()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--host", default=defaults.service.host)
-    ap.add_argument("--port", type=int, default=defaults.service.port)
-    ap.add_argument("--map", default=None, help="PNG map to load at startup")
-    ap.add_argument("--epsilon", type=float, default=defaults.solver.epsilon)
-    ap.add_argument("--steps-per-update", type=int,
-                    default=defaults.service.steps_per_update)
-    ap.add_argument("--backend", default=defaults.solver.backend,
+    ap.add_argument("--config", default=None,
+                    help="YAML session config (configs/*.yaml — the "
+                         "declarative analog of the reference's per-map "
+                         "launch tuning); explicit CLI flags override it")
+    ap.add_argument("--host", default=None)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--map", default=None,
+                    help="map_server YAML or PNG map to load at startup")
+    ap.add_argument("--epsilon", type=float, default=None)
+    ap.add_argument("--steps-per-update", type=int, default=None)
+    ap.add_argument("--backend", default=None,
                     choices=["auto", "xla", "pallas"])
-    ap.add_argument("--kernel", default=defaults.solver.kernel,
-                    choices=["masked"])
+    ap.add_argument("--kernel", default=None, choices=["masked"])
     ap.add_argument("--log-json", action="store_true",
                     help="emit structured JSON-lines logs")
     ap.add_argument("--cpu", action="store_true",
@@ -521,21 +523,37 @@ def main() -> None:  # pragma: no cover - CLI
 
     configure_logging(json_lines=args.log_json)
 
-    cfg = EpicConfig(
-        solver=SolverConfig(epsilon=args.epsilon, backend=args.backend,
-                            kernel=args.kernel),
-        service=ServiceConfig(host=args.host, port=args.port,
-                              steps_per_update=args.steps_per_update),
-    )
-    node = EpicNavigationNodeRviz(cfg)
-    if args.map:
+    cfg = EpicConfig.load_yaml(args.config) if args.config else EpicConfig()
+    if args.epsilon is not None:
+        cfg.solver.epsilon = args.epsilon
+    if args.backend is not None:
+        cfg.solver.backend = args.backend
+    if args.kernel is not None:
+        cfg.solver.kernel = args.kernel
+    if args.host is not None:
+        cfg.service.host = args.host
+    if args.port is not None:
+        cfg.service.port = args.port
+    if args.steps_per_update is not None:
+        cfg.service.steps_per_update = args.steps_per_update
+
+    node = EpicNavigationNodeRviz(cfg, update_rate=cfg.service.update_rate_hz)
+    map_path = args.map
+    if map_path is None and cfg.map is not None:
+        map_path = str(cfg.resolve_map_path())
+    if map_path:
         from .. import maps
 
-        img = maps.load_png(args.map)
+        meta = maps.MapMeta()
+        if map_path.endswith((".yaml", ".yml")):
+            img, meta = maps.load_map_server_yaml(map_path)
+        else:
+            img = maps.load_png(map_path)
         occ = np.zeros(img.shape, dtype=np.int8)
         occ[img == 0] = 100
         node.sub_occupancy_grid(
-            msg.OccupancyGrid(img.shape[1], img.shape[0], 1.0, 0.0, 0.0, occ)
+            msg.OccupancyGrid(img.shape[1], img.shape[0], meta.resolution,
+                              meta.origin_x, meta.origin_y, occ)
         )
         # Seed goals from the map's 255 pixels.
         ys, xs = np.nonzero(img == 255)

@@ -469,7 +469,11 @@ def _goal_batch_arrays(base_u, base_locked, goal_xy, obstacle_xy,
         # that mode="drop" discards.
         oob = jnp.int32(1 << 30)
         lanes = jnp.broadcast_to(jnp.arange(b)[:, None], xy.shape[:2])
-        bad = (xy[..., 0] < 0) | (xy[..., 1] < 0)
+        # LOGICAL bounds decide the drop, not padded-array bounds: a
+        # positive coord inside the padded tile (w <= x < wp or
+        # h <= y < hp8) must not scatter into the frozen padding.
+        bad = ((xy[..., 0] < 0) | (xy[..., 1] < 0)
+               | (xy[..., 0] >= w) | (xy[..., 1] >= h))
         xs = jnp.where(bad, oob, xy[..., 0])
         ys = jnp.where(bad, oob, xy[..., 1])
         u_t = u_t.at[lanes, ys, xs].set(value, mode="drop")

@@ -256,7 +256,7 @@ def update_n(state: GridState, num_steps: int, interpret: bool | None = None) ->
 @functools.partial(
     jax.jit,
     static_argnames=("stagger", "max_iterations", "interpret", "m_max", "hp"),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
 def _solve_padded(u, frozen, epsilon, stagger, max_iterations, interpret, m_max, hp):
     def cond(carry):

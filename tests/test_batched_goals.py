@@ -84,3 +84,23 @@ def test_obstacle_deltas_and_goal_priority():
     hp8, wp = meta["hp8"], meta["wp"]
     blk = np.asarray(u_c)[:hp8, :wp]
     assert blk[hp8 - 1, wp - 1] == np.float32(-1e6)
+
+
+def test_out_of_logical_range_coords_dropped():
+    """Positive coords beyond the LOGICAL map extent are dropped even when
+    they land inside the padded tile (ADVICE r4): the collage bytes equal
+    a collage built without the bad coords."""
+    base_u, base_locked = _base()
+    h, w = base_u.shape
+    goal_xy = _goal_xy([[(5, 5)], [(6, 6)]])
+    # In-pad but out-of-logical obstacle coords: x in [w, wp), y in [h, hp8).
+    obstacle_xy = np.array(
+        [[[w, 1], [w + 1, 2]],
+         [[1, h], [3, h + 1]]], np.int32)
+    u_bad, f_bad, _ = pallas_batched.make_goal_batch(
+        base_u, base_locked, goal_xy, obstacle_xy)
+    u_ref, f_ref, _ = pallas_batched.make_goal_batch(
+        base_u, base_locked, goal_xy,
+        np.full_like(obstacle_xy, -1))
+    np.testing.assert_array_equal(np.asarray(u_bad), np.asarray(u_ref))
+    np.testing.assert_array_equal(np.asarray(f_bad), np.asarray(f_ref))

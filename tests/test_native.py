@@ -208,3 +208,25 @@ def test_native_solve_max_iterations_cap():
     )
     assert not converged
     assert iters == 500
+
+
+def test_iteration_drift_bounded_across_backends():
+    """Pin the cross-backend iteration-count drift (VERDICT r4 item 6):
+    converged iteration counts of the native C++ solver and the JAX solver
+    must agree within ONE stagger cycle on battery-geometry domains
+    (half-scale c_space / third-scale umass from the reference battery,
+    libepic/tests/batch/batch.py:41-49), and both must satisfy the
+    protocol invariant (≡ 1 mod stagger). The measured drift today is 0
+    here and ≤ 2 cycles on the full-scale TPU battery (BENCH_NOTES r4);
+    a protocol regression (wrong check cadence, sticky converged flag,
+    off-by-one stagger) moves counts by many cycles and fails this."""
+    for h, w in ((137, 174), (233, 72)):
+        img = maps.recursive_maze(h, w, seed=0, corridor=max(6, min(h, w) // 40))
+        st = epic_tpu.from_occupancy_image(img, epsilon=1e-3)
+        u0, l0 = np.asarray(st.u), np.asarray(st.locked)
+        out = core.solve(st)
+        _, it_nat, _, conv = native.solve_2d(u0, l0, epsilon=1e-3)
+        assert conv and bool(out.converged)
+        it_jax = int(out.iteration)
+        assert it_nat % 100 == 1 and it_jax % 100 == 1
+        assert abs(it_nat - it_jax) <= 100, (h, w, it_nat, it_jax)

@@ -275,3 +275,31 @@ def test_multihost_wrapper_single_process():
     finally:
         jax.distributed.initialize = orig
     assert captured == dict(addr="10.0.0.1:1234", n=4, pid=2)
+
+
+def test_update_n_resident_kernel_resident(mesh8):
+    """The ShardedGrid tick path routes kernel="resident" to the
+    guard-aligned resident layout (ADVICE r4: it used to fall through to
+    the XLA local-sweep branch) and matches the single-chip oracle."""
+    img = maps.random_obstacles(48, 512, density=0.1, seed=7)
+    st = _state(img)
+    sh = sharded.shard_state(st, mesh8)
+    sh = sharded.update_n_resident(sh, 9, mesh8, kernel="resident")
+    ref = core.update_n(st, 9)
+    back = sharded.unshard(sh)
+    assert int(back.iteration) == int(ref.iteration)
+    np.testing.assert_allclose(
+        np.asarray(back.u), np.asarray(ref.u), rtol=0, atol=1e-5
+    )
+
+
+def test_update_n_unknown_kernel_raises(mesh8):
+    """Unrecognized kernel strings error instead of silently running the
+    XLA fallback (ADVICE r4)."""
+    img = maps.random_obstacles(48, 512, density=0.1, seed=7)
+    st = _state(img)
+    sh = sharded.shard_state(st, mesh8)
+    with pytest.raises(ValueError, match="unknown sharded kernel"):
+        sharded.update_n_resident(sh, 1, mesh8, kernel="bogus")
+    with pytest.raises(ValueError, match="unknown sharded kernel"):
+        sharded.update_n(st, 1, mesh8, kernel="bogus")

@@ -23,6 +23,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="YAML session config (configs/*.yaml); CLI flags "
+                         "override it")
     ap.add_argument("--map", default=None, help="map_server YAML or PNG")
     ap.add_argument("--ticks", type=int, default=40,
                     help="anytime ticks (50 sweeps each)")
@@ -31,9 +34,14 @@ def main():
     args = ap.parse_args()
 
     from epic_tpu import maps, viz
+    from epic_tpu.config import EpicConfig
     from epic_tpu.planner import PlannerConfig
     from epic_tpu.services import messages as msg
     from epic_tpu.services.navigation_node import EpicNavigationNodeRviz
+
+    cfg = EpicConfig.load_yaml(args.config) if args.config else EpicConfig()
+    if args.map is None and cfg.map is not None:
+        args.map = str(cfg.resolve_map_path())
 
     meta = maps.MapMeta()
     if args.map and args.map.endswith((".yaml", ".yml")):
@@ -45,12 +53,14 @@ def main():
         img = maps.load_png(ref) if ref else maps.recursive_maze(482, 482, seed=0)
 
     h, w = img.shape
+    epsilon = cfg.solver.epsilon if args.config else 1e-3
     node = EpicNavigationNodeRviz(
-        PlannerConfig(epsilon=1e-3, steps_per_update=50,
+        PlannerConfig(epsilon=epsilon,
+                      steps_per_update=cfg.service.steps_per_update,
                       resolution=meta.resolution,
                       origin_x=meta.origin_x, origin_y=meta.origin_y,
                       interpolation="bilinear"),
-        update_rate=10.0,
+        update_rate=cfg.service.update_rate_hz,
     )
     occ = np.zeros(img.shape, dtype=np.int8)
     occ[img == 0] = 100

@@ -22,6 +22,21 @@ scaling efficiency.
 
 Usage: python tools/scaling_bench.py [--sizes 1024 4096] [--sweeps 200]
        [--devices 1 2 4 8] [--kernel auto] [--csv docs/results_scaling.csv]
+
+REAL-HARDWARE MODE (the BASELINE ">=80% scaling efficiency at >=2 hosts"
+artifact, runnable the day a multi-chip slice exists) is ONE command:
+
+    JAX_PLATFORMS=tpu python tools/scaling_bench.py \
+        --sizes 16384 --sweeps 400 --devices 1 2 4 8 \
+        --assert-efficiency 0.8 --csv docs/results_scaling.csv
+
+On a real backend (anything but the virtual-CPU platform) the script exits
+nonzero if any >=2-device row's efficiency_vs_first falls below the
+--assert-efficiency bound; on the virtual platform the assertion is
+skipped (shared physical cores make per-device efficiency meaningless —
+see the CAVEAT above). Multi-host slices: launch one process per host
+under your cluster runner; epic_tpu.parallel.multihost.initialize() picks
+up the coordinator from the standard env vars.
 """
 
 import argparse
@@ -45,6 +60,10 @@ def main():
                     help="append rows to this CSV (written with header if new)")
     ap.add_argument("--cpu", action="store_true", default=None,
                     help="force the virtual-CPU platform (default when no TPU)")
+    ap.add_argument("--assert-efficiency", type=float, default=None,
+                    help="on a REAL backend, exit nonzero if any >=2-device "
+                         "row's efficiency_vs_first is below this bound "
+                         "(BASELINE: 0.8); ignored on the virtual platform")
     args = ap.parse_args()
 
     max_dev = max(args.devices)
@@ -122,6 +141,23 @@ def main():
                 w.writeheader()
             w.writerows(rows)
         print(f"wrote {len(rows)} rows -> {path}")
+
+    if args.assert_efficiency is not None:
+        if jax.default_backend() == "cpu":
+            print("efficiency assertion skipped: virtual-CPU platform "
+                  "(shared physical cores)")
+        else:
+            bad = [r for r in rows
+                   if r["devices"] >= 2
+                   and r["efficiency_vs_first"] < args.assert_efficiency]
+            if bad:
+                print(f"FAIL: {len(bad)} rows below efficiency bound "
+                      f"{args.assert_efficiency}: "
+                      + ", ".join(f"{r['devices']}dev@{r['size']}="
+                                  f"{r['efficiency_vs_first']}" for r in bad))
+                sys.exit(1)
+            print(f"scaling efficiency >= {args.assert_efficiency} on all "
+                  f">=2-device rows")
 
 
 if __name__ == "__main__":
