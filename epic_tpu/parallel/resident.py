@@ -446,7 +446,7 @@ def _update_n_resident(
     jax.jit,
     static_argnames=("mesh", "stagger", "height", "width",
                      "chunk_depth", "interpret"),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
 def _solve_resident(
     u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,

@@ -255,11 +255,16 @@ def _grid_dims(rp: int, wp: int, band: int, k: int, yt: int, wt: int,
     return nb, ny, nx
 
 
-def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret):
+def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret,
+                 interior=None):
     """One full k-sweep chunk through the ping-pong tiled3d cycle kernel
     (nc=1): slabs read the src buffer, centres land straight in the dst
     buffer — no paste. Returns (stale, current, delta) where stale
-    aliases ``u_src`` and current aliases ``u_dst``."""
+    aliases ``u_src`` and current aliases ``u_dst``. With
+    ``interior=(d, h_loc, w_loc)`` the delta is the INTERIOR-ONLY sweep-0
+    diff (bit-equal to :func:`_interior_delta` over the same sweep — the
+    pad-safe folded check); else it is the raw pad-poisoned slab delta
+    (discard it)."""
     import functools as _ft
 
     from jax.experimental import pallas as pl
@@ -277,7 +282,8 @@ def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret):
     vma = frozenset({"my", "mx"})
     a_out, b_out, deltas = pl.pallas_call(
         _ft.partial(_cycle_kernel_tiled3d, k=k, band=band, yt=yt, wt=wt,
-                    hy=_HY, hx=_HX, hp2=hp2, nb=nb, ny=ny, nx=nx, nc=1),
+                    hy=_HY, hx=_HX, hp2=hp2, nb=nb, ny=ny, nx=nx, nc=1,
+                    interior=interior),
         grid=(1, nsteps),
         out_shape=(
             jax.ShapeDtypeStruct((rp, wp), jnp.float32, vma=vma),
@@ -396,11 +402,11 @@ def _update_n_resident(
     tile-pure guard refreshes between them (guards must be fresh per
     chunk — slab trapezoids only cover within-chunk staleness), a
     remainder chunk through the functional kernel, ONE centre slice at
-    exit. Delta (pmax) from the overall first sweep, computed as the
-    INTERIOR diff of a 1-sweep prologue chunk — the in-kernel slab
-    deltas include guard cells poisoned by round-up tile padding (see
-    :func:`_interior_delta`); the prologue costs k/num_steps (~1% on
-    production ticks)."""
+    exit. Delta (pmax) from the overall first sweep — the first cycle
+    chunk's interior-MASKED in-kernel sweep-0 delta (raw slab deltas
+    include guard cells poisoned by round-up tile padding, see
+    :func:`_interior_delta`; the mask restores exactness with zero extra
+    passes)."""
 
     @functools.partial(
         jax.shard_map,
@@ -418,21 +424,21 @@ def _update_n_resident(
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp, hp2,
                                      wp)
 
-        def chunk2(cur, alt, it):
+        def chunk2(cur, alt, it, interior=None):
             cur = _exchange_guards(cur, mesh, h_loc, w_loc, hp2)
             return _chunk_cycle(cur, alt, f_res, it, band, k, yt, wt,
-                                hp2, interpret)
+                                hp2, interpret, interior)
 
-        u_res = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-        u1, _ = _chunk_tile(u_res, f_res, it0, 1, band, k, yt, wt, hp2,
-                            interpret)
-        delta = _interior_delta(u_res, u1, d, h_loc, w_loc, k, hp2)
-        u_res = u1
-        n_full, rem = divmod(num_steps - 1, k)
-        it = it0 + 1
+        n_full, rem = divmod(num_steps, k)
         if n_full:
+            # The overall-first-sweep delta is FOLDED into the first
+            # cycle chunk as its interior-masked sweep-0 delta (pad-safe,
+            # bit-equal to the 1-sweep prologue + interior diff it
+            # replaces — see _cycle_kernel_tiled3d's interior kwarg).
             alt = _fill_twin(dp * hp2, wp, interpret)
-            stale, u_res, _ = chunk2(u_res, alt, it)
+            stale, u_res, delta = chunk2(u_res, alt, it0,
+                                         interior=(d, h_loc, w_loc))
+            it = it0 + k
             n2, odd = divmod(n_full - 1, 2)
 
             def body(i, carry):
@@ -447,10 +453,19 @@ def _update_n_resident(
                 return a_new, b_stale, it2 + 2 * k
 
             u_res, stale, it = jax.lax.fori_loop(
-                0, n2, body, (u_res, stale, it + k))
+                0, n2, body, (u_res, stale, it))
             if odd:
                 stale, u_res, _ = chunk2(u_res, stale, it)
                 it = it + k
+        else:
+            # Short chains (< k sweeps): 1-sweep prologue for the delta,
+            # remainder through the functional slab kernel.
+            u_pre = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
+            u_res, _ = _chunk_tile(u_pre, f_res, it0, 1, band, k, yt, wt,
+                                   hp2, interpret)
+            delta = _interior_delta(u_pre, u_res, d, h_loc, w_loc, k, hp2)
+            it = it0 + 1
+            rem = num_steps - 1
         if rem:
             u_res = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
             u_res, _ = _chunk_tile(u_res, f_res, it, rem, band, k, yt,
@@ -469,7 +484,7 @@ def _update_n_resident(
     jax.jit,
     static_argnames=("mesh", "stagger", "dims",
                      "chunk_depth", "interpret"),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
 def _solve_resident(
     u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
@@ -479,9 +494,14 @@ def _solve_resident(
     layout is built once and stays resident across the whole solve; the
     staggered-check delta is pmax-reduced so every shard takes identical
     branches (plain SPMD). Protocol identical to core.solve
-    (harmonic_cpu.cpp:158-173). The check sweep runs the functional slab
-    kernel (1 sweep + paste — the whole-cycle folded check loses in 3D,
-    probe51); the stagger-1 rest runs ping-pong cycle chunks."""
+    (harmonic_cpu.cpp:158-173). The staggered check is FOLDED into the
+    cycle's first k-chunk (VERDICT r4 item 3): the kernel's
+    interior-MASKED sweep-0 delta is the check value — pad-safe with
+    zero extra passes, unlike the u1-staging fold that lost in the
+    unsharded 3D solve (probe51: per-band u1 plane staging beat the tiny
+    check chunk there; this fold stages nothing). The rare done-exit
+    recomputes the single post-check sweep from the intact ping-pong
+    src."""
     m_max = max(dims)
 
     @functools.partial(
@@ -499,37 +519,39 @@ def _solve_resident(
         hp2, wp = _plane_dims(h_loc, w_loc, yt, wt)
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp, hp2,
                                      wp)
-        n_full, rem = divmod(stagger - 1, k)
-        n2, odd = divmod(n_full, 2)
 
-        def chunk2(cur, alt, it):
+        def chunk2(cur, alt, it, interior=None):
             cur = _exchange_guards(cur, mesh, h_loc, w_loc, hp2)
             return _chunk_cycle(cur, alt, f_res, it, band, k, yt, wt,
-                                hp2, interpret)
+                                hp2, interpret, interior)
 
         def cond(carry):
             _, iteration, _, converged = carry
             return ~converged & (iteration < mi)
 
-        def body(carry):
+        fold = stagger > k
+        n_full, rem = divmod(stagger - (k if fold else 1), k)
+        n2, odd = divmod(n_full, 2)
+
+        def body_folded(carry):
             u_res, iteration, _, _ = carry
-            u_pre = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-            u_res, _ = _chunk_tile(u_pre, f_res, iteration, 1, band,
-                                   k, yt, wt, hp2, interpret)
-            # Check delta over the INTERIOR only — the in-kernel slab
-            # deltas include guard cells poisoned by round-up tile
-            # padding, which never decay (see _interior_delta).
-            delta = _interior_delta(u_pre, u_res, d, h_loc, w_loc, k, hp2)
-            iteration = iteration + 1
+            alt = _fill_twin(dp * hp2, wp, interpret)
+            stale, cur, delta = chunk2(u_res, alt, iteration,
+                                       interior=(d, h_loc, w_loc))
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
-            done = (delta < eps) & (iteration >= m_max)
+            done = (delta < eps) & (iteration + 1 >= m_max)
+
+            def finish(args):
+                cur, stale, it = args
+                # ``stale`` aliases the exchanged pre-chunk src, intact;
+                # one functional 1-sweep chunk reproduces the check sweep.
+                u1, _ = _chunk_tile(stale, f_res, it, 1, band, k, yt, wt,
+                                    hp2, interpret)
+                return u1, it + 1
 
             def run_rest(args):
-                # ONE fresh fill twin per while body; the pair ping-pongs
-                # through paired fori chunks with stable carry positions
-                # (zero back-edge copies, see _update_n_resident.body).
-                u_res, it = args
-                cur, stale = u_res, _fill_twin(dp * hp2, wp, interpret)
+                cur, stale, it = args
+                it = it + k
 
                 def fbody(i, c):
                     a, b, it2 = c
@@ -550,11 +572,36 @@ def _solve_resident(
                 return cur, it
 
             u_res, iteration = jax.lax.cond(
+                done, finish, run_rest, (cur, stale, iteration))
+            return u_res, iteration, delta, done
+
+        def body_plain(carry):
+            # stagger <= k: the cycle chunk cannot stop at the check
+            # boundary — keep the 1-sweep check chunk + remainder.
+            u_res, iteration, _, _ = carry
+            u_pre = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
+            u_res, _ = _chunk_tile(u_pre, f_res, iteration, 1, band,
+                                   k, yt, wt, hp2, interpret)
+            delta = _interior_delta(u_pre, u_res, d, h_loc, w_loc, k, hp2)
+            iteration = iteration + 1
+            delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
+            done = (delta < eps) & (iteration >= m_max)
+
+            def run_rest(args):
+                u_res, it = args
+                if rem:
+                    cur2 = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
+                    u_res, _ = _chunk_tile(cur2, f_res, it, rem, band,
+                                           k, yt, wt, hp2, interpret)
+                    it = it + rem
+                return u_res, it
+
+            u_res, iteration = jax.lax.cond(
                 done, lambda a: a, run_rest, (u_res, iteration))
             return u_res, iteration, delta, done
 
         u_res, iteration, delta, converged = jax.lax.while_loop(
-            cond, body,
+            cond, body_folded if fold else body_plain,
             (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
         )
         u3 = u_res.reshape(dp, hp2, wp)

@@ -234,13 +234,13 @@ def sweep_cycle(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -302,14 +302,14 @@ def sweep_cycle_check(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -333,11 +333,12 @@ def sweep_cycle_check(
 
 def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                         delta_ref, u_vmem, f_vmem, rsem, wsem,
-                        *, k, band, wt, hx, nb, nt, nc):
+                        *, k, band, wt, hx, nb, nt, nc, interior=None):
     _cycle_kernel_tiled_impl(
         it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, None, delta_ref,
         u_vmem, f_vmem, rsem, wsem, None, None,
-        k=k, band=band, wt=wt, hx=hx, nb=nb, nt=nt, nc=nc)
+        k=k, band=band, wt=wt, hx=hx, nb=nb, nt=nt, nc=nc,
+        interior=interior)
 
 
 def _cycle_kernel_tiled_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
@@ -353,12 +354,21 @@ def _cycle_kernel_tiled_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 def _cycle_kernel_tiled_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                              u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
                              u1_vmem, usem,
-                             *, k, band, wt, hx, nb, nt, nc):
+                             *, k, band, wt, hx, nb, nt, nc, interior=None):
     """2D-tiled ping-pong cycle step: same structure as :func:`_cycle_kernel`
     but over an (n_chunks, nb, nt) grid with strided (ext_r x wext) slabs
     (the pallas_tiled2d layout: 128 guard columns per side). With
     ``u1_ref`` (the check variant), chunk 0's post-first-sweep centres are
-    staged and DMA'd out per tile."""
+    staged and DMA'd out per tile.
+
+    ``interior=(h_int, w_int)`` masks the per-slab deltas to cells whose
+    array coordinates lie in [k, k+h_int) x [hx, hx+w_int) — the resident
+    shard layouts need INTERIOR-ONLY check deltas (guard cells adjacent to
+    frozen round-up padding read the pad where the owning shard reads real
+    data, so their |u1-u0| never decays — the resident3d delta-poisoning
+    failure, BENCH_NOTES r4). Sweep-0 halo cells inside the mask are
+    elementwise-exact duplicates of their owning slab's values, so the
+    masked max equals the interior diff bit-for-bit."""
     ext_r = band + 2 * k
     wext = wt + 2 * hx
     c = pl.program_id(0)
@@ -454,7 +464,15 @@ def _cycle_kernel_tiled_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
         return jnp.where(update, val, u)
 
     u1 = sweep(0, u0)
-    delta_ref[c, i, j] = jnp.max(jnp.abs(u1 - u0))
+    d0 = jnp.abs(u1 - u0)
+    if interior is not None:
+        h_int, w_int = interior
+        g_row = local_row + i * band
+        g_col = local_col + j * wt
+        inside = ((g_row >= k) & (g_row < k + h_int)
+                  & (g_col >= hx) & (g_col < hx + w_int))
+        d0 = jnp.where(inside, d0, 0.0)
+    delta_ref[c, i, j] = jnp.max(d0)
     if u1_ref is not None:
         @pl.when(c == 0)
         def _():
@@ -532,13 +550,13 @@ def sweep_cycle_tiled(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -600,14 +618,14 @@ def sweep_cycle_tiled_check(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -816,13 +834,13 @@ def sweep_cycle3d(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -844,14 +862,22 @@ def sweep_cycle3d(
 
 def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                           delta_ref, u_vmem, f_vmem, rsem, wsem,
-                          *, k, band, yt, wt, hy, hx, hp2, nb, ny, nx, nc):
+                          *, k, band, yt, wt, hy, hx, hp2, nb, ny, nx, nc,
+                          interior=None):
     """3D (z, y, x)-tiled ping-pong cycle step over an (n_chunks, nsteps)
     grid (nsteps = nb*ny*nx slabs, linearized — the pallas_tiled3d
     wide-plane layout). Each slab is ext_z contiguous row-ranges of the
     flattened padded volume, copied plane by plane like
     pallas_tiled3d._tile3d_kernel_impl; chunk parity picks the source
     buffer, centres are written plane by plane to the other (waited
-    in-step)."""
+    in-step).
+
+    ``interior=(d_int, h_int, w_int)`` masks the per-slab deltas to cells
+    whose volume coordinates lie in [k, k+d_int) x [hy, hy+h_int) x
+    [hx, hx+w_int) — the resident 3D shard layout's pad-safe check delta
+    (see the 2D note on :func:`_cycle_kernel_tiled_impl`): sweep-0 halo
+    cells inside the mask duplicate their owning slab's arithmetic, so
+    the masked max equals the interior diff bit-for-bit."""
     ext_z = band + 2 * k
     yext = yt + 2 * hy
     wext = wt + 2 * hx
@@ -975,7 +1001,17 @@ def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
         return jnp.where(update, val, u)
 
     u1 = sweep(0, u0)
-    delta_ref[c, step] = jnp.max(jnp.abs(u1 - u0))
+    d0 = jnp.abs(u1 - u0)
+    if interior is not None:
+        d_int, h_int, w_int = interior
+        gz = lz + i * band
+        gy = ly + j * yt
+        gx = lx + cx * wt
+        inside = ((gz >= k) & (gz < k + d_int)
+                  & (gy >= hy) & (gy < hy + h_int)
+                  & (gx >= hx) & (gx < hx + w_int))
+        d0 = jnp.where(inside, d0, 0.0)
+    delta_ref[c, step] = jnp.max(d0)
     u = jax.lax.fori_loop(1, k, sweep, u1)
     u_vmem[slot] = u
 
@@ -1060,13 +1096,13 @@ def sweep_cycle_tiled3d(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[

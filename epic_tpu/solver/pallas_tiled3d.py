@@ -268,8 +268,8 @@ def _chunk_call(u_pad, frozen_pad, iteration, num_sweeps, band, k, yt, wt,
         out_shape=tuple(out_shapes),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
