@@ -1,4 +1,5 @@
-from . import resident, resident3d, sharded, sharded3d
+from . import resident, resident3d, resident_z, sharded, sharded3d
 from .sharded import make_mesh
 
-__all__ = ["resident", "resident3d", "sharded", "sharded3d", "make_mesh"]
+__all__ = ["resident", "resident3d", "resident_z", "sharded", "sharded3d",
+           "make_mesh"]

@@ -445,8 +445,19 @@ def _prefers_resident(shape, mesh: Mesh, chunk_depth: int) -> bool:
     from ..solver import pallas_biggrid3d
     from . import resident3d
 
-    if jax.default_backend() != "tpu" or _has_z(mesh):
+    if jax.default_backend() != "tpu":
         return False
+    if _has_z(mesh):
+        # z-only meshes: the z-resident plane-band layout keeps full
+        # planes local (guard cost 2k/d_loc planes) and removes the
+        # exchange+repad relayout of the generic z path — prefer it
+        # whenever a shard's plane-band layout fits the VMEM budget.
+        from . import resident_z
+
+        if mesh.shape["my"] != 1 or mesh.shape["mx"] != 1:
+            return False
+        dp, hp, wp = padded_shape(shape, mesh)
+        return resident_z.eligible(dp // mesh.shape["mz"], hp, wp)
     dp, hp, wp = padded_shape(shape, mesh)
     h_loc = hp // mesh.shape["my"]
     w_loc = wp // mesh.shape["mx"]
@@ -567,19 +578,29 @@ def update_n(state: GridState, num_steps: int, mesh: Mesh,
              kernel: str = "auto") -> GridState:
     """Sharded 3D anytime chunk; semantics of core.update_n on a mesh.
 
-    kernel="resident" routes to the tile-pure guard-aligned layout
-    (:mod:`epic_tpu.parallel.resident3d`) — no per-chunk relayout copies;
-    plane-sharded meshes with 8/128-aligned shards only. "auto" picks it
-    for wide-plane shards where plane-banding degenerates."""
+    kernel="resident" routes to the resident layouts — no per-chunk
+    relayout copies: plane-sharded meshes take the tile-pure guard-
+    aligned layout (:mod:`epic_tpu.parallel.resident3d`, 8/128-aligned
+    shards only); z-only meshes take the z-resident plane-band layout
+    (:mod:`epic_tpu.parallel.resident_z` — the cube regime's home). "auto"
+    picks them for wide-plane shards where plane-banding degenerates and
+    for eligible z-only meshes."""
     if kernel == "auto" and _prefers_resident(state.u.shape, mesh,
                                               chunk_depth):
         kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
+        interp = True if kernel.endswith("_interpret") else None
+        if _has_z(mesh):
+            from . import resident_z
+
+            return resident_z.update_n(
+                state, num_steps, mesh, min(chunk_depth, 2),
+                interpret=interp)
         from . import resident3d
 
         return resident3d.update_n(
             state, num_steps, mesh, min(chunk_depth, 2),
-            interpret=True if kernel.endswith("_interpret") else None)
+            interpret=interp)
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, _spec(mesh))
@@ -654,9 +675,18 @@ def solve(
             state.u.shape, mesh, DEFAULT_CHUNK_DEPTH):
         kernel = "resident"
     if kernel in ("resident", "resident_interpret"):
+        interp = True if kernel.endswith("_interpret") else None
+        if _has_z(mesh):
+            from . import resident_z
+
+            if segment_iterations is not None:
+                return resident_z.solve_segments(
+                    state, mesh, stagger, max_iterations,
+                    segment_iterations, interpret=interp)
+            return resident_z.solve(
+                state, mesh, stagger, max_iterations, interpret=interp)
         from . import resident3d
 
-        interp = True if kernel.endswith("_interpret") else None
         if segment_iterations is not None:
             return resident3d.solve_segments(
                 state, mesh, stagger, max_iterations, segment_iterations,

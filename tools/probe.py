@@ -1504,6 +1504,119 @@ def sharded3d_resident(q, shape=(256, 256, 256), steps=1024,
                 max_abs_diff_wide_vs_tiled3d=dw, rows=rows)
 
 
+@experiment("sharded3d-zresident", "Scaling across devices")
+def sharded3d_zresident(q, shape=(256, 256, 256), steps=1024, cap=2000):
+    """The z-resident plane-band shard layout (VERDICT r4 item 2: the cube
+    regime) on a 1x1x1 z-mesh over the real chip: full planes stay local,
+    guards are contiguous plane blocks, the per-shard kernel is the
+    banded-kernel ping-pong twin. Gates: device equality vs the unsharded
+    banded volume kernel (update) and iteration equality + device equality
+    vs the unsharded banded solve (capped). The plane-guard resident layout
+    measured 8.7 G here and the banded composition 9.9 G vs the unsharded
+    kernel's 30.5 G (r4) — this layout exists to close that."""
+    import jax
+
+    from epic_tpu.parallel import resident_z
+    from epic_tpu.parallel.sharded3d import make_mesh3d
+    from epic_tpu.solver import pallas_biggrid3d as b3
+
+    interp = _interpret()
+    if q:
+        shape, steps, cap = (12, 16, 64), 8, 200
+    u, locked = _vol_np(*shape)
+    mesh = make_mesh3d((1, 1, 1), devices=np.asarray(jax.devices()[:1]))
+    cells = int(np.prod(shape))
+    rows = []
+
+    out_b = b3.update_n(_state(u, locked), steps)
+    out_r = resident_z.update_n(_state(u, locked), steps, mesh,
+                                interpret=interp)
+    d = _device_max_abs_diff(out_r.u, out_b.u)
+    assert d == 0.0, d
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out_r = resident_z.update_n(st, steps, mesh, interpret=interp)
+    ck = float(out_r.delta)
+    dt = time.perf_counter() - t0
+    rows.append(dict(variant="update", steps=steps,
+                     g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                     checksum=ck))
+
+    out_bs = b3.solve(_state(u, locked), max_iterations=cap)
+    out_rs = resident_z.solve(_state(u, locked), mesh, max_iterations=cap,
+                              interpret=interp)
+    ds = _device_max_abs_diff(out_rs.u, out_bs.u)
+    iters = int(out_rs.iteration)
+    assert iters == int(out_bs.iteration), (iters, int(out_bs.iteration))
+    assert ds == 0.0, ds
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out_rs = resident_z.solve(st, mesh, max_iterations=cap, interpret=interp)
+    ck = float(out_rs.delta) + int(out_rs.iteration)
+    dt = time.perf_counter() - t0
+    rows.append(dict(variant="solve", iterations=iters,
+                     converged=bool(out_rs.converged),
+                     g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                     checksum=ck))
+    return dict(shape="x".join(map(str, shape)), mesh="1x1x1 (z)",
+                max_abs_diff_vs_unsharded=max(d, ds), rows=rows)
+
+
+@experiment("resident3d-solve-iso", "Scaling across devices")
+def resident3d_solve_iso(q, shape=(64, 1024, 1024), steps=2000):
+    """Attribute the resident 3D SOLVE tax vs its own open chain (r4: 13.8
+    solve vs 17.2 chain): time (a) one update_n call of ``steps`` sweeps
+    (single fori of paired chunks) and (b) a capped never-converging solve
+    of the same sweep count (eps impossible -> while bodies of one stagger
+    cycle each: folded check chunk + cond branch with paired fori + odd
+    chunk). Same layout, same per-chunk kernels; the difference is the
+    while/cond/twin-per-body structure. Diagnostic, not a product path."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, resident3d
+
+    interp = _interpret()
+    if q:
+        shape, steps = (8, 16, 256), 40
+    u, locked = _vol_np(*shape)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    cells = int(np.prod(shape))
+    rows = []
+
+    # (a) open chain, one call.
+    st = _state(u, locked)
+    out = resident3d.update_n(st, steps, mesh)  # warm
+    float(out.delta)
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = resident3d.update_n(st, steps, mesh)
+    ck = float(out.delta)
+    dt = time.perf_counter() - t0
+    rows.append(dict(variant="chain", sweeps=steps,
+                     g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                     checksum=ck))
+
+    # (b) capped solve, impossible eps: every body runs the full stagger
+    # cycle; iterations overshoot the cap to the cycle boundary.
+    st = _state(u, locked, eps=1e-12)
+    out = resident3d.solve(st, mesh, max_iterations=min(steps, 200))  # warm
+    int(out.iteration)
+    st = _state(u, locked, eps=1e-12)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = resident3d.solve(st, mesh, max_iterations=steps)
+    iters = int(out.iteration)
+    ck = float(out.delta) + iters
+    dt = time.perf_counter() - t0
+    rows.append(dict(variant="solve-capped", sweeps=iters,
+                     g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                     checksum=ck))
+    return dict(shape="x".join(map(str, shape)), mesh="1x1", rows=rows)
+
+
 @experiment("resident3d-iso", "Scaling across devices")
 def resident3d_iso(q, shape=(64, 1024, 1024), steps=256):
     """Attribute the resident 3D layout's tax vs the unsharded tiled3d
