@@ -64,6 +64,8 @@ def main() -> None:
         ("sharded_solve_4096", probe.sharded_solve, {}),
         ("sharded3d_resident", probe.sharded3d_resident, {}),
         ("sharded3d_solve", probe.sharded3d_solve, {}),
+        ("sharded3d_zresident", probe.sharded3d_zresident, {}),
+        ("mesh_planner", probe.mesh_planner, {}),
     ):
         try:
             detail[key] = fn(q, **kw)

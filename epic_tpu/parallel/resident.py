@@ -451,7 +451,8 @@ def _update_n_resident(
 def _solve_resident(
     u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
     height: int, width: int, chunk_depth: int = DEFAULT_CHUNK_DEPTH,
-    interpret: bool = False, it0=None,
+    interpret: bool = False, it0=None, conv0=None,
+    delta0=None,
 ):
     """Solve-to-convergence with the while-loop INSIDE shard_map: the
     layout is built once and stays resident across the whole solve; the
@@ -466,11 +467,11 @@ def _solve_resident(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("my", "mx"), P("my", "mx"), P(), P(), P()),
+        in_specs=(P("my", "mx"), P("my", "mx"), P(), P(), P(), P(), P()),
         out_specs=(P("my", "mx"), P(), P(), P()),
         check_vma=not interpret,
     )
-    def run(u_loc, frozen_loc, eps, mi, i0):
+    def run(u_loc, frozen_loc, eps, mi, i0, cv0, dl0):
         h_loc, w_loc = u_loc.shape
         k, band, nb, hp, wg = _layout(h_loc, w_loc, chunk_depth)
         row0, col0 = _origin(mesh, h_loc, w_loc, k)
@@ -486,62 +487,68 @@ def _solve_resident(
                 w_loc, interpret)
 
         def cond(carry):
-            _, iteration, _, converged = carry
-            return ~converged & (iteration < mi)
+            _, _, iteration, _, done = carry
+            return ~done & (iteration < mi)
 
         def body(carry):
-            # ONE fresh fill twin per while body (a carried pair costs
-            # copies at the while/cond joins — probe36/40/42); inside the
-            # body the pair ping-pongs through paired fori chunks with
+            # ONE fresh fill twin pair per while body (a carried pair
+            # costs copies at the loop joins — probe36/40/42); inside the
+            # body the chunks ping-pong through paired fori chunks with
             # stable carry positions (zero back-edge copies, see
             # _update_n_resident.body). The staggered check is FOLDED
             # into the cycle's first k-chunk: the kernel's per-chunk
             # delta IS its sweep-0 delta, i.e. the check value, so no
-            # dedicated 1-sweep check chunk runs; the rare done-exit
-            # recomputes the single post-check sweep from the intact
-            # ping-pong src buffer (aliased kernel reads don't destroy
-            # it) — bit-identical to the check chunk it replaces, paid
-            # once per solve (with SOLVE_CHUNK_DEPTH: 35.3 -> 40.9 G on
-            # chip at 4096², iteration-exact vs the unsharded solve).
-            u_res, iteration, _, _ = carry
-            alt = _fill_twin(hp, wg, interpret)
-            stale, cur, delta = chunk2(u_res, alt, iteration, ns1)
+            # dedicated 1-sweep check chunk runs. NO lax.cond around the
+            # rest (probe resident3d-solve-iso: pallas chunk chains
+            # inside a cond branch measured 13.9 vs 18.0 G without it in
+            # 3D): the pre-check src survives the body (the check chunk
+            # only READS it; the rest ping-pongs between the check
+            # chunk's dst and a SECOND fresh twin), the rest runs
+            # unconditionally (one wasted cycle per solve at the
+            # done-exit), and the 1-sweep finish runs AFTER the loop
+            # from the preserved src — bit-identical, iteration-exact.
+            u_res, _, iteration, _, _ = carry
+            twin1 = _fill_twin(hp, wg, interpret)
+            src, cur, delta = chunk2(u_res, twin1, iteration, ns1)
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
             done = (delta < eps) & (iteration + 1 >= m_max)
+            twin2 = _fill_twin(hp, wg, interpret)
+            it = iteration + ns1
 
-            def finish(args):
-                cur, stale, it = args
-                _, u1, _ = chunk2(stale, cur, it, 1)
-                return u1, it + 1
+            def fbody(i, c):
+                a, b, it2 = c
+                a_stale, b_new, _ = chunk2(a, b, it2, k)
+                b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k, k)
+                return a_new, b_stale, it2 + 2 * k
 
-            def run_rest(args):
-                cur, stale, it = args
-                it = it + ns1
+            cur, twin2, it = jax.lax.fori_loop(
+                0, n2, fbody, (cur, twin2, it))
+            if odd:
+                twin2, cur, _ = chunk2(cur, twin2, it, k)
+                it = it + k
+            if rem:
+                twin2, cur, _ = chunk2(cur, twin2, it, rem)
+                it = it + rem
+            return cur, src, it, delta, done
 
-                def fbody(i, c):
-                    a, b, it2 = c
-                    a_stale, b_new, _ = chunk2(a, b, it2, k)
-                    b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k, k)
-                    return a_new, b_stale, it2 + 2 * k
-
-                cur, stale, it = jax.lax.fori_loop(
-                    0, n2, fbody, (cur, stale, it))
-                if odd:
-                    stale, cur, _ = chunk2(cur, stale, it, k)
-                    it = it + k
-                if rem:
-                    stale, cur, _ = chunk2(cur, stale, it, rem)
-                    it = it + rem
-                return cur, it
-
-            u_res, iteration = jax.lax.cond(
-                done, finish, run_rest, (cur, stale, iteration))
-            return u_res, iteration, delta, done
-
-        u_res, iteration, delta, converged = jax.lax.while_loop(
+        u_res, src, it_next, delta, converged = jax.lax.while_loop(
             cond, body,
-            (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
+            (u_res, _fill_twin(hp, wg, interpret),
+             i0.astype(jnp.int32), dl0, cv0),
         )
+
+        def finish(args):
+            u_res, src, it_base = args
+            # One 1-sweep ping-pong chunk from the preserved pre-check
+            # src reproduces the post-check-sweep exit state.
+            _, u1, _ = chunk2(src, u_res, it_base, 1)
+            return u1
+
+        u_res = jax.lax.cond(
+            converged & ~cv0, finish, lambda args: args[0],
+            (u_res, src, it_next - stagger))
+        iteration = jnp.where(converged & ~cv0,
+                              it_next - stagger + 1, it_next)
         out = jax.lax.slice(u_res, (k, GC), (k + h_loc, GC + w_loc))
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
@@ -552,8 +559,12 @@ def _solve_resident(
     # interior slice + re-pad roundtrip between segments is exact — the
     # next body re-exchanges guards from interiors either way).
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    cv = (jnp.asarray(False) if conv0 is None
+          else jnp.asarray(conv0, jnp.bool_))
+    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+          else jnp.asarray(delta0, jnp.float32))
     u, iteration, delta, converged = run(
-        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start)
+        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]
 
 
@@ -670,15 +681,16 @@ def solve_segments(
     sharding = NamedSharding(mesh, P("my", "mx"))
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_resident(
-            u, frozen, state.epsilon, mesh, stagger, bound, h, w,
-            chunk_depth, interpret, it0=it,
+    from ._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_resident(
+            uu, frozen, state.epsilon, mesh, stagger, bound, h, w,
+            chunk_depth, interpret, it0=it0, conv0=cv, delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     return dataclasses.replace(
         state,
         u=u[:h, :w],

@@ -18,13 +18,12 @@ full-volume copies per two sweeps. This module removes all of them:
   guard write is a static-offset ``dynamic_update_slice`` on (8, 128)
   tile boundaries (the k-wide strip DUS that read-modify-writes crossed
   tiles measured 5.8 G — ROADMAP 3b);
-- the per-chunk compute is the UNMODIFIED tiled3d slab kernels
-  (:func:`epic_tpu.solver.pallas_cycle._cycle_kernel_tiled3d` for full
-  k-sweep chunks — ping-pong, no paste — and
-  :func:`epic_tpu.solver.pallas_tiled3d._tile3d_kernel` for remainder /
-  check sweeps). Their parity math assumes even global offsets, which the
-  8-aligned shard rows and 128-aligned shard lanes guarantee, so shard
-  coordinates change nothing mod 2;
+- the per-chunk compute is the tiled3d ping-pong cycle kernel
+  (:func:`epic_tpu.solver.pallas_cycle._cycle_kernel_tiled3d`, nc=1) for
+  every chunk — full k-sweep chunks and shallow ``ns`` remainder/check
+  chunks alike (no pastes anywhere). Its parity math assumes even global
+  offsets, which the 8-aligned shard rows and 128-aligned shard lanes
+  guarantee, so shard coordinates change nothing mod 2;
 - slabs whose halo reaches a shard edge read the guard areas exactly as
   the unsharded kernel reads its frozen padding — except the cells are
   unfrozen neighbour data, updated transiently under the slab trapezoid,
@@ -256,11 +255,12 @@ def _grid_dims(rp: int, wp: int, band: int, k: int, yt: int, wt: int,
 
 
 def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret,
-                 interior=None):
-    """One full k-sweep chunk through the ping-pong tiled3d cycle kernel
-    (nc=1): slabs read the src buffer, centres land straight in the dst
-    buffer — no paste. Returns (stale, current, delta) where stale
-    aliases ``u_src`` and current aliases ``u_dst``. With
+                 interior=None, ns=None):
+    """One ns-sweep chunk (ns <= k, default k) through the ping-pong
+    tiled3d cycle kernel (nc=1): slabs read the src buffer, centres land
+    straight in the dst buffer — no paste, even for shallow remainder /
+    check chunks. Returns (stale, current, delta) where stale aliases
+    ``u_src`` and current aliases ``u_dst``. With
     ``interior=(d, h_loc, w_loc)`` the delta is the INTERIOR-ONLY sweep-0
     diff (bit-equal to :func:`_interior_delta` over the same sweep — the
     pad-safe folded check); else it is the raw pad-poisoned slab delta
@@ -272,6 +272,8 @@ def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret,
 
     from ..solver.pallas_cycle import _cycle_kernel_tiled3d
 
+    if ns == k:
+        ns = None  # one jaxpr for the full-depth chunk
     rp, wp = u_src.shape
     nb, ny, nx = _grid_dims(rp, wp, band, k, yt, wt, hp2)
     nsteps = nb * ny * nx
@@ -283,7 +285,7 @@ def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret,
     a_out, b_out, deltas = pl.pallas_call(
         _ft.partial(_cycle_kernel_tiled3d, k=k, band=band, yt=yt, wt=wt,
                     hy=_HY, hx=_HX, hp2=hp2, nb=nb, ny=ny, nx=nx, nc=1,
-                    interior=interior),
+                    interior=interior, ns=ns),
         grid=(1, nsteps),
         out_shape=(
             jax.ShapeDtypeStruct((rp, wp), jnp.float32, vma=vma),
@@ -315,60 +317,6 @@ def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret,
         interpret=interpret,
     )(scal, u_src, u_dst, f_res)
     return a_out, b_out, jnp.max(deltas)
-
-
-def _chunk_tile(u_res, f_res, it, num_sweeps, band, k, yt, wt, hp2,
-                interpret):
-    """num_sweeps (< k, remainder/check) sweeps through the functional
-    tiled3d slab kernel + one centre paste. Returns (u', delta)."""
-    import functools as _ft
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from ..solver.pallas_tiled3d import _tile3d_kernel
-
-    rp, wp = u_res.shape
-    nb, ny, nx = _grid_dims(rp, wp, band, k, yt, wt, hp2)
-    ext_z = band + 2 * k
-    yext = yt + 2 * _HY
-    wext = wt + 2 * _HX
-    scal = jnp.asarray(it).astype(jnp.int32).reshape(1)
-    vma = frozenset({"my", "mx"})
-    out_u, out_delta = pl.pallas_call(
-        _ft.partial(_tile3d_kernel, num_sweeps=num_sweeps, band=band, k=k,
-                    yt=yt, wt=wt, hp2=hp2),
-        grid=(nb, ny, nx),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb * band, ny * yt, nx * wt), jnp.float32,
-                                 vma=vma),
-            jax.ShapeDtypeStruct((nb, ny * nx), jnp.float32, vma=vma),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((band, yt, wt), lambda i, j, c: (i, j, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ext_z * yext, wext), jnp.float32),
-            pltpu.VMEM((2, ext_z * yext, wext), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2 * ext_z)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(scal, u_res, f_res)
-    dpv = rp // hp2
-    u3 = u_res.reshape(dpv, hp2, wp)
-    u3 = jax.lax.dynamic_update_slice(u3, out_u, (k, _HY, _HX))
-    return u3.reshape(rp, wp), jnp.max(out_delta)
 
 
 def _fill_twin(rp: int, wp: int, interpret: bool):
@@ -424,52 +372,42 @@ def _update_n_resident(
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp, hp2,
                                      wp)
 
-        def chunk2(cur, alt, it, interior=None):
+        def chunk2(cur, alt, it, ns=None, interior=None):
             cur = _exchange_guards(cur, mesh, h_loc, w_loc, hp2)
             return _chunk_cycle(cur, alt, f_res, it, band, k, yt, wt,
-                                hp2, interpret, interior)
+                                hp2, interpret, interior, ns)
 
-        n_full, rem = divmod(num_steps, k)
-        if n_full:
-            # The overall-first-sweep delta is FOLDED into the first
-            # cycle chunk as its interior-masked sweep-0 delta (pad-safe,
-            # bit-equal to the 1-sweep prologue + interior diff it
-            # replaces — see _cycle_kernel_tiled3d's interior kwarg).
-            alt = _fill_twin(dp * hp2, wp, interpret)
-            stale, u_res, delta = chunk2(u_res, alt, it0,
-                                         interior=(d, h_loc, w_loc))
-            it = it0 + k
-            n2, odd = divmod(n_full - 1, 2)
+        # The overall-first-sweep delta is FOLDED into the first cycle
+        # chunk as its interior-masked sweep-0 delta (pad-safe, bit-equal
+        # to the 1-sweep prologue + interior diff it replaced); every
+        # chunk — including shallow remainders — is ping-pong (no
+        # pastes), the resident.py structure.
+        ns1 = min(k, num_steps)
+        alt = _fill_twin(dp * hp2, wp, interpret)
+        stale, u_res, delta = chunk2(u_res, alt, it0, ns=ns1,
+                                     interior=(d, h_loc, w_loc))
+        it = it0 + ns1
+        n_full, rem = divmod(num_steps - ns1, k)
+        n2, odd = divmod(n_full, 2)
 
-            def body(i, carry):
-                # TWO chunks per fori body keep the carried pair's
-                # positions stable, so both back-edge outputs alias their
-                # inputs and the loop carries ZERO copies (the 2D
-                # resident-iso probe A/B: 41.9 G paired vs 37.7
-                # fresh-fill per chunk at 4096²).
-                a, b, it2 = carry
-                a_stale, b_new, _ = chunk2(a, b, it2)
-                b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
-                return a_new, b_stale, it2 + 2 * k
+        def body(i, carry):
+            # TWO chunks per fori body keep the carried pair's
+            # positions stable, so both back-edge outputs alias their
+            # inputs and the loop carries ZERO copies (the 2D
+            # resident-iso probe A/B: 41.9 G paired vs 37.7
+            # fresh-fill per chunk at 4096²).
+            a, b, it2 = carry
+            a_stale, b_new, _ = chunk2(a, b, it2)
+            b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
+            return a_new, b_stale, it2 + 2 * k
 
-            u_res, stale, it = jax.lax.fori_loop(
-                0, n2, body, (u_res, stale, it))
-            if odd:
-                stale, u_res, _ = chunk2(u_res, stale, it)
-                it = it + k
-        else:
-            # Short chains (< k sweeps): 1-sweep prologue for the delta,
-            # remainder through the functional slab kernel.
-            u_pre = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-            u_res, _ = _chunk_tile(u_pre, f_res, it0, 1, band, k, yt, wt,
-                                   hp2, interpret)
-            delta = _interior_delta(u_pre, u_res, d, h_loc, w_loc, k, hp2)
-            it = it0 + 1
-            rem = num_steps - 1
+        u_res, stale, it = jax.lax.fori_loop(
+            0, n2, body, (u_res, stale, it))
+        if odd:
+            stale, u_res, _ = chunk2(u_res, stale, it)
+            it = it + k
         if rem:
-            u_res = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-            u_res, _ = _chunk_tile(u_res, f_res, it, rem, band, k, yt,
-                                   wt, hp2, interpret)
+            stale, u_res, _ = chunk2(u_res, stale, it, ns=rem)
         delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
         u3 = u_res.reshape(dp, hp2, wp)
         out = jax.lax.slice(
@@ -489,6 +427,7 @@ def _update_n_resident(
 def _solve_resident(
     u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
     dims, chunk_depth: int = 2, interpret: bool = False, it0=None,
+    conv0=None, delta0=None,
 ):
     """Solve-to-convergence with the while-loop INSIDE shard_map: the
     layout is built once and stays resident across the whole solve; the
@@ -507,11 +446,11 @@ def _solve_resident(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(_SPEC, _SPEC, P(), P(), P()),
+        in_specs=(_SPEC, _SPEC, P(), P(), P(), P(), P()),
         out_specs=(_SPEC, P(), P(), P()),
         check_vma=not interpret,
     )
-    def run(u_loc, frozen_loc, eps, mi, i0):
+    def run(u_loc, frozen_loc, eps, mi, i0, cv0, dl0):
         d, h_loc, w_loc = u_loc.shape
         band, k, yt, wt = choose_layout(d, h_loc, w_loc, chunk_depth)
         nb = -(-d // band)
@@ -520,90 +459,72 @@ def _solve_resident(
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, dp, hp2,
                                      wp)
 
-        def chunk2(cur, alt, it, interior=None):
+        def chunk2(cur, alt, it, ns=None, interior=None):
             cur = _exchange_guards(cur, mesh, h_loc, w_loc, hp2)
             return _chunk_cycle(cur, alt, f_res, it, band, k, yt, wt,
-                                hp2, interpret, interior)
+                                hp2, interpret, interior, ns)
 
-        def cond(carry):
-            _, iteration, _, converged = carry
-            return ~converged & (iteration < mi)
-
-        fold = stagger > k
-        n_full, rem = divmod(stagger - (k if fold else 1), k)
+        ns1 = min(k, stagger)
+        n_full, rem = divmod(stagger - ns1, k)
         n2, odd = divmod(n_full, 2)
 
-        def body_folded(carry):
-            u_res, iteration, _, _ = carry
-            alt = _fill_twin(dp * hp2, wp, interpret)
-            stale, cur, delta = chunk2(u_res, alt, iteration,
-                                       interior=(d, h_loc, w_loc))
+        def cond(carry):
+            _, _, iteration, _, done = carry
+            return ~done & (iteration < mi)
+
+        def body(carry):
+            # NO lax.cond around the cycle's rest: pallas chunk chains
+            # inside a cond branch measured 13.9 vs 18.0 G without it
+            # (probe resident3d-solve-iso while-nocond) — instead the
+            # pre-check src buffer survives the body (the first chunk only
+            # READS it; the rest ping-pongs between the check chunk's dst
+            # and a SECOND fresh twin), the rest runs unconditionally (one
+            # wasted cycle per solve at the done-exit), and the 1-sweep
+            # finish runs AFTER the loop from the preserved src —
+            # bit-identical results, iteration-exact.
+            u_res, _, iteration, _, _ = carry
+            twin1 = _fill_twin(dp * hp2, wp, interpret)
+            src, cur, delta = chunk2(u_res, twin1, iteration, ns=ns1,
+                                     interior=(d, h_loc, w_loc))
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
             done = (delta < eps) & (iteration + 1 >= m_max)
+            twin2 = _fill_twin(dp * hp2, wp, interpret)
+            it = iteration + ns1
 
-            def finish(args):
-                cur, stale, it = args
-                # ``stale`` aliases the exchanged pre-chunk src, intact;
-                # one functional 1-sweep chunk reproduces the check sweep.
-                u1, _ = _chunk_tile(stale, f_res, it, 1, band, k, yt, wt,
-                                    hp2, interpret)
-                return u1, it + 1
+            def fbody(i, c):
+                a, b, it2 = c
+                a_stale, b_new, _ = chunk2(a, b, it2)
+                b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
+                return a_new, b_stale, it2 + 2 * k
 
-            def run_rest(args):
-                cur, stale, it = args
+            cur, twin2, it = jax.lax.fori_loop(
+                0, n2, fbody, (cur, twin2, it))
+            if odd:
+                twin2, cur, _ = chunk2(cur, twin2, it)
                 it = it + k
+            if rem:
+                twin2, cur, _ = chunk2(cur, twin2, it, ns=rem)
+                it = it + rem
+            return cur, src, it, delta, done
 
-                def fbody(i, c):
-                    a, b, it2 = c
-                    a_stale, b_new, _ = chunk2(a, b, it2)
-                    b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
-                    return a_new, b_stale, it2 + 2 * k
-
-                cur, stale, it = jax.lax.fori_loop(
-                    0, n2, fbody, (cur, stale, it))
-                if odd:
-                    stale, cur, _ = chunk2(cur, stale, it)
-                    it = it + k
-                if rem:
-                    cur2 = _exchange_guards(cur, mesh, h_loc, w_loc, hp2)
-                    cur, _ = _chunk_tile(cur2, f_res, it, rem, band,
-                                         k, yt, wt, hp2, interpret)
-                    it = it + rem
-                return cur, it
-
-            u_res, iteration = jax.lax.cond(
-                done, finish, run_rest, (cur, stale, iteration))
-            return u_res, iteration, delta, done
-
-        def body_plain(carry):
-            # stagger <= k: the cycle chunk cannot stop at the check
-            # boundary — keep the 1-sweep check chunk + remainder.
-            u_res, iteration, _, _ = carry
-            u_pre = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-            u_res, _ = _chunk_tile(u_pre, f_res, iteration, 1, band,
-                                   k, yt, wt, hp2, interpret)
-            delta = _interior_delta(u_pre, u_res, d, h_loc, w_loc, k, hp2)
-            iteration = iteration + 1
-            delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
-            done = (delta < eps) & (iteration >= m_max)
-
-            def run_rest(args):
-                u_res, it = args
-                if rem:
-                    cur2 = _exchange_guards(u_res, mesh, h_loc, w_loc, hp2)
-                    u_res, _ = _chunk_tile(cur2, f_res, it, rem, band,
-                                           k, yt, wt, hp2, interpret)
-                    it = it + rem
-                return u_res, it
-
-            u_res, iteration = jax.lax.cond(
-                done, lambda a: a, run_rest, (u_res, iteration))
-            return u_res, iteration, delta, done
-
-        u_res, iteration, delta, converged = jax.lax.while_loop(
-            cond, body_folded if fold else body_plain,
-            (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
+        u_res, src, it_next, delta, converged = jax.lax.while_loop(
+            cond, body,
+            (u_res, _fill_twin(dp * hp2, wp, interpret),
+             i0.astype(jnp.int32), dl0, cv0),
         )
+
+        def finish(args):
+            u_res, src, it_base = args
+            # One 1-sweep ping-pong chunk from the preserved pre-check
+            # src reproduces the post-check-sweep exit state.
+            _, u1, _ = chunk2(src, u_res, it_base, ns=1)
+            return u1
+
+        u_res = jax.lax.cond(
+            converged & ~cv0, finish, lambda args: args[0],
+            (u_res, src, it_next - stagger))
+        iteration = jnp.where(converged & ~cv0,
+                              it_next - stagger + 1, it_next)
         u3 = u_res.reshape(dp, hp2, wp)
         out = jax.lax.slice(
             u3, (k, _HY, _HX), (k + d, _HY + h_loc, _HX + w_loc))
@@ -616,8 +537,12 @@ def _solve_resident(
     # interior slice + re-pad roundtrip between segments is exact — the
     # next body re-exchanges guards from interiors either way).
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    cv = (jnp.asarray(False) if conv0 is None
+          else jnp.asarray(conv0, jnp.bool_))
+    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+          else jnp.asarray(delta0, jnp.float32))
     u, iteration, delta, converged = run(
-        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start)
+        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]
 
 
@@ -701,15 +626,17 @@ def solve_segments(
     sharding = NamedSharding(mesh, _SPEC)
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_resident(
-            u, frozen, state.epsilon, mesh, stagger, bound,
-            (d, h, w), chunk_depth, interpret, it0=it,
+    from ._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_resident(
+            uu, frozen, state.epsilon, mesh, stagger, bound,
+            (d, h, w), chunk_depth, interpret, it0=it0, conv0=cv,
+            delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     return dataclasses.replace(
         state,
         u=u[:d, :h, :w],

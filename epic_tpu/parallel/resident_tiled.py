@@ -19,14 +19,15 @@ areas —
   order), identical in structure to :func:`resident._exchange_guards`;
 - the per-chunk compute is the unmodified tiled kernels
   (:func:`pallas_cycle.sweep_cycle_tiled` ping-pong chunks,
-  :func:`pallas_tiled2d.sweep_chunk_tiled` for remainders/checks); their
+  shallow-``ns`` cycle chunks for remainders); their
   parity math assumes even global offsets, guaranteed by 8-aligned shard
   rows and 128-aligned shard lanes;
-- check/update deltas are INTERIOR-ONLY diffs (:func:`_interior_delta`):
-  the in-kernel slab deltas include transiently-updated guard cells that
-  read frozen round-up padding where the owning shard reads real data —
-  the delta-poisoning failure mode caught on resident3d
-  (test_resident3d_solve_nondivisor_layout_converges).
+- check/update deltas are the cycle kernel's INTERIOR-MASKED in-kernel
+  sweep-0 deltas: the raw slab deltas include transiently-updated guard
+  cells that read frozen round-up padding where the owning shard reads
+  real data — the delta-poisoning failure mode caught on resident3d
+  (test_resident3d_solve_nondivisor_layout_converges); the mask zeroes
+  them with no extra passes.
 
 Dispatch: :func:`prefer_tiled_shards` applies the unsharded regime rule
 (banded-vs-tiled redundancy) to the SHARD extent; ``kernel="resident"``
@@ -156,22 +157,19 @@ def _pad_resident(u_loc, frozen_loc, mesh: Mesh, k: int, hp: int, wp: int):
     return u, frozen
 
 
-def _interior_delta(u_a, u_b, h_loc: int, w_loc: int, k: int):
-    """max |u_b - u_a| over the shard's INTERIOR cells only — the
-    in-kernel slab deltas include guard cells poisoned by round-up tile
-    padding (see the resident3d delta-poisoning note, BENCH_NOTES r4);
-    interior-only deltas pmax to exactly the unsharded value."""
-    lim = (k + h_loc, _HX + w_loc)
-    return jnp.max(jnp.abs(
-        jax.lax.slice(u_b, (k, _HX), lim)
-        - jax.lax.slice(u_a, (k, _HX), lim)))
-
-
 def _fill_twin(hp: int, wg: int, interpret: bool):
     twin = jnp.full((hp, wg), np.float32(C.LOG_SPACE_OBSTACLE))
     if not interpret:
         twin = jax.lax.pvary(twin, ("my", "mx"))
     return twin
+
+
+# A/B flag for the stagger-remainder mechanics (probe tiled-rem-iso):
+# True = shallow ns ping-pong cycle chunk; False = functional tile kernel +
+# centre paste (the pre-r5 structure). Production default decided by the
+# on-chip A/B; flip requires _solve_resident.clear_cache() (the flag is
+# read at trace time).
+REM_VIA_CYCLE = True
 
 
 def _chunk_tile(u_res, f_res, it, num_sweeps, band, k, wt, interpret):
@@ -228,15 +226,20 @@ def _chunk_tile(u_res, f_res, it, num_sweeps, band, k, wt, interpret):
     return u_new, jnp.max(out_delta)
 
 
+
 def _chunk_cycle(cur, alt, f_res, it, k, band, wt, interpret,
-                 interior=None):
-    """One full k-sweep chunk through the UNMODIFIED ping-pong tiled
-    cycle kernel (pallas_cycle._cycle_kernel_tiled, nc=1): slabs read
-    cur, centres land straight in alt — no paste. Re-dispatched for the
-    vma annotation (see _chunk_tile). Returns (stale, current, delta)
+                 interior=None, ns=None):
+    """One ns-sweep chunk (ns <= k, default k) through the ping-pong
+    tiled cycle kernel (pallas_cycle._cycle_kernel_tiled, nc=1): slabs
+    read cur, centres land straight in alt — no paste, even for shallow
+    remainder chunks (the functional-kernel + paste remainder cost ~2
+    extra full-array passes per stagger cycle — the bulk of the r4
+    sharded-converge residual, 34.6 vs 43.3 G). Re-dispatched for the
+    vma annotation (shard_map's manual-axes checker needs it;
+    the resident3d pattern). Returns (stale, current, delta)
     with stale aliasing ``cur``; with ``interior=(h_loc, w_loc)`` the
     delta is the INTERIOR-ONLY sweep-0 diff (bit-equal to
-    :func:`_interior_delta` over the same sweep — the folded staggered
+    the interior diff over the same sweep — the folded staggered
     check), else the raw pad-poisoned slab delta (discard it)."""
     import functools as _ft
 
@@ -246,6 +249,8 @@ def _chunk_cycle(cur, alt, f_res, it, k, band, wt, interpret,
     from ..solver.pallas_cycle import _cycle_kernel_tiled
     from ..solver.pallas_tiled2d import _VMEM_LIMIT
 
+    if ns == k:
+        ns = None  # one jaxpr for the full-depth chunk
     hp, wp = cur.shape
     nb = (hp - 2 * k) // band
     nt = (wp - 2 * _HX) // wt
@@ -255,7 +260,8 @@ def _chunk_cycle(cur, alt, f_res, it, k, band, wt, interpret,
     scal = jnp.asarray(it).astype(jnp.int32).reshape(1)
     a_out, b_out, deltas = pl.pallas_call(
         _ft.partial(_cycle_kernel_tiled, k=k, band=band, wt=wt,
-                    hx=_HX, nb=nb, nt=nt, nc=1, interior=interior),
+                    hx=_HX, nb=nb, nt=nt, nc=1, interior=interior,
+                    ns=ns),
         grid=(1, nb, nt),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32, vma=vma),
@@ -306,8 +312,8 @@ def _update_n_resident(
     """num_steps sweeps on the resident tiled layout: ONE
     pad+guard-exchange at entry, ping-pong cycle chunks with tile-pure
     guard refreshes between them, ONE centre slice at exit. Delta (pmax)
-    from the overall first sweep, via a 1-sweep prologue's interior
-    diff."""
+    from the overall first sweep — the first chunk's interior-masked
+    in-kernel sweep-0 delta (pad-safe, zero extra passes)."""
 
     @functools.partial(
         jax.shard_map,
@@ -321,49 +327,40 @@ def _update_n_resident(
         band, k, wt, nb, nt, hp, wp = layout(h_loc, w_loc, chunk_depth)
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, hp, wp)
 
-        def chunk2(cur, alt, it, interior=None):
+        def chunk2(cur, alt, it, ns=None, interior=None):
             cur = _exchange_guards(cur, mesh, k, h_loc, w_loc)
             return _chunk_cycle(cur, alt, f_res, it, k, band, wt,
-                                interpret, interior)
+                                interpret, interior, ns)
 
-        n_full, rem = divmod(num_steps, k)
-        if n_full:
-            # The overall-first-sweep delta is FOLDED into the first
-            # cycle chunk as its interior-masked sweep-0 delta (bit-equal
-            # to the 1-sweep prologue + interior diff it replaces).
-            alt = _fill_twin(hp, wp, interpret)
-            stale, u_res, delta = chunk2(u_res, alt, it0,
-                                         interior=(h_loc, w_loc))
-            it = it0 + k
-            n2, odd = divmod(n_full - 1, 2)
+        # The overall-first-sweep delta is FOLDED into the first cycle
+        # chunk as its interior-masked sweep-0 delta (bit-equal to the
+        # 1-sweep prologue + interior diff it replaced); every chunk —
+        # including shallow remainders — is ping-pong (no pastes), the
+        # resident.py structure.
+        ns1 = min(k, num_steps)
+        alt = _fill_twin(hp, wp, interpret)
+        stale, u_res, delta = chunk2(u_res, alt, it0, ns=ns1,
+                                     interior=(h_loc, w_loc))
+        it = it0 + ns1
+        n_full, rem = divmod(num_steps - ns1, k)
+        n2, odd = divmod(n_full, 2)
 
-            def body(i, carry):
-                # TWO chunks per fori body keep the carried pair's
-                # positions stable (zero back-edge copies — see
-                # resident._update_n_resident.body).
-                a, b, it2 = carry
-                a_stale, b_new, _ = chunk2(a, b, it2)
-                b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
-                return a_new, b_stale, it2 + 2 * k
+        def body(i, carry):
+            # TWO chunks per fori body keep the carried pair's
+            # positions stable (zero back-edge copies — see
+            # resident._update_n_resident.body).
+            a, b, it2 = carry
+            a_stale, b_new, _ = chunk2(a, b, it2)
+            b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
+            return a_new, b_stale, it2 + 2 * k
 
-            u_res, stale, it = jax.lax.fori_loop(
-                0, n2, body, (u_res, stale, it))
-            if odd:
-                stale, u_res, _ = chunk2(u_res, stale, it)
-                it = it + k
-        else:
-            # Short chains (< k sweeps): 1-sweep prologue for the delta,
-            # remainder through the functional slab kernel.
-            u_pre = _exchange_guards(u_res, mesh, k, h_loc, w_loc)
-            u_res, _ = _chunk_tile(u_pre, f_res, it0, 1, band, k, wt,
-                                   interpret)
-            delta = _interior_delta(u_pre, u_res, h_loc, w_loc, k)
-            it = it0 + 1
-            rem = num_steps - 1
+        u_res, stale, it = jax.lax.fori_loop(
+            0, n2, body, (u_res, stale, it))
+        if odd:
+            stale, u_res, _ = chunk2(u_res, stale, it)
+            it = it + k
         if rem:
-            u_res = _exchange_guards(u_res, mesh, k, h_loc, w_loc)
-            u_res, _ = _chunk_tile(u_res, f_res, it, rem, band, k, wt,
-                                   interpret)
+            stale, u_res, _ = chunk2(u_res, stale, it, ns=rem)
         delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
         out = jax.lax.slice(u_res, (k, _HX), (k + h_loc, _HX + w_loc))
         return out, delta.reshape(1)
@@ -381,7 +378,8 @@ def _update_n_resident(
 def _solve_resident(
     u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
     height: int, width: int, chunk_depth: int = DEFAULT_CHUNK_DEPTH,
-    interpret: bool = False, it0=None,
+    interpret: bool = False, it0=None, conv0=None,
+    delta0=None,
 ):
     """Solve-to-convergence with the while-loop INSIDE shard_map on the
     resident tiled layout; protocol identical to core.solve
@@ -394,113 +392,98 @@ def _solve_resident(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("my", "mx"), P("my", "mx"), P(), P(), P()),
+        in_specs=(P("my", "mx"), P("my", "mx"), P(), P(), P(), P(), P()),
         out_specs=(P("my", "mx"), P(), P(), P()),
         check_vma=not interpret,
     )
-    def run(u_loc, frozen_loc, eps, mi, i0):
+    def run(u_loc, frozen_loc, eps, mi, i0, cv0, dl0):
         h_loc, w_loc = u_loc.shape
         band, k, wt, nb, nt, hp, wp = layout(h_loc, w_loc, chunk_depth)
         u_res, f_res = _pad_resident(u_loc, frozen_loc, mesh, k, hp, wp)
 
-        def chunk2(cur, alt, it, interior=None):
+        def chunk2(cur, alt, it, ns=None, interior=None):
             cur = _exchange_guards(cur, mesh, k, h_loc, w_loc)
             return _chunk_cycle(cur, alt, f_res, it, k, band, wt,
-                                interpret, interior)
+                                interpret, interior, ns)
 
-        def cond(carry):
-            _, iteration, _, converged = carry
-            return ~converged & (iteration < mi)
-
-        # The staggered check is FOLDED into the cycle's first k-chunk
-        # (VERDICT r4 item 1, the resident.py pattern made pad-safe): the
-        # kernel's interior-masked sweep-0 delta IS the check value — no
-        # dedicated 1-sweep check chunk, no paste, no full-array diff.
-        # The rare done-exit recomputes the single post-check sweep from
-        # the intact ping-pong src (aliased kernel reads don't destroy
-        # it), paid once per solve.
-        fold = stagger > k
-        n_full, rem = divmod(stagger - (k if fold else 1), k)
+        # The staggered check is FOLDED into the cycle's first chunk
+        # (VERDICT r4 item 1, the resident.py structure made pad-safe):
+        # the kernel's interior-masked sweep-0 delta IS the check value —
+        # no dedicated 1-sweep check chunk, no pastes anywhere (shallow
+        # remainders are ping-pong chunks too). NO lax.cond around the
+        # cycle's rest (probe resident3d-solve-iso: pallas chunk chains
+        # inside a cond branch measured 13.9 vs 18.0 G without it): the
+        # pre-check src survives the body, the rest runs unconditionally
+        # (one wasted cycle per solve at the done-exit), and the 1-sweep
+        # finish runs AFTER the loop from the preserved src.
+        ns1 = min(k, stagger)
+        n_full, rem = divmod(stagger - ns1, k)
         n2, odd = divmod(n_full, 2)
 
-        def body_folded(carry):
-            u_res, iteration, _, _ = carry
-            alt = _fill_twin(hp, wp, interpret)
-            stale, cur, delta = chunk2(u_res, alt, iteration,
-                                       interior=(h_loc, w_loc))
+        def cond(carry):
+            _, _, iteration, _, done = carry
+            return ~done & (iteration < mi)
+
+        def body(carry):
+            u_res, _, iteration, _, _ = carry
+            twin1 = _fill_twin(hp, wp, interpret)
+            src, cur, delta = chunk2(u_res, twin1, iteration, ns=ns1,
+                                     interior=(h_loc, w_loc))
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
             done = (delta < eps) & (iteration + 1 >= m_max)
+            twin2 = _fill_twin(hp, wp, interpret)
+            it = iteration + ns1
 
-            def finish(args):
-                cur, stale, it = args
-                # ``stale`` aliases the exchanged pre-chunk src, intact;
-                # one functional 1-sweep chunk reproduces the check sweep.
-                u1, _ = _chunk_tile(stale, f_res, it, 1, band, k, wt,
-                                    interpret)
-                return u1, it + 1
+            def fbody(i, c):
+                a, b, it2 = c
+                a_stale, b_new, _ = chunk2(a, b, it2)
+                b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
+                return a_new, b_stale, it2 + 2 * k
 
-            def run_rest(args):
-                cur, stale, it = args
+            cur, twin2, it = jax.lax.fori_loop(
+                0, n2, fbody, (cur, twin2, it))
+            if odd:
+                twin2, cur, _ = chunk2(cur, twin2, it)
                 it = it + k
-
-                def fbody(i, c):
-                    a, b, it2 = c
-                    a_stale, b_new, _ = chunk2(a, b, it2)
-                    b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k)
-                    return a_new, b_stale, it2 + 2 * k
-
-                cur, stale, it = jax.lax.fori_loop(
-                    0, n2, fbody, (cur, stale, it))
-                if odd:
-                    stale, cur, _ = chunk2(cur, stale, it)
-                    it = it + k
-                if rem:
+            if rem:
+                if REM_VIA_CYCLE:
+                    twin2, cur, _ = chunk2(cur, twin2, it, ns=rem)
+                else:
                     cur2 = _exchange_guards(cur, mesh, k, h_loc, w_loc)
-                    cur, _ = _chunk_tile(cur2, f_res, it, rem, band, k,
-                                         wt, interpret)
-                    it = it + rem
-                return cur, it
+                    cur, _ = _chunk_tile(cur2, f_res, it, rem, band,
+                                         k, wt, interpret)
+                it = it + rem
+            return cur, src, it, delta, done
 
-            u_res, iteration = jax.lax.cond(
-                done, finish, run_rest, (cur, stale, iteration))
-            return u_res, iteration, delta, done
-
-        def body_plain(carry):
-            # stagger <= k: the cycle chunk cannot stop at the check
-            # boundary — keep the 1-sweep check chunk + tile remainder.
-            u_res, iteration, _, _ = carry
-            u_pre = _exchange_guards(u_res, mesh, k, h_loc, w_loc)
-            u_res, _ = _chunk_tile(u_pre, f_res, iteration, 1, band, k,
-                                   wt, interpret)
-            delta = _interior_delta(u_pre, u_res, h_loc, w_loc, k)
-            iteration = iteration + 1
-            delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
-            done = (delta < eps) & (iteration >= m_max)
-
-            def run_rest(args):
-                u_res, it = args
-                if rem:
-                    cur2 = _exchange_guards(u_res, mesh, k, h_loc, w_loc)
-                    u_res, _ = _chunk_tile(cur2, f_res, it, rem, band, k,
-                                           wt, interpret)
-                    it = it + rem
-                return u_res, it
-
-            u_res, iteration = jax.lax.cond(
-                done, lambda a: a, run_rest, (u_res, iteration))
-            return u_res, iteration, delta, done
-
-        u_res, iteration, delta, converged = jax.lax.while_loop(
-            cond, body_folded if fold else body_plain,
-            (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
+        u_res, src, it_next, delta, converged = jax.lax.while_loop(
+            cond, body,
+            (u_res, _fill_twin(hp, wp, interpret),
+             i0.astype(jnp.int32), dl0, cv0),
         )
+
+        def finish(args):
+            u_res, src, it_base = args
+            # One 1-sweep ping-pong chunk from the preserved pre-check
+            # src reproduces the post-check-sweep exit state.
+            _, u1, _ = chunk2(src, u_res, it_base, ns=1)
+            return u1
+
+        u_res = jax.lax.cond(
+            converged & ~cv0, finish, lambda args: args[0],
+            (u_res, src, it_next - stagger))
+        iteration = jnp.where(converged & ~cv0,
+                              it_next - stagger + 1, it_next)
         out = jax.lax.slice(u_res, (k, _HX), (k + h_loc, _HX + w_loc))
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
 
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    cv = (jnp.asarray(False) if conv0 is None
+          else jnp.asarray(conv0, jnp.bool_))
+    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+          else jnp.asarray(delta0, jnp.float32))
     u, iteration, delta, converged = run(
-        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start)
+        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]
 
 
@@ -587,15 +570,16 @@ def solve_segments(
     sharding = NamedSharding(mesh, P("my", "mx"))
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_resident(
-            u, frozen, state.epsilon, mesh, stagger, bound, h, w,
-            chunk_depth, interpret, it0=it,
+    from ._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_resident(
+            uu, frozen, state.epsilon, mesh, stagger, bound, h, w,
+            chunk_depth, interpret, it0=it0, conv0=cv, delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     return dataclasses.replace(
         state,
         u=u[:h, :w],

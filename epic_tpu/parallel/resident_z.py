@@ -417,6 +417,7 @@ def _update_n_resident(
 def _solve_resident(
     u, frozen, epsilon, mesh: Mesh, stagger: int, max_iterations,
     dims, chunk_depth: int = 2, interpret: bool = False, it0=None,
+    conv0=None, delta0=None,
 ):
     """Solve-to-convergence with the while-loop INSIDE shard_map on the
     z-resident layout; protocol identical to core.solve
@@ -430,11 +431,11 @@ def _solve_resident(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(_SPEC, _SPEC, P(), P(), P()),
+        in_specs=(_SPEC, _SPEC, P(), P(), P(), P(), P()),
         out_specs=(_SPEC, P(), P(), P()),
         check_vma=not interpret,
     )
-    def run(u_loc, frozen_loc, eps, mi, i0):
+    def run(u_loc, frozen_loc, eps, mi, i0, cv0, dl0):
         d_loc, h, w = u_loc.shape
         band, k, nb, hp, wp, dp = _layout(d_loc, h, w, chunk_depth)
         z0 = jax.lax.axis_index("mz") * d_loc
@@ -449,64 +450,75 @@ def _solve_resident(
             return jax.lax.pmax(
                 jax.lax.pmax(jax.lax.pmax(x, "mz"), "my"), "mx")
 
-        def cond(carry):
-            _, iteration, _, converged = carry
-            return ~converged & (iteration < mi)
-
         ns1 = min(k, stagger)
         n_full, rem = divmod(stagger - ns1, k)
         n2, odd = divmod(n_full, 2)
 
+        def cond(carry):
+            _, _, iteration, _, done = carry
+            return ~done & (iteration < mi)
+
         def body(carry):
-            u_res, iteration, _, _ = carry
-            alt = _fill_twin(dp * hp, wp, interpret)
-            stale, cur, delta = chunk2(u_res, alt, iteration, ns1)
+            # NO lax.cond around the cycle's rest (probe
+            # resident3d-solve-iso: pallas chunk chains inside a cond
+            # branch measured 13.9 vs 18.0 G without it): the pre-check
+            # src survives the body (the check chunk only READS it; the
+            # rest ping-pongs between the check chunk's dst and a SECOND
+            # fresh twin), the rest runs unconditionally (one wasted
+            # cycle per solve at the done-exit), and the 1-sweep finish
+            # runs AFTER the loop from the preserved src.
+            u_res, _, iteration, _, _ = carry
+            twin1 = _fill_twin(dp * hp, wp, interpret)
+            src, cur, delta = chunk2(u_res, twin1, iteration, ns1)
             delta = pmax3(delta)
             done = (delta < eps) & (iteration + 1 >= m_max)
+            twin2 = _fill_twin(dp * hp, wp, interpret)
+            it = iteration + ns1
 
-            def finish(args):
-                cur, stale, it = args
-                # ``stale`` aliases the exchanged pre-chunk src, intact;
-                # one 1-sweep ping-pong chunk reproduces the check sweep.
-                _, u1, _ = chunk2(stale, cur, it, 1)
-                return u1, it + 1
+            def fbody(i, c):
+                a, b, it2 = c
+                a_stale, b_new, _ = chunk2(a, b, it2, k)
+                b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k, k)
+                return a_new, b_stale, it2 + 2 * k
 
-            def run_rest(args):
-                cur, stale, it = args
-                it = it + ns1
+            cur, twin2, it = jax.lax.fori_loop(
+                0, n2, fbody, (cur, twin2, it))
+            if odd:
+                twin2, cur, _ = chunk2(cur, twin2, it, k)
+                it = it + k
+            if rem:
+                twin2, cur, _ = chunk2(cur, twin2, it, rem)
+                it = it + rem
+            return cur, src, it, delta, done
 
-                def fbody(i, c):
-                    a, b, it2 = c
-                    a_stale, b_new, _ = chunk2(a, b, it2, k)
-                    b_stale, a_new, _ = chunk2(b_new, a_stale, it2 + k, k)
-                    return a_new, b_stale, it2 + 2 * k
-
-                cur, stale, it = jax.lax.fori_loop(
-                    0, n2, fbody, (cur, stale, it))
-                if odd:
-                    stale, cur, _ = chunk2(cur, stale, it, k)
-                    it = it + k
-                if rem:
-                    stale, cur, _ = chunk2(cur, stale, it, rem)
-                    it = it + rem
-                return cur, it
-
-            u_res, iteration = jax.lax.cond(
-                done, finish, run_rest, (cur, stale, iteration))
-            return u_res, iteration, delta, done
-
-        u_res, iteration, delta, converged = jax.lax.while_loop(
+        u_res, src, it_next, delta, converged = jax.lax.while_loop(
             cond, body,
-            (u_res, i0.astype(jnp.int32), eps + 1.0, jnp.asarray(False)),
+            (u_res, _fill_twin(dp * hp, wp, interpret),
+             i0.astype(jnp.int32), dl0, cv0),
         )
+
+        def finish(args):
+            u_res, src, it_base = args
+            _, u1, _ = chunk2(src, u_res, it_base, 1)
+            return u1
+
+        u_res = jax.lax.cond(
+            converged & ~cv0, finish, lambda args: args[0],
+            (u_res, src, it_next - stagger))
+        iteration = jnp.where(converged & ~cv0,
+                              it_next - stagger + 1, it_next)
         u3 = u_res.reshape(dp, hp, wp)
         out = jax.lax.slice(u3, (k, 0, 0), (k + d_loc, h, w))
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
 
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    cv = (jnp.asarray(False) if conv0 is None
+          else jnp.asarray(conv0, jnp.bool_))
+    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+          else jnp.asarray(delta0, jnp.float32))
     u, iteration, delta, converged = run(
-        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start)
+        u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]
 
 
@@ -587,15 +599,17 @@ def solve_segments(
     sharding = NamedSharding(mesh, _SPEC)
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_resident(
-            u, frozen, state.epsilon, mesh, stagger, bound,
-            (d, h, w), chunk_depth, interpret, it0=it,
+    from ._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_resident(
+            uu, frozen, state.epsilon, mesh, stagger, bound,
+            (d, h, w), chunk_depth, interpret, it0=it0, conv0=cv,
+            delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     return dataclasses.replace(
         state,
         u=u[:d, :h, :w],

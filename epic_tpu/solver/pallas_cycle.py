@@ -333,12 +333,13 @@ def sweep_cycle_check(
 
 def _cycle_kernel_tiled(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                         delta_ref, u_vmem, f_vmem, rsem, wsem,
-                        *, k, band, wt, hx, nb, nt, nc, interior=None):
+                        *, k, band, wt, hx, nb, nt, nc, interior=None,
+                        ns=None):
     _cycle_kernel_tiled_impl(
         it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref, None, delta_ref,
         u_vmem, f_vmem, rsem, wsem, None, None,
         k=k, band=band, wt=wt, hx=hx, nb=nb, nt=nt, nc=nc,
-        interior=interior)
+        interior=interior, ns=ns)
 
 
 def _cycle_kernel_tiled_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
@@ -354,7 +355,8 @@ def _cycle_kernel_tiled_check(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
 def _cycle_kernel_tiled_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                              u1_ref, delta_ref, u_vmem, f_vmem, rsem, wsem,
                              u1_vmem, usem,
-                             *, k, band, wt, hx, nb, nt, nc, interior=None):
+                             *, k, band, wt, hx, nb, nt, nc, interior=None,
+                             ns=None):
     """2D-tiled ping-pong cycle step: same structure as :func:`_cycle_kernel`
     but over an (n_chunks, nb, nt) grid with strided (ext_r x wext) slabs
     (the pallas_tiled2d layout: 128 guard columns per side). With
@@ -485,7 +487,11 @@ def _cycle_kernel_tiled_impl(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
             ucp.start()
             ucp.wait()
 
-    u = jax.lax.fori_loop(1, k, sweep, u1)
+    # ns < k runs a SHALLOW chunk on the same k-deep slabs (nc must be 1:
+    # chunk chaining assumes k sweeps per chunk) — bit-identical to the
+    # functional tile kernel at num_sweeps=ns, but ping-pong (no paste);
+    # the resident solve's stagger remainders use it.
+    u = jax.lax.fori_loop(1, k if ns is None else ns, sweep, u1)
     u_vmem[slot] = u
 
     def write_to(dst, wslot):
@@ -863,7 +869,7 @@ def sweep_cycle3d(
 def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                           delta_ref, u_vmem, f_vmem, rsem, wsem,
                           *, k, band, yt, wt, hy, hx, hp2, nb, ny, nx, nc,
-                          interior=None):
+                          interior=None, ns=None):
     """3D (z, y, x)-tiled ping-pong cycle step over an (n_chunks, nsteps)
     grid (nsteps = nb*ny*nx slabs, linearized — the pallas_tiled3d
     wide-plane layout). Each slab is ext_z contiguous row-ranges of the
@@ -1012,7 +1018,9 @@ def _cycle_kernel_tiled3d(it_ref, u_a_in, u_b_in, f_hbm, a_ref, b_ref,
                   & (gx >= hx) & (gx < hx + w_int))
         d0 = jnp.where(inside, d0, 0.0)
     delta_ref[c, step] = jnp.max(d0)
-    u = jax.lax.fori_loop(1, k, sweep, u1)
+    # ns < k: shallow chunk on the k-deep slabs (nc must be 1) — see the
+    # 2D note in _cycle_kernel_tiled_impl.
+    u = jax.lax.fori_loop(1, k if ns is None else ns, sweep, u1)
     u_vmem[slot] = u
 
     def write_to(dst, wslot):

@@ -1005,6 +1005,101 @@ def wideplane_update(q, shape=(32, 2048, 2048), steps=1024):
     return res
 
 
+@experiment("wideplane-redscan", "Wide-plane volumes (z-band x y x x tiles)")
+def wideplane_redscan(q, shape=(32, 2048, 2048), steps=1024):
+    """Attack the wide-plane halo redundancy directly (VERDICT r4 item 4):
+    scan slab layouts by EFFECTIVE redundancy (round-up-aware
+    nb*ext_z/d * ny*yext/h * nx*wext/w), including y-guard depth hy=8 —
+    _HY=16 is twice the deepest supported k (4), so halving it buys
+    ~12% redundancy at the same scoped-VMEM budget. Every candidate is
+    device-equality-gated against the production layout (chunks are
+    elementwise-exact at ANY layout). Rows: rate + effective redundancy
+    per candidate."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu.solver import pallas_tiled3d as t3
+
+    interp = _interpret()
+    if q:
+        shape, steps = (8, 256, 512), 4
+    u, locked = _vol_np(*shape)
+    d, h, w = shape
+    cells = int(np.prod(shape))
+    # (hy, band, k, yt, wt); None = production chooser under that hy.
+    # yt=112/hy=8 mis-executes on the COMPILED path at this shape (device
+    # equality caught it; the interpret path is exact — a Mosaic geometry
+    # issue, not a semantics bug) and is excluded from the scan/chooser.
+    cands = [(16, None, None, None, None),
+             (8, 8, 2, 96, 1024),
+             (8, 8, 2, 104, 1024)]
+    if q:
+        cands = [(16, None, None, None, None), (8, 4, 2, 32, 256)]
+    rows = []
+    ref_u = None
+    old_hy = t3._HY
+    try:
+        for hy, band, k, yt, wt in cands:
+            t3._HY = hy
+            g = t3.pad_state(_state(u, locked), band=band, k=k, yt=yt,
+                             wt=wt)
+            b_, k_, yt_, wt_, hp2 = g.band, g.k, g.yt, g.wt, g.hp2
+            wp = g.u.shape[1]
+            nb = (g.u.shape[0] // hp2 - 2 * k_) // b_
+            ny = (hp2 - 2 * hy) // yt_
+            nx = (wp - 2 * t3._HX) // wt_
+            red = ((nb * (b_ + 2 * k_)) / d
+                   * (ny * (yt_ + 2 * hy)) / h
+                   * (nx * (wt_ + 2 * t3._HX)) / w)
+            n_chunks = max(1, steps // k_)
+
+            @functools.partial(jax.jit, static_argnames=("nc",),
+                               donate_argnums=(0,))
+            def run_chunks(u_pad, frozen, nc, b_=b_, k_=k_, yt_=yt_,
+                           wt_=wt_, hp2=hp2):
+                def body(i, uu):
+                    uu, _ = t3.sweep_chunk_tiled3d.__wrapped__(
+                        uu, frozen, i * k_, k_, b_, k_, yt_, wt_, hp2,
+                        interp)
+                    return uu
+
+                u_pad = jax.lax.fori_loop(0, nc, body, u_pad)
+                return u_pad, jnp.sum(u_pad[:128, :128])
+
+            out, cs = run_chunks(g.u, g.frozen, n_chunks)
+            float(cs)  # warm barrier
+            vol = t3.TiledVolume(u=out, frozen=g.frozen, depth=d, height=h,
+                                 width=w, hp2=hp2, band=b_, k=k_, yt=yt_,
+                                 wt=wt_)
+            got = t3.unpad(vol)
+            if ref_u is None:
+                ref_u = got
+                dmax = 0.0
+            else:
+                dmax = _device_max_abs_diff(got, ref_u)
+                assert dmax == 0.0, (hy, b_, k_, yt_, wt_, dmax)
+            del out, got, vol
+            g = t3.pad_state(_state(u, locked), band=band, k=k, yt=yt,
+                             wt=wt)
+            _stage(g)
+            t0 = time.perf_counter()
+            out, cs = run_chunks(g.u, g.frozen, n_chunks)
+            ck = float(cs)
+            dt = time.perf_counter() - t0
+            sweeps = n_chunks * k_
+            rows.append(dict(
+                hy=hy, band=b_, k=k_, yt=yt_, wt=wt_,
+                eff_redundancy=round(red, 3),
+                g_updates_per_s=round(cells / 2 * sweeps / dt / 1e9, 2),
+                max_abs_diff_vs_prod=dmax, checksum=ck))
+            del out, g
+    finally:
+        t3._HY = old_hy
+    return dict(shape="x".join(map(str, shape)), steps=steps, rows=rows)
+
+
 @experiment("wideplane-solve", "Wide-plane volumes (z-band x y x x tiles)")
 def wideplane_solve(q, shape=(32, 2048, 2048), segment=500, cap=20_000):
     """Wide-plane 3D solve TO CONVERGENCE via segmented compiled
@@ -1190,7 +1285,7 @@ def sharded_solve(q, size=4096):
 
 
 @experiment("sharded-converge", "Scaling across devices")
-def sharded_converge(q, size=16384, segment=5000, cap=200_000):
+def sharded_converge(q, size=16384, segment=8000, cap=200_000):
     """The 16k x 16k BASELINE mega-grid solved TO CONVERGENCE through the
     SHARDED composition (resident layout, whole while-loop inside
     shard_map, watchdog-safe segments — resident.solve_segments): the
@@ -1504,8 +1599,149 @@ def sharded3d_resident(q, shape=(256, 256, 256), steps=1024,
                 max_abs_diff_wide_vs_tiled3d=dw, rows=rows)
 
 
+@experiment("mesh-planner", "Scaling across devices")
+def mesh_planner(q, size=4096, tick_steps=16384, segment=5000):
+    """MeshPlanner's service plane ON the chip (VERDICT r4 item 5): the
+    mesh-resident verb surface driven end-to-end at a production size —
+    warm anytime tick rate (must ride the resident layout at ~kernel
+    rates, not the XLA fallback the r4 ADVICE found), then a
+    SetCells -> tick -> warm-started segmented converge session. Gates:
+    tick device-equality vs parallel.resident.update_n, converge
+    iteration equality vs the direct sharded solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu.parallel import make_mesh, resident, sharded
+    from epic_tpu.planner import PlannerConfig
+    from epic_tpu.planner_mesh import MeshPlanner
+
+    interp = _interpret()
+    kern = "resident_interpret" if interp else "resident"
+    if q:
+        size, tick_steps, segment = 512, 64, 200
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    cells = size * size
+    rows = []
+
+    def planner():
+        mp = MeshPlanner(PlannerConfig(epsilon=1e-2), mesh=mesh,
+                         kernel=kern)
+        mp.state = _state(u, locked)
+        return mp
+
+    # Gate: the planner tick IS the resident layout (device equality).
+    mp = planner()
+    mp.update(64)
+    ref = resident.update_n(_state(u, locked), 64, mesh,
+                            interpret=interp if interp else None)
+    d = _device_max_abs_diff(mp._sh.u[:size, :size], ref.u)
+    assert d == 0.0, d
+
+    # Warm tick rate at a clean region size (warm the same static count).
+    mp = planner()
+    mp.update(tick_steps)
+    float(np.asarray(mp._sh.u[0, :8]).sum())
+    mp = planner()
+    _stage(mp._sh.u, mp._sh.frozen)
+    t0 = time.perf_counter()
+    mp.update(tick_steps)
+    ck = float(np.asarray(mp._sh.u[0, :8]).sum())  # final-u barrier
+    dt = time.perf_counter() - t0
+    rows.append(dict(verb="update", steps=tick_steps,
+                     g_updates_per_s=round(cells / 2 * tick_steps / dt / 1e9, 2),
+                     checksum=ck))
+
+    # Converge gate + timing: planner solve == direct sharded solve.
+    ref_out = sharded.solve(_state(u, locked), mesh, kernel=kern,
+                            segment_iterations=segment)
+    ref_iters = int(ref_out.iteration)
+    mp = planner()
+    _stage(mp._sh.u, mp._sh.frozen)
+    t0 = time.perf_counter()
+    mp.solve(segment_iterations=segment)
+    iters = int(np.asarray(mp._sh.iteration))
+    ck = float(np.asarray(mp._sh.u[0, :8]).sum())
+    dt = time.perf_counter() - t0
+    assert iters == ref_iters, (iters, ref_iters)
+    assert bool(np.asarray(mp.state.converged))
+    rows.append(dict(verb="solve-converge", iterations=iters,
+                     g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                     checksum=ck))
+
+    # Edit-resume session: scatter an obstacle block into the resident
+    # shards, tick, warm-started re-converge (all on device).
+    ys, xs = np.mgrid[size // 3:size // 3 + 40, size // 3:size // 3 + 40]
+    xy = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    t0 = time.perf_counter()
+    mp.set_cells(xy, [1] * len(xy))
+    mp.update(min(1024, tick_steps))
+    mp.solve(segment_iterations=segment)
+    iters2 = int(np.asarray(mp._sh.iteration))
+    ck = float(np.asarray(mp._sh.u[0, :8]).sum())
+    dt = time.perf_counter() - t0
+    assert bool(np.asarray(mp.state.converged))
+    rows.append(dict(verb="edit-resume-converge",
+                     resumed_iterations=iters2,
+                     wall_s=round(dt, 2), checksum=ck))
+    return dict(size=size, mesh="1x1", kernel=kern, rows=rows)
+
+
+@experiment("tiled-rem-iso", "Scaling across devices")
+def tiled_rem_iso(q, size=16384, cap=5000):
+    """A/B the resident tiled solve's stagger-remainder mechanics on chip
+    (r5: the ns-cycle rem rework coincided with sharded-converge dropping
+    36.4 -> 22.0 G; this isolates it): variant cycle-rem runs the 4-sweep
+    remainder as a shallow ping-pong cycle chunk, tile-rem as the
+    functional tile kernel + centre paste (the structure that measured
+    36.4). cycle-rem runs twice to expose session variance. Gates: equal
+    iteration counts and bit-equal states across variants."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, resident_tiled
+
+    interp = _interpret()
+    if q:
+        size, cap = 512, 300
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    rows = []
+    ref_u = None
+    try:
+        for variant, flag in (("cycle-rem", True), ("tile-rem", False),
+                              ("cycle-rem2", True)):
+            resident_tiled.REM_VIA_CYCLE = flag
+            resident_tiled._solve_resident.clear_cache()
+            st = _state(u, locked, eps=1e-12)
+            out = resident_tiled.solve(st, mesh, max_iterations=200,
+                                       interpret=interp)  # warm
+            int(out.iteration)
+            st = _state(u, locked, eps=1e-12)
+            _stage(st)
+            t0 = time.perf_counter()
+            out = resident_tiled.solve(st, mesh, max_iterations=cap,
+                                       interpret=interp)
+            iters = int(out.iteration)
+            ck = float(out.delta) + iters
+            dt = time.perf_counter() - t0
+            if ref_u is None:
+                ref_u = out.u
+                eq = True
+            else:
+                eq = _device_equal(out.u, ref_u)
+            assert eq, variant
+            rows.append(dict(
+                variant=variant, iterations=iters,
+                g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2),
+                bit_equal=bool(eq), checksum=ck))
+    finally:
+        resident_tiled.REM_VIA_CYCLE = True
+        resident_tiled._solve_resident.clear_cache()
+    return dict(size=size, cap=cap, mesh="1x1", rows=rows)
+
+
 @experiment("sharded3d-zresident", "Scaling across devices")
-def sharded3d_zresident(q, shape=(256, 256, 256), steps=1024, cap=2000):
+def sharded3d_zresident(q, shape=(256, 256, 256), steps=8192, cap=2000):
     """The z-resident plane-band shard layout (VERDICT r4 item 2: the cube
     regime) on a 1x1x1 z-mesh over the real chip: full planes stay local,
     guards are contiguous plane blocks, the per-shard kernel is the
@@ -1550,15 +1786,23 @@ def sharded3d_zresident(q, shape=(256, 256, 256), steps=1024, cap=2000):
     iters = int(out_rs.iteration)
     assert iters == int(out_bs.iteration), (iters, int(out_bs.iteration))
     assert ds == 0.0, ds
-    st = _state(u, locked)
+    # Timing run: impossible eps so the while loop runs exactly 4*steps
+    # sweeps (the converging run above is too short for a clean region).
+    tcap = steps // 2
+    st = _state(u, locked, eps=1e-12)
+    out_w = resident_z.solve(st, mesh, max_iterations=200, interpret=interp)
+    int(out_w.iteration)
+    st = _state(u, locked, eps=1e-12)
     _stage(st)
     t0 = time.perf_counter()
-    out_rs = resident_z.solve(st, mesh, max_iterations=cap, interpret=interp)
-    ck = float(out_rs.delta) + int(out_rs.iteration)
+    out_rs = resident_z.solve(st, mesh, max_iterations=tcap,
+                              interpret=interp)
+    sw = int(out_rs.iteration)
+    ck = float(out_rs.delta) + sw
     dt = time.perf_counter() - t0
-    rows.append(dict(variant="solve", iterations=iters,
-                     converged=bool(out_rs.converged),
-                     g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+    rows.append(dict(variant="solve", iterations_converged=iters,
+                     sweeps_timed=sw,
+                     g_updates_per_s=round(cells / 2 * sw / dt / 1e9, 2),
                      checksum=ck))
     return dict(shape="x".join(map(str, shape)), mesh="1x1x1 (z)",
                 max_abs_diff_vs_unsharded=max(d, ds), rows=rows)
@@ -1614,6 +1858,132 @@ def resident3d_solve_iso(q, shape=(64, 1024, 1024), steps=2000):
     rows.append(dict(variant="solve-capped", sweeps=iters,
                      g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
                      checksum=ck))
+
+    # (c)/(d) bisect the while/cond structure with local loop rebuilds
+    # sharing resident3d's internals: (c) while loop whose body is ONE
+    # stagger cycle of paired chunks with NO check chunk and NO cond
+    # (pure while tax); (d) check-fold chunk + UNCONDITIONAL rest (cond
+    # removed; protocol-wrong at the exit, timing-only).
+    import functools
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from epic_tpu.parallel.sharded3d import _pad_for_mesh as _pfm
+
+    def build(variant):
+        @functools.partial(
+            jax.jit, static_argnames=("mesh", "n_bodies", "interpret"),
+            donate_argnums=(0,))
+        def run_loop(uu, frozen, mesh, n_bodies, interpret):
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(resident3d._SPEC, resident3d._SPEC),
+                out_specs=(resident3d._SPEC, P()),
+                check_vma=not interpret,
+            )
+            def run(u_loc, frozen_loc):
+                d, h_loc, w_loc = u_loc.shape
+                band, k, yt, wt = resident3d.choose_layout(d, h_loc, w_loc, 2)
+                nb = -(-d // band)
+                dp = nb * band + 2 * k
+                hp2, wp2 = resident3d._plane_dims(h_loc, w_loc, yt, wt)
+                u_res, f_res = resident3d._pad_resident(
+                    u_loc, frozen_loc, mesh, k, dp, hp2, wp2)
+
+                def chunk2(cur, alt, it, ns=None, interior=None):
+                    cur = resident3d._exchange_guards(cur, mesh, h_loc,
+                                                      w_loc, hp2)
+                    return resident3d._chunk_cycle(
+                        cur, alt, f_res, it, band, k, yt, wt, hp2,
+                        interpret, interior, ns)
+
+                stagger = 100
+                ns1 = min(k, stagger)
+                n_full, rem = divmod(stagger - ns1, k)
+                n2, odd = divmod(n_full, 2)
+
+                def rest(cur, stale, it):
+                    def fbody(i, c):
+                        a, b, it2 = c
+                        a_s, b_n, _ = chunk2(a, b, it2)
+                        b_s, a_n, _ = chunk2(b_n, a_s, it2 + k)
+                        return a_n, b_s, it2 + 2 * k
+
+                    cur, stale, it = jax.lax.fori_loop(
+                        0, n2, fbody, (cur, stale, it))
+                    if odd:
+                        stale, cur, _ = chunk2(cur, stale, it)
+                        it = it + k
+                    if rem:
+                        stale, cur, _ = chunk2(cur, stale, it, ns=rem)
+                        it = it + rem
+                    return cur, it
+
+                def body_nocheck(carry):
+                    u_res, it, delta = carry
+                    alt = resident3d._fill_twin(dp * hp2, wp2, interpret)
+                    stale, cur, _ = chunk2(u_res, alt, it, ns=ns1)
+                    cur, it = rest(cur, stale, it + ns1)
+                    return cur, it, delta
+
+                def body_nocond(carry):
+                    u_res, it, _ = carry
+                    alt = resident3d._fill_twin(dp * hp2, wp2, interpret)
+                    stale, cur, delta = chunk2(u_res, alt, it, ns=ns1,
+                                               interior=(d, h_loc, w_loc))
+                    delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
+                    cur, it = rest(cur, stale, it + ns1)
+                    return cur, it, delta
+
+                body = dict(nocheck=body_nocheck,
+                            nocond=body_nocond)[variant]
+                bound = n_bodies * stagger
+
+                def cond(carry):
+                    return carry[1] < bound
+
+                u_res, it, delta = jax.lax.while_loop(
+                    cond, body, (u_res, jnp.int32(0), jnp.float32(0)))
+                u3 = u_res.reshape(dp, hp2, wp2)
+                out = jax.lax.slice(
+                    u3, (k, resident3d._HY, resident3d._HX),
+                    (k + d, resident3d._HY + h_loc,
+                     resident3d._HX + w_loc))
+                return out, delta.reshape(1)
+
+            return run(uu, frozen)
+
+        return run_loop
+
+    from epic_tpu.parallel.sharded3d import _spec as _sp3
+
+    n_bodies = max(1, steps // 100)
+    for variant in ("nocheck", "nocond"):
+        fn = build(variant)
+        st = _state(u, locked)
+        uu, fz = _pfm(st, mesh)
+        shd = NamedSharding(mesh, _sp3(mesh))
+        uu = jax.device_put(uu, shd)
+        fz = jax.device_put(fz, shd)
+        # warm with the SAME static body count (the static-arg recompile
+        # trap would otherwise put a compile inside the timed region)
+        out_u, dd = fn(uu, fz, mesh, n_bodies, interp)
+        float(dd[0])
+        st = _state(u, locked)
+        uu, fz = _pfm(st, mesh)
+        uu = jax.device_put(uu, shd)
+        fz = jax.device_put(fz, shd)
+        _stage(uu, fz)
+        t0 = time.perf_counter()
+        out_u, dd = fn(uu, fz, mesh, n_bodies, interp)
+        ck = float(dd[0]) + float(out_u[0, 0, 0])
+        dt = time.perf_counter() - t0
+        sweeps = n_bodies * 100
+        rows.append(dict(
+            variant=f"while-{variant}", sweeps=sweeps,
+            g_updates_per_s=round(cells / 2 * sweeps / dt / 1e9, 2),
+            checksum=ck))
     return dict(shape="x".join(map(str, shape)), mesh="1x1", rows=rows)
 
 
