@@ -507,8 +507,13 @@ def _solve_resident(
             # unconditionally (one wasted cycle per solve at the
             # done-exit), and the 1-sweep finish runs AFTER the loop
             # from the preserved src — bit-identical, iteration-exact.
-            u_res, _, iteration, _, _ = carry
-            twin1 = _fill_twin(hp, wg, interpret)
+            u_res, twin1, iteration, _, _ = carry
+            # twin1 RECYCLES the dead preserved-src carry slot (no
+            # refill: the check chunk overwrites every centre row, guards
+            # are re-exchanged before any read, and stale round-up /
+            # guard bytes are frozen and never read by interior cells) —
+            # so the cond-free body costs the same one fill per body as
+            # the cond version it replaced.
             src, cur, delta = chunk2(u_res, twin1, iteration, ns1)
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")
             done = (delta < eps) & (iteration + 1 >= m_max)

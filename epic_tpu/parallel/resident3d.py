@@ -482,8 +482,10 @@ def _solve_resident(
             # wasted cycle per solve at the done-exit), and the 1-sweep
             # finish runs AFTER the loop from the preserved src —
             # bit-identical results, iteration-exact.
-            u_res, _, iteration, _, _ = carry
-            twin1 = _fill_twin(dp * hp2, wp, interpret)
+            u_res, twin1, iteration, _, _ = carry
+            # twin1 RECYCLES the dead preserved-src carry slot (see
+            # resident.py: centres fully overwrite, guards re-exchange,
+            # stale round-up bytes are frozen and unread).
             src, cur, delta = chunk2(u_res, twin1, iteration, ns=ns1,
                                      interior=(d, h_loc, w_loc))
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")

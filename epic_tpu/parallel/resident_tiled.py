@@ -425,8 +425,10 @@ def _solve_resident(
             return ~done & (iteration < mi)
 
         def body(carry):
-            u_res, _, iteration, _, _ = carry
-            twin1 = _fill_twin(hp, wp, interpret)
+            u_res, twin1, iteration, _, _ = carry
+            # twin1 RECYCLES the dead preserved-src carry slot (see
+            # resident.py: centres fully overwrite, guards re-exchange,
+            # stale round-up bytes are frozen and unread).
             src, cur, delta = chunk2(u_res, twin1, iteration, ns=ns1,
                                      interior=(h_loc, w_loc))
             delta = jax.lax.pmax(jax.lax.pmax(delta, "my"), "mx")

@@ -467,8 +467,10 @@ def _solve_resident(
             # fresh twin), the rest runs unconditionally (one wasted
             # cycle per solve at the done-exit), and the 1-sweep finish
             # runs AFTER the loop from the preserved src.
-            u_res, _, iteration, _, _ = carry
-            twin1 = _fill_twin(dp * hp, wp, interpret)
+            u_res, twin1, iteration, _, _ = carry
+            # twin1 RECYCLES the dead preserved-src carry slot (see
+            # resident.py: centres fully overwrite, guards re-exchange,
+            # stale round-up bytes are frozen and unread).
             src, cur, delta = chunk2(u_res, twin1, iteration, ns1)
             delta = pmax3(delta)
             done = (delta < eps) & (iteration + 1 >= m_max)

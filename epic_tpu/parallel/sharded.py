@@ -634,6 +634,69 @@ def update_n_resident(
     )
 
 
+def solve_resident(
+    sh: ShardedGrid, mesh: Mesh,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    chunk_depth: int = DEFAULT_CHUNK_DEPTH,
+    kernel: str = "auto",
+    segment_iterations: int | None = None,
+):
+    """Blocking solve-to-convergence directly ON the mesh-resident
+    buffers: no GridState round trip, no re-pad, no re-shard — the
+    ShardedGrid's padded arrays feed the resident solve loops in place
+    and come back resident (the MeshPlanner srvComputePath path; the
+    GridState detour measured 24.8 vs the direct solve's 39.9 G at
+    4096²). Returns ``(sh', converged)``.
+
+    kernel/auto routing matches :func:`update_n_resident`;
+    ``segment_iterations`` runs pipelined watchdog-safe segments."""
+    from . import resident, resident_tiled
+    from ._segments import run_pipelined
+
+    if kernel == "auto" and _prefers_resident((sh.height, sh.width), mesh,
+                                              chunk_depth):
+        kernel = "resident"
+    if kernel not in ("resident", "resident_interpret"):
+        # Non-resident kernels: the GridState path (device-side views).
+        st = GridState(
+            u=sh.u[: sh.height, : sh.width],
+            locked=sh.frozen[: sh.height, : sh.width],
+            iteration=sh.iteration,
+            delta=sh.delta,
+            converged=jnp.asarray(False),
+            epsilon=sh.epsilon,
+        )
+        out = solve(st, mesh, stagger, max_iterations, chunk_depth, kernel)
+        return shard_state(out, mesh), out.converged
+    interp = (kernel.endswith("_interpret")
+              or jax.default_backend() == "cpu")
+    h_loc = sh.u.shape[0] // mesh.shape["my"]
+    w_loc = sh.u.shape[1] // mesh.shape["mx"]
+    h, w = sh.height, sh.width
+    if resident_tiled.prefer_tiled_shards(h_loc, w_loc, chunk_depth):
+        depth = chunk_depth
+        fn = resident_tiled._solve_resident
+    else:
+        resident._check_shard((h, w), mesh)
+        depth = (resident.solve_chunk_depth(h_loc, w_loc)
+                 if chunk_depth == DEFAULT_CHUNK_DEPTH else chunk_depth)
+        fn = resident._solve_resident
+    if segment_iterations is None:
+        u, it, delta, conv = fn(sh.u, sh.frozen, sh.epsilon, mesh, stagger,
+                                max_iterations, h, w, depth, interp)
+    else:
+        frozen = sh.frozen
+
+        def seg(uu, bound, it0, cv, dl):
+            return fn(uu, frozen, sh.epsilon, mesh, stagger, bound, h, w,
+                      depth, interp, it0=it0, conv0=cv, delta0=dl)
+
+        u, it, delta, conv = run_pipelined(
+            seg, sh.u, sh.epsilon, max_iterations, segment_iterations)
+    return dataclasses.replace(sh, u=u, iteration=it, delta=delta), conv
+
+
 def set_cells_resident(sh: ShardedGrid, xy, types) -> ShardedGrid:
     """SetCells on the sharded arrays (harmonic_utilities semantics: skip
     invalid, last-wins on duplicates — shared preprocessing with

@@ -129,9 +129,10 @@ class MeshPlanner(Planner):
 
     def solve(self, max_iterations: int | None = None,
               segment_iterations: int | None = None) -> None:
-        """Blocking sharded solve-to-convergence from the current resident
-        buffers (warm-started). ``segment_iterations`` runs watchdog-safe
-        compiled segments on the resident layout."""
+        """Blocking sharded solve-to-convergence directly ON the resident
+        buffers (warm-started; no GridState round trip, no re-shard).
+        ``segment_iterations`` runs pipelined watchdog-safe compiled
+        segments on the resident layout."""
         from .parallel import sharded
 
         sh = self._sh
@@ -140,21 +141,12 @@ class MeshPlanner(Planner):
 
             raise EpicError(2, "planner not initialized")
         cap = 1_000_000 if max_iterations is None else int(max_iterations)
-        # Device-side view (no host gather): the padded buffers slice back
-        # to the logical grid, and the sharded solve re-pads on device.
-        st = GridState(
-            u=sh.u[: sh.height, : sh.width],
-            locked=sh.frozen[: sh.height, : sh.width],
-            iteration=sh.iteration,
-            delta=sh.delta,
-            converged=jnp.asarray(False),
-            epsilon=sh.epsilon,
-        )
-        out = sharded.solve(st, self.mesh, stagger=self.config.stagger,
-                            max_iterations=cap, chunk_depth=self.chunk_depth,
-                            kernel=self.kernel,
-                            segment_iterations=segment_iterations)
-        self.state = out  # re-shard (property setter)
+        self._sh, conv = sharded.solve_resident(
+            sh, self.mesh, stagger=self.config.stagger,
+            max_iterations=cap, chunk_depth=self.chunk_depth,
+            kernel=self.kernel, segment_iterations=segment_iterations)
+        self._converged = bool(np.asarray(conv))
+        self._invalidate()
 
     # -- resident service verbs -------------------------------------------
 

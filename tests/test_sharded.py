@@ -303,3 +303,23 @@ def test_update_n_unknown_kernel_raises(mesh8):
         sharded.update_n_resident(sh, 1, mesh8, kernel="bogus")
     with pytest.raises(ValueError, match="unknown sharded kernel"):
         sharded.update_n(st, 1, mesh8, kernel="bogus")
+
+
+def test_solve_resident_on_sharded_grid(mesh8):
+    """solve_resident runs the whole convergence on the mesh-resident
+    buffers (no GridState round trip) — iteration-exact vs core, resident
+    routing and the pipelined segment driver both covered."""
+    img = maps.random_obstacles(48, 512, density=0.1, seed=7)
+    st = _state(img)
+    ref = core.solve(_state(img), stagger=20)
+    for seg in (None, 93):
+        sh = sharded.shard_state(st, mesh8)
+        sh2, conv = sharded.solve_resident(
+            sh, mesh8, stagger=20, kernel="resident",
+            segment_iterations=seg)
+        assert bool(conv)
+        assert int(sh2.iteration) == int(ref.iteration)
+        back = sharded.unshard(sh2)
+        np.testing.assert_allclose(
+            np.asarray(back.u), np.asarray(ref.u), rtol=0, atol=1e-3
+        )
