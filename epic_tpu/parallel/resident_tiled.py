@@ -572,7 +572,7 @@ def solve_segments(
     sharding = NamedSharding(mesh, P("my", "mx"))
     u = jax.device_put(u, sharding)
     frozen = jax.device_put(frozen, sharding)
-    from ._segments import run_pipelined
+    from .._segments import run_pipelined
 
     def seg(uu, bound, it0, cv, dl):
         return _solve_resident(

@@ -652,7 +652,7 @@ def solve_resident(
     kernel/auto routing matches :func:`update_n_resident`;
     ``segment_iterations`` runs pipelined watchdog-safe segments."""
     from . import resident, resident_tiled
-    from ._segments import run_pipelined
+    from .._segments import run_pipelined
 
     if kernel == "auto" and _prefers_resident((sh.height, sh.width), mesh,
                                               chunk_depth):

@@ -482,6 +482,7 @@ def update_n(state: GridState, num_steps: int,
 def _solve_banded(
     u, frozen_pad, epsilon, stagger: int, max_iterations, band: int,
     k: int, interpret: bool, height: int, width: int, it0=None,
+    conv0=None, delta0=None,
 ):
     """Full solve protocol on the banded path, one device program.
 
@@ -597,9 +598,14 @@ def _solve_banded(
             return u, iteration, delta, done
 
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
-    return jax.lax.while_loop(
-        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
-    )
+    cv0 = (jnp.asarray(False) if conv0 is None
+           else jnp.asarray(conv0, jnp.bool_))
+    dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+           else jnp.asarray(delta0, jnp.float32))
+    # A segment entered with conv0=True is a no-op pass-through (the
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
+    return jax.lax.while_loop(cond, body, (u, start, dl0, cv0))
 
 
 def solve(
@@ -654,18 +660,16 @@ def solve_segments(
         interpret = jax.default_backend() == "cpu"
     g = pad_state(state, chunk_depth)
     u = g.u
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    # The per-segment int()/bool() reads are 4-byte D2H syncs — the whole
-    # point: the host regains control between segments instead of holding
-    # one unbounded dispatch.
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_banded(
-            u, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
-            interpret, g.height, g.width, it0=it,
+    from .._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_banded(
+            uu, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
+            interpret, g.height, g.width, it0=it0, conv0=cv, delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     return dataclasses.replace(
         state,
         u=u[g.k : g.k + g.height, : g.width],

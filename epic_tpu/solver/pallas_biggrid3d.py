@@ -460,6 +460,7 @@ def update_n(state: GridState, num_steps: int,
 def _solve_banded(
     u, frozen_pad, epsilon, stagger: int, max_iterations, band: int,
     k: int, hp: int, interpret: bool, m_max: int, it0=None,
+    conv0=None, delta0=None,
 ):
     """Full solve protocol on the banded 3D path, one device program.
 
@@ -518,9 +519,15 @@ def _solve_banded(
     # dispatch segments without per-segment recompiles (the
     # pallas_biggrid.solve_segments pattern).
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    cv0 = (jnp.asarray(False) if conv0 is None
+           else jnp.asarray(conv0, jnp.bool_))
+    dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+           else jnp.asarray(delta0, jnp.float32))
+    # A segment entered with conv0=True is a no-op pass-through (the
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
     u_out, iteration, delta, converged = jax.lax.while_loop(
-        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
-    )
+        cond, body, (u, start, dl0, cv0))
     return u_out, iteration, delta, converged
 
 
@@ -574,15 +581,16 @@ def solve_segments(
         raise ValueError(f"pallas_biggrid3d requires a 3D grid, got {state.u.ndim}D")
     g = pad_state(state, chunk_depth)
     u = g.u
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_banded(
-            u, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
-            g.hp, interpret, max(state.u.shape), it0=it,
+    from .._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_banded(
+            uu, g.frozen, state.epsilon, stagger, bound, g.band, g.k,
+            g.hp, interpret, max(state.u.shape), it0=it0, conv0=cv, delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     dp = u.shape[0] // g.hp
     u3 = u.reshape(dp, g.hp, u.shape[1])
     return dataclasses.replace(

@@ -451,7 +451,7 @@ def update_n(state: GridState, num_steps: int,
 def _solve_tiled3d(
     u, frozen_pad, epsilon, stagger: int, max_iterations, band: int,
     k: int, yt: int, wt: int, hp2: int, interpret: bool, m_max: int,
-    it0=None,
+    it0=None, conv0=None, delta0=None,
 ):
     """Full solve protocol on the 3D-tiled path, one device program, with
     the staggered check folded into the first K-chunk of each cycle
@@ -509,9 +509,14 @@ def _solve_tiled3d(
     # dispatch segments without per-segment recompiles (the
     # pallas_biggrid.solve_segments pattern).
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
-    return jax.lax.while_loop(
-        cond, body, (u, start, epsilon + 1.0, jnp.asarray(False))
-    )
+    cv0 = (jnp.asarray(False) if conv0 is None
+           else jnp.asarray(conv0, jnp.bool_))
+    dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+           else jnp.asarray(delta0, jnp.float32))
+    # A segment entered with conv0=True is a no-op pass-through (the
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
+    return jax.lax.while_loop(cond, body, (u, start, dl0, cv0))
 
 
 def solve(
@@ -562,15 +567,16 @@ def solve_segments(
         raise ValueError(f"pallas_tiled3d requires a 3D grid, got {state.u.ndim}D")
     g = pad_state(state, chunk_depth)
     u = g.u
-    it = jnp.int32(0)
-    delta = state.epsilon + 1.0
-    converged = jnp.asarray(False)
-    while not bool(converged) and int(it) < max_iterations:
-        bound = min(int(it) + segment_iterations, max_iterations)
-        u, it, delta, converged = _solve_tiled3d(
-            u, g.frozen, state.epsilon, stagger, bound, g.band,
-            g.k, g.yt, g.wt, g.hp2, interpret, max(state.u.shape), it0=it,
+    from .._segments import run_pipelined
+
+    def seg(uu, bound, it0, cv, dl):
+        return _solve_tiled3d(
+            uu, g.frozen, state.epsilon, stagger, bound, g.band,
+            g.k, g.yt, g.wt, g.hp2, interpret, max(state.u.shape), it0=it0, conv0=cv, delta0=dl,
         )
+
+    u, it, delta, converged = run_pipelined(
+        seg, u, state.epsilon, max_iterations, segment_iterations)
     return dataclasses.replace(
         state,
         u=unpad(dataclasses.replace(g, u=u)),
