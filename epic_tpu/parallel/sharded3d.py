@@ -59,6 +59,33 @@ def make_mesh3d(shape: tuple[int, int, int] | None = None, devices=None) -> Mesh
     return Mesh(devices.reshape(shape), ("mz", "my", "mx"))
 
 
+def choose_mesh3d(shape: tuple[int, int, int], devices=None) -> Mesh:
+    """Pick the mesh ORIENTATION for a volume: z-major for cube-regime
+    volumes, plane-sharded for wide planes.
+
+    The decomposition axis decides the composition's rate class
+    (BENCH_NOTES r5): cube-regime volumes (plane fits the plane-banded
+    budget) run the z-resident layout at ~94% of the unsharded kernel
+    (28.7 G at 256³) where plane-sharding pays ~2x guard redundancy on
+    narrow shards (8.7 G); wide-plane volumes cannot plane-band at all
+    and need the plane-sharded resident3d layout (z stays resident).
+    Returns a ``make_mesh3d((n,1,1))`` z-mesh when every z-shard is
+    z-resident-eligible and z has enough depth, else the 2D plane mesh
+    (``make_mesh``'s near-square shape with an mz=1 axis)."""
+    from . import resident_z
+
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    d, h, w = shape
+    d_loc = -(-d // n)
+    if d >= n and resident_z.eligible(d_loc, h, w):
+        return make_mesh3d((n, 1, 1), devices=devices)
+    my = int(np.floor(np.sqrt(n)))
+    while n % my:
+        my -= 1
+    return make_mesh((my, n // my), devices=devices)
+
+
 def _has_z(mesh: Mesh) -> bool:
     return "mz" in mesh.shape
 

@@ -502,59 +502,100 @@ def _solve_banded(
     DMA+folded structure, despite the gather chunk winning the RAW chunk
     race at low redundancy (probe19/21).
     """
-    from .pallas_cycle import cycle_fill, sweep_cycle
+    from .pallas_cycle import cycle_fill, sweep_cycle, sweep_cycle_check
 
     m_max = max(height, width)
     chunk_fn = sweep_chunk_dma.__wrapped__
     check_fn = sweep_chunk_dma_check.__wrapped__
     cycle_fn = sweep_cycle.__wrapped__
+    cycle_check_fn = sweep_cycle_check.__wrapped__
+    # Each stagger cycle runs through the ping-pong cycle kernel with a
+    # FRESH ``jnp.full(-1e6)`` twin created inside the loop body (carrying
+    # the aliased pair loses to XLA copies at the cond joins — probe36 vs
+    # probe40/42). With stagger >= k the staggered check is folded into
+    # chunk 0 OF THE CYCLE (sweep_cycle_check): the whole cycle is ONE
+    # dispatch with no separate check chunk and no per-cycle paste — on a
+    # passing check the exit state is u1 pasted into either output buffer
+    # (every non-centre cell of both buffers is the constant pad value;
+    # the fill twin guarantees it for b). The final cycle's post-check
+    # sweeps are computed and discarded — one cycle of spare work per
+    # SOLVE versus two full-grid pastes per cycle.
 
     def cond(carry):
-        _, _, iteration, _, done = carry
-        return ~done & (iteration < max_iterations)
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
 
-    # COND-FREE body (probe resident3d-solve-iso: pallas dispatches
-    # inside a lax.cond branch run slow): the check stays folded into the
-    # cycle's first chunk but WITHOUT the u1 staging — the pre-check src
-    # survives the body (chunk 0 runs as its own nc=1 dispatch that never
-    # writes back into its src; the dst recycles the dead src-carry slot,
-    # whose non-centre cells hold exactly the pad constant) and the
-    # 1-sweep finish runs once AFTER the loop from the preserved src.
     if stagger >= k:
-        n_rest, rem = divmod(stagger - k, k)
+        n_cycle, rem = divmod(stagger, k)
 
         def body(carry):
-            u, twin1, iteration, _, _ = carry
-            src, cur, deltas = cycle_fn(
-                u, twin1, frozen_pad, iteration, 1, k, band, interpret)
+            u, iteration, _, _ = carry
+            alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+            a, b, u1, deltas = cycle_check_fn(
+                u, alt, frozen_pad, iteration, n_cycle, k, band, interpret
+            )
+            u_end = b if n_cycle % 2 else a
             delta = deltas[0]
             done = (delta < epsilon) & (iteration + 1 >= m_max)
-            iteration = iteration + k
-            if n_rest:
-                cur, _ = cycle_fill(cycle_fn, cur, frozen_pad, iteration,
-                                    n_rest, k, band, interpret=interpret)
-                iteration = iteration + n_rest * k
-            if rem:
-                cur, _ = chunk_fn(
-                    cur, frozen_pad, iteration, rem, band, k, interpret
+
+            def finish(args):
+                u_end, iteration = args
+                return (
+                    jax.lax.dynamic_update_slice(u_end, u1, (k, 0)),
+                    iteration + 1,
                 )
-                iteration = iteration + rem
-            return cur, src, iteration, delta, done
+
+            def run_rest(args):
+                u_end, iteration = args
+                iteration = iteration + n_cycle * k
+                if rem:
+                    u_end, _ = chunk_fn(
+                        u_end, frozen_pad, iteration, rem, band, k,
+                        interpret
+                    )
+                    iteration = iteration + rem
+                return u_end, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u_end, iteration))
+            return u, iteration, delta, done
 
     else:
-        cd = stagger
+        cd = min(k, stagger)
 
         def body(carry):
-            u, _, iteration, _, _ = carry
+            u, iteration, _, _ = carry
             out_uk, out_u1, delta = check_fn(
                 u, frozen_pad, iteration, cd, band, k, interpret
             )
             done = (delta < epsilon) & (iteration + 1 >= m_max)
-            # stagger <= k: both exit states are known here — carry the
-            # post-check-sweep state as the preserved src.
-            return (jax.lax.dynamic_update_slice(u, out_uk, (k, 0)),
+
+            def finish(args):
+                u, iteration = args
+                return (
                     jax.lax.dynamic_update_slice(u, out_u1, (k, 0)),
-                    iteration + cd, delta, done)
+                    iteration + 1,
+                )
+
+            def run_rest(args):
+                u, iteration = args
+                u = jax.lax.dynamic_update_slice(u, out_uk, (k, 0))
+                iteration = iteration + cd
+                n_full, rem = divmod(stagger - cd, k)
+                if n_full:
+                    u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                      n_full, k, band, interpret=interpret)
+                    iteration = iteration + n_full * k
+                if rem:
+                    u, _ = chunk_fn(
+                        u, frozen_pad, iteration, rem, band, k, interpret
+                    )
+                    iteration = iteration + rem
+                return u, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u, iteration))
+            return u, iteration, delta, done
 
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     cv0 = (jnp.asarray(False) if conv0 is None
@@ -562,31 +603,9 @@ def _solve_banded(
     dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
            else jnp.asarray(delta0, jnp.float32))
     # A segment entered with conv0=True is a no-op pass-through (the
-    # while cond fails immediately; the post-loop finish is guarded by
-    # ~cv0), so the pipelined segment driver can dispatch past the
-    # converging segment (epic_tpu._segments).
-    twin0 = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-    u_out, src, it_next, delta, converged = jax.lax.while_loop(
-        cond, body, (u, twin0, start, dl0, cv0))
-
-    if stagger >= k:
-
-        def finish(args):
-            _, src, it_base = args
-            u1, _ = chunk_fn(src, frozen_pad, it_base, 1, band, k,
-                             interpret)
-            return u1
-
-    else:
-
-        def finish(args):
-            return args[1]
-
-    u_out = jax.lax.cond(
-        converged & ~cv0, finish, lambda args: args[0],
-        (u_out, src, it_next - stagger))
-    iteration = jnp.where(converged & ~cv0, it_next - stagger + 1, it_next)
-    return u_out, iteration, delta, converged
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
+    return jax.lax.while_loop(cond, body, (u, start, dl0, cv0))
 
 
 def solve(

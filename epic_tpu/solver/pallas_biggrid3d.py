@@ -475,94 +475,59 @@ def _solve_banded(
     from .pallas_cycle import cycle_fill, sweep_cycle3d
 
     cycle_fn = sweep_cycle3d.__wrapped__
-    # The staggered check is FOLDED into the cycle's first chunk as its
-    # sweep-0 delta (deltas[0]; unsharded pad planes are frozen so the
-    # slab delta IS the check value), and the body is COND-FREE: pallas
-    # chunk chains inside a lax.cond branch run ~25-30% slow (probe
-    # resident3d-solve-iso; the old probe51 "fold loses in 3D" verdict
-    # was about the u1-STAGING fold — this fold stages nothing). The
-    # pre-check src buffer survives the body (the chunk-0 dispatch runs
-    # nc=1 so the ping-pong never writes back into it; the dst recycles
-    # the dead src-carry slot, whose guard/pad cells hold exactly the pad
-    # constant) and the 1-sweep finish runs once AFTER the loop.
+    # NOTE: the whole-cycle in-kernel check (sweep_cycle*_check) that wins
+    # in 2D (probe49/50) LOSES here — probe51 A/B at 256³: 14.7 vs this
+    # structure's 15.1 G updates/s, delta-bit-equal. At plane-banded
+    # layouts the check variant's per-band u1 centre staging (a full
+    # band*hp x w VMEM copy + DMA on chunk 0's critical path) costs more
+    # than the 1-sweep check chunk + paste it replaces, so 3D keeps the
+    # check-chunk + cycle-fill body.
+    n_full, rem = divmod(stagger - 1, k)
 
     def cond(carry):
-        _, _, iteration, _, done = carry
-        return ~done & (iteration < max_iterations)
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
 
-    if stagger > k:
-        n_rest, rem = divmod(stagger - k, k)
+    def body(carry):
+        u, iteration, _, _ = carry
+        u, delta = sweep_chunk_dma.__wrapped__(
+            u, frozen_pad, iteration, 1, band, k, hp, interpret
+        )
+        iteration = iteration + 1
+        done = (delta < epsilon) & (iteration >= m_max)
 
-        def body(carry):
-            u, twin1, iteration, _, _ = carry
-            src, cur, deltas = cycle_fn(
-                u, twin1, frozen_pad, iteration, 1, k, band, hp, interpret)
-            delta = deltas[0]
-            done = (delta < epsilon) & (iteration + 1 >= m_max)
-            iteration = iteration + k
-            if n_rest:
-                cur, _ = cycle_fill(cycle_fn, cur, frozen_pad, iteration,
-                                    n_rest, k, band, hp,
-                                    interpret=interpret)
-                iteration = iteration + n_rest * k
+        def run_rest(args):
+            u, iteration = args
+            if n_full:
+                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                  n_full, k, band, hp, interpret=interpret)
+                iteration = iteration + n_full * k
             if rem:
-                cur, _ = sweep_chunk_dma.__wrapped__(
-                    cur, frozen_pad, iteration, rem, band, k, hp, interpret
+                u, _ = sweep_chunk_dma.__wrapped__(
+                    u, frozen_pad, iteration, rem, band, k, hp, interpret
                 )
                 iteration = iteration + rem
-            return cur, src, iteration, delta, done
+            return u, iteration
 
-    else:
-        rem0 = stagger - 1
+        u, iteration = jax.lax.cond(
+            done, lambda a: a, run_rest, (u, iteration)
+        )
+        return u, iteration, delta, done
 
-        def body(carry):
-            u, src, iteration, _, _ = carry
-            u, delta = sweep_chunk_dma.__wrapped__(
-                u, frozen_pad, iteration, 1, band, k, hp, interpret
-            )
-            done = (delta < epsilon) & (iteration + 1 >= m_max)
-            iteration = iteration + 1
-            if rem0:
-                u2, _ = sweep_chunk_dma.__wrapped__(
-                    u, frozen_pad, iteration, rem0, band, k, hp, interpret
-                )
-            else:
-                u2 = u
-            # stagger <= k: the post-check state u is itself the exit
-            # state, so carry it as the preserved src.
-            return u2, u, iteration + rem0, delta, done
-
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments without per-segment recompiles (the
+    # pallas_biggrid.solve_segments pattern).
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     cv0 = (jnp.asarray(False) if conv0 is None
            else jnp.asarray(conv0, jnp.bool_))
     dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
            else jnp.asarray(delta0, jnp.float32))
     # A segment entered with conv0=True is a no-op pass-through (the
-    # while cond fails immediately; the post-loop finish is guarded by
-    # ~cv0), so the pipelined segment driver can dispatch past the
-    # converging segment (epic_tpu._segments).
-    twin0 = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-    u_out, src, it_next, delta, converged = jax.lax.while_loop(
-        cond, body, (u, twin0, start, dl0, cv0))
-
-    if stagger > k:
-
-        def finish(args):
-            _, src, it_base = args
-            u1, _ = sweep_chunk_dma.__wrapped__(
-                src, frozen_pad, it_base, 1, band, k, hp, interpret)
-            return u1
-
-    else:
-
-        def finish(args):
-            _, src, it_base = args
-            return src
-
-    u_out = jax.lax.cond(
-        converged & ~cv0, finish, lambda args: args[0],
-        (u_out, src, it_next - stagger))
-    iteration = jnp.where(converged & ~cv0, it_next - stagger + 1, it_next)
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
+    u_out, iteration, delta, converged = jax.lax.while_loop(
+        cond, body, (u, start, dl0, cv0))
     return u_out, iteration, delta, converged
 
 

@@ -443,57 +443,98 @@ def _solve_tiled(
     the reference does (harmonic_cpu.cpp:158-173); otherwise the K sweeps
     already ran and the cycle continues with stagger-K more.
     """
-    from .pallas_cycle import cycle_fill, sweep_cycle_tiled
+    from .pallas_cycle import (cycle_fill, sweep_cycle_tiled,
+                               sweep_cycle_tiled_check)
 
     m_max = max(height, width)
     chunk_fn = sweep_chunk_tiled.__wrapped__
     check_fn = sweep_chunk_tiled_check.__wrapped__
     cycle_fn = sweep_cycle_tiled.__wrapped__
+    cycle_check_fn = sweep_cycle_tiled_check.__wrapped__
+    # Each stagger cycle runs through the ping-pong cycle kernel with a
+    # FRESH fill twin created inside the loop body (carrying the aliased
+    # pair loses to XLA copies at the cond joins — probe36 vs probe40/42).
+    # With stagger >= k the staggered check is folded into chunk 0 OF THE
+    # CYCLE (sweep_cycle_tiled_check): one dispatch per whole cycle, no
+    # separate check chunk, no per-cycle paste — the passing-check exit
+    # state is u1 pasted into either output buffer (non-centre cells of
+    # both are the constant pad value). See pallas_biggrid._solve_banded
+    # (probe49: +2.7%/+14% at 4096²/8192² banded).
 
     def cond(carry):
-        _, _, iteration, _, done = carry
-        return ~done & (iteration < max_iterations)
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
 
-    # COND-FREE body (probe resident3d-solve-iso; see
-    # pallas_biggrid._solve_banded): check folded into the cycle's first
-    # chunk WITHOUT u1 staging — the pre-check src survives the body
-    # (nc=1 never writes back into its src; the dst recycles the dead
-    # src-carry slot) and the 1-sweep finish runs once AFTER the loop.
     if stagger >= k:
-        n_rest, rem = divmod(stagger - k, k)
+        n_cycle, rem = divmod(stagger, k)
 
         def body(carry):
-            u, twin1, iteration, _, _ = carry
-            src, cur, deltas = cycle_fn(
-                u, twin1, frozen, iteration, 1, k, band, wt, interpret)
+            u, iteration, _, _ = carry
+            alt = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
+            a, b, u1, deltas = cycle_check_fn(
+                u, alt, frozen, iteration, n_cycle, k, band, wt, interpret
+            )
+            u_end = b if n_cycle % 2 else a
             delta = deltas[0]
             done = (delta < epsilon) & (iteration + 1 >= m_max)
-            iteration = iteration + k
-            if n_rest:
-                cur, _ = cycle_fill(cycle_fn, cur, frozen, iteration,
-                                    n_rest, k, band, wt,
-                                    interpret=interpret)
-                iteration = iteration + n_rest * k
-            if rem:
-                cur, _ = chunk_fn(cur, frozen, iteration, rem, band, k,
-                                  wt, interpret)
-                iteration = iteration + rem
-            return cur, src, iteration, delta, done
+
+            def finish(args):
+                u_end, iteration = args
+                return (
+                    jax.lax.dynamic_update_slice(u_end, u1, (k, _HX)),
+                    iteration + 1,
+                )
+
+            def run_rest(args):
+                u_end, iteration = args
+                iteration = iteration + n_cycle * k
+                if rem:
+                    u_end, _ = chunk_fn(u_end, frozen, iteration, rem,
+                                        band, k, wt, interpret)
+                    iteration = iteration + rem
+                return u_end, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u_end, iteration))
+            return u, iteration, delta, done
 
     else:
-        cd = stagger
+        cd = min(k, stagger)
 
         def body(carry):
-            u, _, iteration, _, _ = carry
+            u, iteration, _, _ = carry
             out_uk, out_u1, delta = check_fn(
                 u, frozen, iteration, cd, band, k, wt, interpret
             )
             done = (delta < epsilon) & (iteration + 1 >= m_max)
-            # stagger <= k: both exit states are known here — carry the
-            # post-check-sweep state as the preserved src.
-            return (jax.lax.dynamic_update_slice(u, out_uk, (k, _HX)),
+
+            def finish(args):
+                u, iteration = args
+                return (
                     jax.lax.dynamic_update_slice(u, out_u1, (k, _HX)),
-                    iteration + cd, delta, done)
+                    iteration + 1,
+                )
+
+            def run_rest(args):
+                u, iteration = args
+                u = jax.lax.dynamic_update_slice(u, out_uk, (k, _HX))
+                iteration = iteration + cd
+                rest = stagger - cd
+                n_full, rem = divmod(rest, k)
+                if n_full:
+                    u, _ = cycle_fill(cycle_fn, u, frozen, iteration,
+                                      n_full, k, band, wt,
+                                      interpret=interpret)
+                    iteration = iteration + n_full * k
+                if rem:
+                    u, _ = chunk_fn(u, frozen, iteration, rem, band, k, wt,
+                                    interpret)
+                    iteration = iteration + rem
+                return u, iteration
+
+            u, iteration = jax.lax.cond(done, finish, run_rest,
+                                        (u, iteration))
+            return u, iteration, delta, done
 
     # max_iterations is a TRACED bound and it0 a traced start, so
     # solve_segments can resume the identical loop across watchdog-safe
@@ -505,31 +546,9 @@ def _solve_tiled(
     dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
            else jnp.asarray(delta0, jnp.float32))
     # A segment entered with conv0=True is a no-op pass-through (the
-    # while cond fails immediately; the post-loop finish is guarded by
-    # ~cv0), so the pipelined segment driver can dispatch past the
-    # converging segment (epic_tpu._segments).
-    twin0 = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-    u_out, src, it_next, delta, converged = jax.lax.while_loop(
-        cond, body, (u, twin0, start, dl0, cv0))
-
-    if stagger >= k:
-
-        def finish(args):
-            _, src, it_base = args
-            u1, _ = chunk_fn(src, frozen, it_base, 1, band, k, wt,
-                             interpret)
-            return u1
-
-    else:
-
-        def finish(args):
-            return args[1]
-
-    u_out = jax.lax.cond(
-        converged & ~cv0, finish, lambda args: args[0],
-        (u_out, src, it_next - stagger))
-    iteration = jnp.where(converged & ~cv0, it_next - stagger + 1, it_next)
-    return u_out, iteration, delta, converged
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
+    return jax.lax.while_loop(cond, body, (u, start, dl0, cv0))
 
 
 def solve(

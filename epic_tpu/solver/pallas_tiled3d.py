@@ -466,89 +466,57 @@ def _solve_tiled3d(
     chunk_fn = sweep_chunk_tiled3d.__wrapped__
     check_fn = sweep_chunk_tiled3d_check.__wrapped__
     cycle_fn = sweep_cycle_tiled3d.__wrapped__
+    cd = min(k, stagger)
 
     def paste(uu, center):
         return _paste(uu, center, k, hp2)
 
     def cond(carry):
-        _, _, iteration, _, done = carry
-        return ~done & (iteration < max_iterations)
+        _, iteration, _, converged = carry
+        return ~converged & (iteration < max_iterations)
 
-    # COND-FREE body (probe resident3d-solve-iso: pallas chunk chains in
-    # a lax.cond branch run ~25-30% slow): the check is the first cycle
-    # chunk's sweep-0 delta (deltas[0] — unsharded pad is frozen, so the
-    # slab delta IS the check value; no u1 staging, the thing that made
-    # the probe51 fold lose), the pre-check src survives the body (nc=1
-    # never writes back into its src; the dst recycles the dead
-    # src-carry slot whose non-centre cells hold exactly the pad
-    # constant), and the 1-sweep finish runs once AFTER the loop.
-    if stagger > k:
-        n_rest, rem = divmod(stagger - k, k)
+    def body(carry):
+        u, iteration, _, _ = carry
+        out_uk, out_u1, delta = check_fn(
+            u, frozen_pad, iteration, cd, band, k, yt, wt, hp2, interpret)
+        done = (delta < epsilon) & (iteration + 1 >= m_max)
 
-        def body(carry):
-            u, twin1, iteration, _, _ = carry
-            src, cur, deltas = cycle_fn(
-                u, twin1, frozen_pad, iteration, 1, k, band, yt, wt, hp2,
-                interpret)
-            delta = deltas[0]
-            done = (delta < epsilon) & (iteration + 1 >= m_max)
-            iteration = iteration + k
-            if n_rest:
-                cur, _ = cycle_fill(cycle_fn, cur, frozen_pad, iteration,
-                                    n_rest, k, band, yt, wt, hp2,
-                                    interpret=interpret)
-                iteration = iteration + n_rest * k
+        def finish(args):
+            u, iteration = args
+            return paste(u, out_u1), iteration + 1
+
+        def run_rest(args):
+            u, iteration = args
+            u = paste(u, out_uk)
+            iteration = iteration + cd
+            n_full, rem = divmod(stagger - cd, k)
+            if n_full:
+                u, _ = cycle_fill(cycle_fn, u, frozen_pad, iteration,
+                                  n_full, k, band, yt, wt, hp2,
+                                  interpret=interpret)
+                iteration = iteration + n_full * k
             if rem:
-                cur, _ = chunk_fn(cur, frozen_pad, iteration, rem, band,
-                                  k, yt, wt, hp2, interpret)
+                u, _ = chunk_fn(u, frozen_pad, iteration, rem, band, k, yt,
+                                wt, hp2, interpret)
                 iteration = iteration + rem
-            return cur, src, iteration, delta, done
+            return u, iteration
 
-    else:
-        cd = stagger
+        u, iteration = jax.lax.cond(done, finish, run_rest, (u, iteration))
+        return u, iteration, delta, done
 
-        def body(carry):
-            u, _, iteration, _, _ = carry
-            out_uk, out_u1, delta = check_fn(
-                u, frozen_pad, iteration, cd, band, k, yt, wt, hp2,
-                interpret)
-            done = (delta < epsilon) & (iteration + 1 >= m_max)
-            # stagger <= k: both exit states are known here — carry the
-            # post-check-sweep state as the preserved src.
-            return (paste(u, out_uk), paste(u, out_u1),
-                    iteration + cd, delta, done)
-
+    # max_iterations is a TRACED bound and it0 a traced start, so
+    # solve_segments can resume the identical loop across watchdog-safe
+    # dispatch segments without per-segment recompiles (the
+    # pallas_biggrid.solve_segments pattern).
     start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
     cv0 = (jnp.asarray(False) if conv0 is None
            else jnp.asarray(conv0, jnp.bool_))
     dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
            else jnp.asarray(delta0, jnp.float32))
     # A segment entered with conv0=True is a no-op pass-through (the
-    # while cond fails immediately; the post-loop finish is guarded by
-    # ~cv0), so the pipelined segment driver can dispatch past the
-    # converging segment (epic_tpu._segments).
-    twin0 = jnp.full_like(u, jnp.float32(C.LOG_SPACE_OBSTACLE))
-    u_out, src, it_next, delta, converged = jax.lax.while_loop(
-        cond, body, (u, twin0, start, dl0, cv0))
-
-    if stagger > k:
-
-        def finish(args):
-            _, src, it_base = args
-            u1, _ = chunk_fn(src, frozen_pad, it_base, 1, band, k, yt,
-                             wt, hp2, interpret)
-            return u1
-
-    else:
-
-        def finish(args):
-            return args[1]
-
-    u_out = jax.lax.cond(
-        converged & ~cv0, finish, lambda args: args[0],
-        (u_out, src, it_next - stagger))
-    iteration = jnp.where(converged & ~cv0, it_next - stagger + 1, it_next)
-    return u_out, iteration, delta, converged
+    # while cond fails immediately), so the pipelined segment driver can
+    # dispatch past the converging segment (epic_tpu._segments).
+    return jax.lax.while_loop(cond, body, (u, start, dl0, cv0))
 
 
 def solve(

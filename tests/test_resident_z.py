@@ -154,3 +154,24 @@ def test_resident_z_sharded3d_routing(meshz8):
     out_r = resident_z.update_n(st1, 4, meshz8)
     out_s = sharded3d.update_n(st2, 4, meshz8, kernel="resident")
     np.testing.assert_array_equal(np.asarray(out_r.u), np.asarray(out_s.u))
+
+
+def test_choose_mesh3d_orientation():
+    """choose_mesh3d picks z-major meshes for cube-regime volumes and
+    plane meshes for wide planes (BENCH_NOTES r5: the orientation decides
+    the composition's rate class)."""
+    devs = np.asarray(jax.devices())
+    cube = sharded3d.choose_mesh3d((256, 256, 256), devices=devs)
+    assert "mz" in cube.shape and cube.shape["mz"] == len(devs)
+    wide = sharded3d.choose_mesh3d((32, 2048, 2048), devices=devs)
+    assert "mz" not in wide.shape
+    shallow = sharded3d.choose_mesh3d((4, 64, 128), devices=devs)  # d < n
+    assert "mz" not in shallow.shape
+    # End-to-end through the chosen cube mesh: routes to resident_z.
+    st1 = _volume(32, 24, 256, seed=11)
+    st2 = _volume(32, 24, 256, seed=11)
+    out_c = core.update_n(st1, 4)
+    out_z = sharded3d.update_n(st2, 4, cube, kernel="resident")
+    np.testing.assert_allclose(
+        np.asarray(out_c.u), np.asarray(out_z.u), rtol=2e-6, atol=1e-4
+    )
