@@ -1808,6 +1808,55 @@ def sharded3d_zresident(q, shape=(256, 256, 256), steps=8192, cap=2000):
                 max_abs_diff_vs_unsharded=max(d, ds), rows=rows)
 
 
+@experiment("resident2d-solve-iso", "Scaling across devices")
+def resident2d_solve_iso(q, size=4096, steps=14000):
+    """Attribute the 2D banded resident SOLVE tax vs its own open chain
+    (r5: solve 39.9 vs chain 41.8 at 4096²): (a) one update_n call of
+    ``steps`` sweeps, (b) a capped never-converging solve of the same
+    sweep count through the cond-free body. Both use the width-gated
+    solve chunk depth so the chunk structure matches."""
+    import jax
+
+    from epic_tpu.parallel import make_mesh, resident
+
+    interp = _interpret()
+    if q:
+        size, steps = 512, 60
+    u, locked = _grid_np(size, size)
+    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
+    cells = size * size
+    rows = []
+    depth = resident.solve_chunk_depth(size, size)
+
+    st = _state(u, locked)
+    out = resident.update_n(st, steps, mesh, chunk_depth=depth)  # warm
+    float(out.delta)
+    st = _state(u, locked)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = resident.update_n(st, steps, mesh, chunk_depth=depth)
+    ck = float(out.delta)
+    dt = time.perf_counter() - t0
+    rows.append(dict(variant="chain", sweeps=steps, depth=depth,
+                     g_updates_per_s=round(cells / 2 * steps / dt / 1e9, 2),
+                     checksum=ck))
+
+    st = _state(u, locked, eps=1e-12)
+    out = resident.solve(st, mesh, max_iterations=200)  # warm
+    int(out.iteration)
+    st = _state(u, locked, eps=1e-12)
+    _stage(st)
+    t0 = time.perf_counter()
+    out = resident.solve(st, mesh, max_iterations=steps)
+    iters = int(out.iteration)
+    ck = float(out.delta) + iters
+    dt = time.perf_counter() - t0
+    rows.append(dict(variant="solve-capped", sweeps=iters, depth=depth,
+                     g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                     checksum=ck))
+    return dict(size=size, mesh="1x1", rows=rows)
+
+
 @experiment("resident3d-solve-iso", "Scaling across devices")
 def resident3d_solve_iso(q, shape=(64, 1024, 1024), steps=2000):
     """Attribute the resident 3D SOLVE tax vs its own open chain (r4: 13.8
@@ -2174,8 +2223,8 @@ BATTERY = [
     "wideplane-update", "wideplane-solve", "biggrid-update",
     "biggrid-solve", "biggrid-converge", "solve-body-iso", "sharded-banded",
     "sharded-resident", "sharded-solve", "sharded-converge", "sharded3d-banded",
-    "sharded3d-resident", "sharded3d-solve",
-    "tiled-solve", "tiled-converge", "tiled-update",
+    "sharded3d-resident", "sharded3d-solve", "sharded3d-zresident",
+    "mesh-planner", "tiled-solve", "tiled-converge", "tiled-update",
 ]
 
 
