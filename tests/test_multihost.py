@@ -56,7 +56,7 @@ def _worker_state(size: int = 48, mode: str = "solve"):
         u = np.where(goal, C.LOG_SPACE_GOAL,
                      C.LOG_SPACE_FREE).astype(np.float32)
         return G.make_state(u, goal | obstacle, epsilon=1e-3)
-    if mode == "solve3d":
+    if mode in ("solve3d", "solve_resident_z"):
         d = max(4, n // 4)
         rng = np.random.default_rng(7)
         obstacle = np.zeros((d, n, n), dtype=bool)
@@ -83,7 +83,8 @@ def _worker_state(size: int = 48, mode: str = "solve"):
     return G.make_state(u, locked, epsilon=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["solve", "solve3d", "solve_resident"])
+@pytest.mark.parametrize("mode", ["solve", "solve3d", "solve_resident",
+                                  "solve_resident_z"])
 def test_two_process_sharded_solve_matches_single_process(tmp_path, mode):
     port = _free_port()
     out = tmp_path / "mh.npz"

@@ -28,7 +28,8 @@ def main() -> None:
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", default="solve",
-                    choices=["solve", "update", "solve3d", "solve_resident"])
+                    choices=["solve", "update", "solve3d", "solve_resident",
+                             "solve_resident_z"])
     ap.add_argument("--size", type=int, default=48)
     args = ap.parse_args()
 
@@ -61,7 +62,7 @@ def main() -> None:
     from epic_tpu import constants as C
 
     n = args.size
-    if args.mode == "solve3d":
+    if args.mode in ("solve3d", "solve_resident_z"):
         d = max(4, n // 4)
         rng = np.random.default_rng(7)
         obstacle = np.zeros((d, n, n), dtype=bool)
@@ -106,6 +107,14 @@ def main() -> None:
         from epic_tpu.parallel import sharded3d
 
         out = sharded3d.solve(state, mesh)
+    elif args.mode == "solve_resident_z":
+        # The z-resident plane-band layout: contiguous plane-block guard
+        # ppermutes cross the process boundary here — the DCN-analog
+        # validation of parallel.resident_z.
+        from epic_tpu.parallel import sharded3d
+
+        mesh_z = sharded3d.make_mesh3d((total, 1, 1))
+        out = sharded3d.solve(state, mesh_z, kernel="resident")
     else:
         out = sharded.update_n(state, 137, mesh)
 
