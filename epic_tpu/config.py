@@ -59,6 +59,22 @@ class ServiceConfig:
 
 
 @dataclasses.dataclass
+class VizConfig:
+    """Display profile — the declarative analog of the reference's rviz
+    view config (rviz/default.rviz wired by
+    launch/epic_navigation_node_umass.launch:26): what the demos and the
+    interactive session render and how streamlines are walked. Consumed
+    by ``tools/anytime_demo.py`` and :mod:`epic_tpu.viz` callers."""
+
+    show_field: bool = True          # False: draw over the original map
+    interpolation: str = "bilinear"  # path walker mode ("reference" quirk-faithful)
+    step_size: float = C.DEFAULT_STEP_SIZE
+    cd_precision: float = C.DEFAULT_CD_PRECISION
+    starts: int = 6                  # demo sample start points
+    volume_slice: int | None = None  # 3D: z-plane to render
+
+
+@dataclasses.dataclass
 class EpicConfig:
     """The full configuration tree. Consumed by :class:`epic_tpu.planner.
     Planner` (pass it in place of a PlannerConfig), the service-server CLI
@@ -73,6 +89,7 @@ class EpicConfig:
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     service: ServiceConfig = dataclasses.field(default_factory=ServiceConfig)
+    viz: VizConfig = dataclasses.field(default_factory=VizConfig)
     # Startup map: a map_server YAML or PNG path. ``${VAR}`` env refs are
     # expanded at resolve time; relative paths resolve against the config
     # file's directory first, then maps.reference_map_path.
@@ -88,7 +105,8 @@ class EpicConfig:
         d = dict(d)
         sections = {}
         for name, sub_cls in (("solver", SolverConfig), ("mesh", MeshConfig),
-                              ("service", ServiceConfig)):
+                              ("service", ServiceConfig),
+                              ("viz", VizConfig)):
             sub = d.pop(name, None) or {}
             fields = {f.name for f in dataclasses.fields(sub_cls)}
             unknown = set(sub) - fields
@@ -123,7 +141,8 @@ class EpicConfig:
         with open(path) as f:
             d = yaml.safe_load(f) or {}
         cfg = cls.from_dict(d)
-        cfg._config_dir = path.parent  # for relative map resolution
+        cfg._config_dir = path.parent   # for relative map resolution
+        cfg._config_path = path.resolve()
         return cfg
 
     def resolve_map_path(self):
@@ -144,8 +163,14 @@ class EpicConfig:
                 return p
         else:
             base = getattr(self, "_config_dir", pathlib.Path("."))
-            if (base / p).exists():
-                return base / p
+            cand = base / p
+            # Guard the name collision: a session config whose ``map`` is
+            # a bare name like "maze.yaml" must not resolve to the config
+            # file ITSELF (both live in configs/).
+            self_path = getattr(self, "_config_path", None)
+            if cand.exists() and (self_path is None
+                                  or cand.resolve() != self_path):
+                return cand
             from . import maps
 
             ref = maps.reference_map_path(str(p)) or maps.reference_map_path(

@@ -85,3 +85,48 @@ def test_node_consumes_session_config(tmp_path):
     it0 = int(node.planner.state.iteration)
     node.planner.update()
     assert int(node.planner.state.iteration) == it0 + cfg.service.steps_per_update
+
+
+def test_viz_profile_roundtrip_and_shipped_defaults():
+    """The viz section (the rviz/default.rviz analog) serializes and the
+    shipped maze config carries a display profile."""
+    from epic_tpu.config import VizConfig
+
+    cfg = EpicConfig(viz=VizConfig(show_field=False, interpolation="reference",
+                                   starts=3))
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "v.yaml"
+        cfg.save_yaml(p)
+        back = EpicConfig.load_yaml(p)
+    assert back.viz == cfg.viz
+    shipped = EpicConfig.load_yaml(CONFIGS / "maze.yaml")
+    assert shipped.viz.interpolation == "bilinear"
+    assert shipped.viz.starts == 6
+
+
+def test_map_name_does_not_resolve_to_config_itself(tmp_path):
+    """A session config whose ``map`` shares its own filename must not
+    resolve to ITSELF (configs/maze.yaml names its map maze.yaml; the
+    unguarded lookup parsed the session config as a map_server YAML)."""
+    p = tmp_path / "maze.yaml"
+    p.write_text("map: maze.yaml\n")
+    cfg = EpicConfig.load_yaml(p)
+    try:
+        r = cfg.resolve_map_path()  # may find the reference fixture
+    except FileNotFoundError:
+        r = None
+    assert r is None or r.resolve() != p.resolve()
+    # A config map name with no fixture anywhere raises cleanly.
+    p3 = tmp_path / "nonesuch-xyz.yaml"
+    p3.write_text("map: nonesuch-xyz.yaml\n")
+    with pytest.raises(FileNotFoundError):
+        EpicConfig.load_yaml(p3).resolve_map_path()
+    # With a distinct real file of that name present, it resolves to it.
+    sub = tmp_path / "maps"
+    sub.mkdir()
+    (sub / "maze.yaml").write_text("image: maze.png\n")
+    p2 = tmp_path / "session.yaml"
+    p2.write_text("map: maps/maze.yaml\n")
+    cfg2 = EpicConfig.load_yaml(p2)
+    assert cfg2.resolve_map_path() == sub / "maze.yaml"

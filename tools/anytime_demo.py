@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--ticks", type=int, default=40,
                     help="anytime ticks (50 sweeps each)")
     ap.add_argument("--out", default="demo.png")
-    ap.add_argument("--starts", type=int, default=6)
+    ap.add_argument("--starts", type=int, default=None)
     args = ap.parse_args()
 
     from epic_tpu import maps, viz
@@ -54,12 +54,14 @@ def main():
 
     h, w = img.shape
     epsilon = cfg.solver.epsilon if args.config else 1e-3
+    if args.starts is None:
+        args.starts = cfg.viz.starts
     node = EpicNavigationNodeRviz(
         PlannerConfig(epsilon=epsilon,
                       steps_per_update=cfg.service.steps_per_update,
                       resolution=meta.resolution,
                       origin_x=meta.origin_x, origin_y=meta.origin_y,
-                      interpolation="bilinear"),
+                      interpolation=cfg.viz.interpolation),
         update_rate=cfg.service.update_rate_hz,
     )
     occ = np.zeros(img.shape, dtype=np.int8)
@@ -123,7 +125,8 @@ def main():
               f"{int(node.planner.state.iteration)} sweeps")
 
     st = node.planner.state
-    rgb = viz.render(np.asarray(st.u), np.asarray(st.locked), paths)
+    rgb = viz.render(np.asarray(st.u), np.asarray(st.locked), paths,
+                     base_img=None if cfg.viz.show_field else img)
     viz.save_png(args.out, rgb)
     print(f"rendered {len(paths)} paths -> {args.out}")
 
