@@ -51,3 +51,15 @@ def run_pipelined(seg_fn, u, epsilon, max_iterations: int,
         if stop or bound >= max_iterations:
             break
     return u, it, delta, conv
+
+
+def carry_defaults(epsilon, it0, conv0, delta0):
+    """Shared None-defaulting for the ``_solve_*`` resume carries: the
+    single place the segment-resume convention (start iteration 0, not
+    converged, delta just above epsilon) is defined."""
+    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
+    cv0 = (jnp.asarray(False) if conv0 is None
+           else jnp.asarray(conv0, jnp.bool_))
+    dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
+           else jnp.asarray(delta0, jnp.float32))
+    return start, cv0, dl0

@@ -68,10 +68,7 @@ class VizConfig:
 
     show_field: bool = True          # False: draw over the original map
     interpolation: str = "bilinear"  # path walker mode ("reference" quirk-faithful)
-    step_size: float = C.DEFAULT_STEP_SIZE
-    cd_precision: float = C.DEFAULT_CD_PRECISION
     starts: int = 6                  # demo sample start points
-    volume_slice: int | None = None  # 3D: z-plane to render
 
 
 @dataclasses.dataclass

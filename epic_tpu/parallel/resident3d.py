@@ -218,30 +218,6 @@ def _pad_resident(u_loc, frozen_loc, mesh: Mesh, k: int, dp: int,
 # ---------------------------------------------------------------------------
 
 
-def _interior_delta(u_a, u_b, d: int, h_loc: int, w_loc: int, k: int,
-                    hp2: int):
-    """max |u_b - u_a| over the shard's INTERIOR cells only.
-
-    The in-kernel slab deltas cover transiently-updated guard cells too;
-    guard cells adjacent to frozen round-up tile padding read the pad
-    where the owning shard reads real neighbour data, so their update
-    arithmetic does NOT duplicate the owner's and their |u1-u0| never
-    decays — near convergence the in-kernel delta sticks at that
-    residual and the staggered check can never pass (caught by
-    test_resident3d_solve_nondivisor_layout_converges). Interior-only
-    deltas pmax to exactly the unsharded kernel's value (frozen padding
-    contributes 0 there; transiently-updated halo cells duplicate
-    neighbouring tiles' centre deltas)."""
-    rp, wp = u_a.shape
-    dpv = rp // hp2
-    a = u_a.reshape(dpv, hp2, wp)
-    b = u_b.reshape(dpv, hp2, wp)
-    lim = (k + d, _HY + h_loc, _HX + w_loc)
-    return jnp.max(jnp.abs(
-        jax.lax.slice(b, (k, _HY, _HX), lim)
-        - jax.lax.slice(a, (k, _HY, _HX), lim)))
-
-
 def _grid_dims(rp: int, wp: int, band: int, k: int, yt: int, wt: int,
                hp2: int):
     dp = rp // hp2
@@ -262,7 +238,7 @@ def _chunk_cycle(u_src, u_dst, f_res, it, band, k, yt, wt, hp2, interpret,
     check chunks. Returns (stale, current, delta) where stale aliases
     ``u_src`` and current aliases ``u_dst``. With
     ``interior=(d, h_loc, w_loc)`` the delta is the INTERIOR-ONLY sweep-0
-    diff (bit-equal to :func:`_interior_delta` over the same sweep — the
+    diff (bit-equal to an interior-only diff over the same sweep — the
     pad-safe folded check); else it is the raw pad-poisoned slab delta
     (discard it)."""
     import functools as _ft
@@ -352,8 +328,8 @@ def _update_n_resident(
     remainder chunk through the functional kernel, ONE centre slice at
     exit. Delta (pmax) from the overall first sweep — the first cycle
     chunk's interior-MASKED in-kernel sweep-0 delta (raw slab deltas
-    include guard cells poisoned by round-up tile padding, see
-    :func:`_interior_delta`; the mask restores exactness with zero extra
+    include guard cells poisoned by round-up tile padding — the r4
+    delta-poisoning lesson; the mask restores exactness with zero extra
     passes)."""
 
     @functools.partial(
@@ -538,11 +514,9 @@ def _solve_resident(
     # dispatch segments (the pallas_biggrid.solve_segments pattern; the
     # interior slice + re-pad roundtrip between segments is exact — the
     # next body re-exchanges guards from interiors either way).
-    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
-    cv = (jnp.asarray(False) if conv0 is None
-          else jnp.asarray(conv0, jnp.bool_))
-    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
-          else jnp.asarray(delta0, jnp.float32))
+    from .._segments import carry_defaults
+
+    start, cv, dl = carry_defaults(epsilon, it0, conv0, delta0)
     u, iteration, delta, converged = run(
         u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]

@@ -164,69 +164,6 @@ def _fill_twin(hp: int, wg: int, interpret: bool):
     return twin
 
 
-# A/B flag for the stagger-remainder mechanics (probe tiled-rem-iso):
-# True = shallow ns ping-pong cycle chunk; False = functional tile kernel +
-# centre paste (the pre-r5 structure). Production default decided by the
-# on-chip A/B; flip requires _solve_resident.clear_cache() (the flag is
-# read at trace time).
-REM_VIA_CYCLE = True
-
-
-def _chunk_tile(u_res, f_res, it, num_sweeps, band, k, wt, interpret):
-    """num_sweeps (<= k) sweeps through the UNMODIFIED functional tiled
-    slab kernel (pallas_tiled2d._tile_kernel) + one centre paste —
-    re-dispatched here only to annotate the out_shapes with the mesh vma
-    (shard_map's manual-axes checker needs it; the resident3d pattern).
-    Returns (u', in-kernel slab delta — use _interior_delta for checks)."""
-    import functools as _ft
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from ..solver.pallas_tiled2d import _VMEM_LIMIT, _tile_kernel
-
-    hp, wp = u_res.shape
-    nb = (hp - 2 * k) // band
-    nt = (wp - 2 * _HX) // wt
-    ext_r = band + 2 * k
-    wext = wt + 2 * _HX
-    vma = frozenset({"my", "mx"})
-    scal = jnp.asarray(it).astype(jnp.int32).reshape(1)
-    out_u, out_delta = pl.pallas_call(
-        _ft.partial(_tile_kernel, num_sweeps=num_sweeps,
-                    band=band, k=k, wt=wt),
-        grid=(nb, nt),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb * band, nt * wt), jnp.float32,
-                                 vma=vma),
-            jax.ShapeDtypeStruct((nb, nt), jnp.float32, vma=vma),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((band, wt), lambda j, c: (j, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ext_r, wext), jnp.float32),
-            pltpu.VMEM((2, ext_r, wext), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(scal, u_res, f_res)
-    u_new = jax.lax.dynamic_update_slice(u_res, out_u, (k, _HX))
-    return u_new, jnp.max(out_delta)
-
-
-
 def _chunk_cycle(cur, alt, f_res, it, k, band, wt, interpret,
                  interior=None, ns=None):
     """One ns-sweep chunk (ns <= k, default k) through the ping-pong
@@ -448,12 +385,7 @@ def _solve_resident(
                 twin2, cur, _ = chunk2(cur, twin2, it)
                 it = it + k
             if rem:
-                if REM_VIA_CYCLE:
-                    twin2, cur, _ = chunk2(cur, twin2, it, ns=rem)
-                else:
-                    cur2 = _exchange_guards(cur, mesh, k, h_loc, w_loc)
-                    cur, _ = _chunk_tile(cur2, f_res, it, rem, band,
-                                         k, wt, interpret)
+                twin2, cur, _ = chunk2(cur, twin2, it, ns=rem)
                 it = it + rem
             return cur, src, it, delta, done
 
@@ -479,11 +411,9 @@ def _solve_resident(
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
 
-    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
-    cv = (jnp.asarray(False) if conv0 is None
-          else jnp.asarray(conv0, jnp.bool_))
-    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
-          else jnp.asarray(delta0, jnp.float32))
+    from .._segments import carry_defaults
+
+    start, cv, dl = carry_defaults(epsilon, it0, conv0, delta0)
     u, iteration, delta, converged = run(
         u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]

@@ -514,11 +514,9 @@ def _solve_resident(
         return (out, iteration.reshape(1), delta.reshape(1),
                 converged.reshape(1))
 
-    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
-    cv = (jnp.asarray(False) if conv0 is None
-          else jnp.asarray(conv0, jnp.bool_))
-    dl = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
-          else jnp.asarray(delta0, jnp.float32))
+    from .._segments import carry_defaults
+
+    start, cv, dl = carry_defaults(epsilon, it0, conv0, delta0)
     u, iteration, delta, converged = run(
         u, frozen, epsilon, jnp.asarray(max_iterations, jnp.int32), start, cv, dl)
     return u, iteration[0], delta[0], converged[0]

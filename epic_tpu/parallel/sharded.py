@@ -658,6 +658,10 @@ def solve_resident(
                                               chunk_depth):
         kernel = "resident"
     if kernel not in ("resident", "resident_interpret"):
+        if segment_iterations is not None:
+            raise ValueError(
+                "segment_iterations requires the resident layout "
+                "(kernel='resident' or an auto-eligible shard shape)")
         # Non-resident kernels: the GridState path (device-side views).
         st = GridState(
             u=sh.u[: sh.height, : sh.width],

@@ -540,11 +540,9 @@ def _solve_tiled(
     # solve_segments can resume the identical loop across watchdog-safe
     # dispatch segments without per-segment recompiles (the
     # pallas_biggrid.solve_segments pattern).
-    start = jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)
-    cv0 = (jnp.asarray(False) if conv0 is None
-           else jnp.asarray(conv0, jnp.bool_))
-    dl0 = (jnp.asarray(epsilon, jnp.float32) + 1.0 if delta0 is None
-           else jnp.asarray(delta0, jnp.float32))
+    from .._segments import carry_defaults
+
+    start, cv0, dl0 = carry_defaults(epsilon, it0, conv0, delta0)
     # A segment entered with conv0=True is a no-op pass-through (the
     # while cond fails immediately), so the pipelined segment driver can
     # dispatch past the converging segment (epic_tpu._segments).

@@ -1687,59 +1687,6 @@ def mesh_planner(q, size=4096, tick_steps=16384, segment=5000):
     return dict(size=size, mesh="1x1", kernel=kern, rows=rows)
 
 
-@experiment("tiled-rem-iso", "Scaling across devices")
-def tiled_rem_iso(q, size=16384, cap=5000):
-    """A/B the resident tiled solve's stagger-remainder mechanics on chip
-    (r5: the ns-cycle rem rework coincided with sharded-converge dropping
-    36.4 -> 22.0 G; this isolates it): variant cycle-rem runs the 4-sweep
-    remainder as a shallow ping-pong cycle chunk, tile-rem as the
-    functional tile kernel + centre paste (the structure that measured
-    36.4). cycle-rem runs twice to expose session variance. Gates: equal
-    iteration counts and bit-equal states across variants."""
-    import jax
-
-    from epic_tpu.parallel import make_mesh, resident_tiled
-
-    interp = _interpret()
-    if q:
-        size, cap = 512, 300
-    u, locked = _grid_np(size, size)
-    mesh = make_mesh((1, 1), devices=np.asarray(jax.devices()[:1]))
-    rows = []
-    ref_u = None
-    try:
-        for variant, flag in (("cycle-rem", True), ("tile-rem", False),
-                              ("cycle-rem2", True)):
-            resident_tiled.REM_VIA_CYCLE = flag
-            resident_tiled._solve_resident.clear_cache()
-            st = _state(u, locked, eps=1e-12)
-            out = resident_tiled.solve(st, mesh, max_iterations=200,
-                                       interpret=interp)  # warm
-            int(out.iteration)
-            st = _state(u, locked, eps=1e-12)
-            _stage(st)
-            t0 = time.perf_counter()
-            out = resident_tiled.solve(st, mesh, max_iterations=cap,
-                                       interpret=interp)
-            iters = int(out.iteration)
-            ck = float(out.delta) + iters
-            dt = time.perf_counter() - t0
-            if ref_u is None:
-                ref_u = out.u
-                eq = True
-            else:
-                eq = _device_equal(out.u, ref_u)
-            assert eq, variant
-            rows.append(dict(
-                variant=variant, iterations=iters,
-                g_updates_per_s=round(size * size / 2 * iters / dt / 1e9, 2),
-                bit_equal=bool(eq), checksum=ck))
-    finally:
-        resident_tiled.REM_VIA_CYCLE = True
-        resident_tiled._solve_resident.clear_cache()
-    return dict(size=size, cap=cap, mesh="1x1", rows=rows)
-
-
 @experiment("sharded3d-zresident", "Scaling across devices")
 def sharded3d_zresident(q, shape=(256, 256, 256), steps=8192, cap=2000):
     """The z-resident plane-band shard layout (VERDICT r4 item 2: the cube
