@@ -202,3 +202,39 @@ def test_random_volumes_tiled3d_matches_oracle(seed):
             u=u_pad, frozen=g.frozen, depth=d, height=h, width=w,
             hp2=g.hp2, band=band, k=k, yt=yt, wt=wt)))
     np.testing.assert_allclose(got, u_ref, rtol=2e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_volumes_resident_z_matches_oracle(seed):
+    """The z-resident shard layout on random volumes over random z-mesh
+    sizes (ragged depths: round-up tail shards, odd per-shard z parity
+    origins, sub-k and remainder chunk counts)."""
+    from epic_tpu.parallel import resident_z
+    from epic_tpu.parallel.sharded3d import make_mesh3d
+
+    rng = np.random.default_rng(900 + seed)
+    nmz = int(rng.choice([2, 4, 8]))
+    d = int(rng.integers(nmz, 4 * nmz + 3))
+    h = int(rng.integers(10, 40))
+    w = int(rng.integers(100, 300))
+    u = np.full((d, h, w), -1e6, dtype=np.float32)
+    locked = np.zeros((d, h, w), dtype=bool)
+    locked[0], locked[-1] = True, True
+    locked[:, 0], locked[:, -1] = True, True
+    locked[:, :, 0], locked[:, :, -1] = True, True
+    locked |= rng.random((d, h, w)) < 0.15
+    gz, gy, gx = (int(rng.integers(1, max(2, n - 1))) for n in (d, h, w))
+    u[gz, gy, gx] = 0.0
+    locked[gz, gy, gx] = True
+    steps = int(rng.integers(1, 9))
+    u_ref = u.copy()
+    for it in range(steps):
+        u_ref, _ = reference_np.sweep_3d(u_ref, locked, it)
+    import jax
+
+    mesh = make_mesh3d((nmz, 1, 1), devices=np.asarray(jax.devices()[:nmz]))
+    st = epic_tpu.make_state(u, locked)
+    out = resident_z.update_n(st, steps, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.u), u_ref, rtol=2e-6, atol=1e-4
+    )
