@@ -66,6 +66,7 @@ def main() -> None:
         ("sharded3d_solve", probe.sharded3d_solve, {}),
         ("sharded3d_zresident", probe.sharded3d_zresident, {}),
         ("mesh_planner", probe.mesh_planner, {}),
+        ("mesh_planner3d", probe.mesh_planner3d, {}),
     ):
         try:
             detail[key] = fn(q, **kw)

@@ -600,6 +600,196 @@ def _update_n_sharded(
     return u, delta[0]
 
 
+# ---------------------------------------------------------------------------
+# Mesh-resident 3D anytime state (the 2D ShardedGrid pattern for volumes):
+# padded arrays stay resident on the mesh across warm-started update/edit
+# cycles; edits are scatters into the sharded arrays, never a re-layout.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedVolume:
+    """Mesh-resident padded 3D state for the sharded anytime loop."""
+
+    u: jax.Array          # f32[Dp, Hp, Wp], sharded _spec(mesh)
+    frozen: jax.Array     # bool[Dp, Hp, Wp], sharded
+    iteration: jax.Array
+    delta: jax.Array
+    epsilon: jax.Array
+    depth: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+
+
+def shard_state3d(state: GridState, mesh: Mesh) -> ShardedVolume:
+    """Pad + place a 3D GridState on the mesh once; later updates and
+    edits keep the buffers resident."""
+    d, h, w = state.u.shape
+    u, frozen = _pad_for_mesh(state, mesh)
+    sharding = NamedSharding(mesh, _spec(mesh))
+    return ShardedVolume(
+        u=jax.device_put(u, sharding),
+        frozen=jax.device_put(frozen, sharding),
+        iteration=state.iteration,
+        delta=state.delta,
+        epsilon=state.epsilon,
+        depth=d, height=h, width=w,
+    )
+
+
+def unshard3d(sv: ShardedVolume) -> GridState:
+    """Gather back to a host-side GridState (e.g. for path extraction).
+    The boundary faces come back locked (the sharded representation folds
+    ``locked | ~interior`` into one mask)."""
+    import numpy as _np
+
+    u = _np.asarray(sv.u)[: sv.depth, : sv.height, : sv.width]
+    locked = _np.asarray(sv.frozen)[: sv.depth, : sv.height, : sv.width]
+    return GridState(
+        u=jnp.asarray(u),
+        locked=jnp.asarray(locked),
+        iteration=sv.iteration,
+        delta=sv.delta,
+        converged=jnp.asarray(False),
+        epsilon=sv.epsilon,
+    )
+
+
+def set_cells_resident3d(sv: ShardedVolume, xyz, types) -> ShardedVolume:
+    """SetCells on the sharded volume (skip-invalid, last-wins — shared
+    preprocessing with grid.set_cells_3d): a scatter into the resident
+    buffers. Values on the boundary faces are written like the
+    reference's, but face voxels stay frozen in the sharded mask (no
+    solver path updates faces, and an unfrozen face would read
+    out-of-mesh halo fill — the 2D set_cells_resident rule)."""
+    from .. import grid as G
+
+    xyz, u_vals, locked_vals = G.sanitize_cell_edits_3d(
+        xyz, types, sv.width, sv.height, sv.depth
+    )
+    if xyz.shape[0] == 0:
+        return sv
+    on_face = (
+        (xyz[:, 0] == 0) | (xyz[:, 0] == sv.width - 1)
+        | (xyz[:, 1] == 0) | (xyz[:, 1] == sv.height - 1)
+        | (xyz[:, 2] == 0) | (xyz[:, 2] == sv.depth - 1)
+    )
+    f_vals = locked_vals | on_face
+    zs = jnp.asarray(xyz[:, 2])
+    ys = jnp.asarray(xyz[:, 1])
+    xs = jnp.asarray(xyz[:, 0])
+    return dataclasses.replace(
+        sv,
+        u=sv.u.at[zs, ys, xs].set(jnp.asarray(u_vals)),
+        frozen=sv.frozen.at[zs, ys, xs].set(jnp.asarray(f_vals)),
+    )
+
+
+def _route_resident3d(sv: ShardedVolume, mesh: Mesh, chunk_depth: int,
+                      kernel: str):
+    """(module, interp) for the resident layout serving this mesh, or
+    (None, None) when no resident layout applies (generic path)."""
+    from . import resident3d, resident_z
+
+    interp = (kernel.endswith("_interpret")
+              or jax.default_backend() == "cpu")
+    if _has_z(mesh):
+        if mesh.shape["my"] == 1 and mesh.shape["mx"] == 1:
+            d_loc = sv.u.shape[0] // mesh.shape["mz"]
+            if resident_z.eligible(d_loc, sv.u.shape[1], sv.u.shape[2]):
+                return resident_z, interp
+        return None, None
+    dp, hp, wp = sv.u.shape
+    h_loc = hp // mesh.shape["my"]
+    w_loc = wp // mesh.shape["mx"]
+    if resident3d.eligible(dp, h_loc, w_loc, min(chunk_depth, 2)):
+        return resident3d, interp
+    return None, None
+
+
+def update_n_resident3d(
+    sv: ShardedVolume, num_steps: int, mesh: Mesh,
+    chunk_depth: int = DEFAULT_CHUNK_DEPTH, kernel: str = "auto",
+) -> ShardedVolume:
+    """Anytime chunk on a mesh-resident volume: no re-pad, no re-upload;
+    the sharded buffers are donated across ticks. kernel="resident"
+    (picked by "auto" when a resident layout fits the mesh/shape) runs
+    the z-resident or plane-resident layout directly on the buffers."""
+    route = kernel in ("resident", "resident_interpret") or (
+        kernel == "auto" and jax.default_backend() == "tpu")
+    mod = interp = None
+    if route:
+        mod, interp = _route_resident3d(sv, mesh, chunk_depth, kernel)
+        if mod is None and kernel != "auto":
+            raise ValueError(
+                "no resident 3D layout fits this mesh/shape; use "
+                "kernel='pallas'/'xla'")
+    if mod is not None:
+        u, delta = mod._update_n_resident(
+            sv.u, sv.frozen, sv.iteration, mesh, num_steps,
+            min(chunk_depth, 2), interp)
+    else:
+        kern = "xla" if kernel in ("auto", "resident",
+                                   "resident_interpret") else kernel
+        if jax.default_backend() == "tpu" and kernel == "auto":
+            kern = "pallas"
+        u, delta = _update_n_sharded(
+            sv.u, sv.frozen, sv.iteration, mesh, num_steps, chunk_depth,
+            kern)
+    return dataclasses.replace(
+        sv, u=u, iteration=sv.iteration + num_steps, delta=delta
+    )
+
+
+def solve_resident3d(
+    sv: ShardedVolume, mesh: Mesh,
+    stagger: int = C.DEFAULT_STAGGER,
+    max_iterations: int = 1_000_000,
+    chunk_depth: int = DEFAULT_CHUNK_DEPTH,
+    kernel: str = "auto",
+    segment_iterations: int | None = None,
+):
+    """Blocking solve-to-convergence directly ON the mesh-resident volume
+    buffers (the 2D sharded.solve_resident pattern). Returns
+    ``(sv', converged)``; ``segment_iterations`` runs pipelined
+    watchdog-safe segments."""
+    from .._segments import run_pipelined
+
+    mod, interp = _route_resident3d(sv, mesh, chunk_depth, kernel)
+    dims = (sv.depth, sv.height, sv.width)
+    if mod is None:
+        if segment_iterations is not None:
+            raise ValueError(
+                "segment_iterations requires a resident 3D layout")
+        st = GridState(
+            u=sv.u[: sv.depth, : sv.height, : sv.width],
+            locked=sv.frozen[: sv.depth, : sv.height, : sv.width],
+            iteration=sv.iteration,
+            delta=sv.delta,
+            converged=jnp.asarray(False),
+            epsilon=sv.epsilon,
+        )
+        out = solve(st, mesh, stagger, max_iterations, kernel)
+        return shard_state3d(out, mesh), out.converged
+    depth = min(chunk_depth, 2)
+    if segment_iterations is None:
+        u, it, delta, conv = mod._solve_resident(
+            sv.u, sv.frozen, sv.epsilon, mesh, stagger, max_iterations,
+            dims, depth, interp)
+    else:
+        frozen = sv.frozen
+
+        def seg(uu, bound, it0, cv, dl):
+            return mod._solve_resident(
+                uu, frozen, sv.epsilon, mesh, stagger, bound, dims,
+                depth, interp, it0=it0, conv0=cv, delta0=dl)
+
+        u, it, delta, conv = run_pipelined(
+            seg, sv.u, sv.epsilon, max_iterations, segment_iterations)
+    return dataclasses.replace(sv, u=u, iteration=it, delta=delta), conv
+
+
 def update_n(state: GridState, num_steps: int, mesh: Mesh,
              chunk_depth: int = DEFAULT_CHUNK_DEPTH,
              kernel: str = "auto") -> GridState:

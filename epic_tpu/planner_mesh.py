@@ -43,6 +43,7 @@ from . import constants as C
 from . import grid as G
 from .grid import GridState
 from .planner import Planner, PlannerConfig
+from .planner3d import VolumePlanner
 
 logger = logging.getLogger("epic_tpu.planner_mesh")
 
@@ -217,6 +218,135 @@ class MeshPlanner(Planner):
             sh,
             u=jnp.where(sh.frozen, sh.u,
                         jnp.float32(C.LOG_SPACE_FREE)),
+        )
+        self._converged = False
+        self._invalidate()
+        return True
+
+
+class MeshVolumePlanner(VolumePlanner):
+    """The 3D anytime planner on a device mesh: :class:`MeshPlanner`'s
+    volume twin over a mesh-resident
+    :class:`epic_tpu.parallel.sharded3d.ShardedVolume`.
+
+    Verb semantics inherit from :class:`epic_tpu.planner3d.VolumePlanner`
+    verbatim (the base verbs read/write ``self.state``, a property here:
+    reads gather lazily, writes re-shard); the hot paths — anytime ticks,
+    voxel edits, blocking solves — run directly on the resident buffers
+    (:func:`sharded3d.update_n_resident3d`, ``set_cells_resident3d``,
+    ``solve_resident3d``). Pass ``mesh=None`` for
+    :func:`epic_tpu.parallel.sharded3d.choose_mesh3d`'s orientation pick
+    per ingested volume (z-major for cube regimes, plane-sharded for wide
+    planes). The reference cannot run 3D on an accelerator at all
+    (harmonic_gpu.cu:158-165), let alone across devices."""
+
+    def __init__(self, config=None, mesh=None, chunk_depth: int | None = None,
+                 kernel: str = "auto"):
+        from .parallel.sharded import DEFAULT_CHUNK_DEPTH
+
+        self._sv = None
+        self._host_state = None
+        self._converged = False
+        super().__init__(config)
+        self.mesh = mesh                  # None -> choose per volume
+        self._mesh_auto = mesh is None
+        self.chunk_depth = (DEFAULT_CHUNK_DEPTH if chunk_depth is None
+                            else chunk_depth)
+        self.kernel = kernel
+
+    def _mesh_for(self, shape):
+        from .parallel.sharded3d import choose_mesh3d
+
+        if self._mesh_auto:
+            self.mesh = choose_mesh3d(shape)
+        return self.mesh
+
+    # -- state residency ---------------------------------------------------
+
+    @property
+    def state(self) -> GridState | None:
+        if self._sv is None:
+            return None
+        if self._host_state is None:
+            from .parallel.sharded3d import unshard3d
+
+            st = unshard3d(self._sv)
+            self._host_state = dataclasses.replace(
+                st, converged=jnp.asarray(self._converged))
+        return self._host_state
+
+    @state.setter
+    def state(self, value: GridState | None) -> None:
+        if value is None:
+            self._sv = None
+            self._host_state = None
+            self._converged = False
+            return
+        from .parallel.sharded3d import shard_state3d
+
+        self._sv = shard_state3d(value, self._mesh_for(value.u.shape))
+        self._converged = bool(np.asarray(value.converged))
+        self._host_state = None
+
+    def _invalidate(self) -> None:
+        self._host_state = None
+
+    # -- hot verbs on the resident buffers --------------------------------
+
+    def update(self, num_steps: int | None = None) -> None:
+        if self._sv is None or self.paused:
+            return
+        n = (num_steps if num_steps is not None
+             else self.config.steps_per_update)
+        if n < 1:
+            return
+        from .parallel.sharded3d import update_n_resident3d
+
+        self._sv = update_n_resident3d(self._sv, n, self.mesh,
+                                       chunk_depth=self.chunk_depth,
+                                       kernel=self.kernel)
+        self._converged = (bool(np.asarray(self._sv.delta)
+                                < float(np.asarray(self._sv.epsilon)))
+                           if n == 1 else False)
+        self._invalidate()
+
+    def solve(self, max_iterations: int | None = None,
+              segment_iterations: int | None = None) -> None:
+        from .parallel.sharded3d import solve_resident3d
+
+        if self._sv is None:
+            from .errors import EpicError
+
+            raise EpicError(2, "planner not initialized")
+        cap = 1_000_000 if max_iterations is None else int(max_iterations)
+        self._sv, conv = solve_resident3d(
+            self._sv, self.mesh, stagger=self.config.stagger,
+            max_iterations=cap, chunk_depth=self.chunk_depth,
+            kernel=self.kernel, segment_iterations=segment_iterations)
+        self._converged = bool(np.asarray(conv))
+        self._invalidate()
+
+    def set_cells(self, xyz, types) -> bool:
+        from .parallel.sharded3d import set_cells_resident3d
+
+        if self._sv is None:
+            from .errors import EpicError
+
+            raise EpicError(2, "planner not initialized")
+        self._sv = set_cells_resident3d(self._sv, xyz, types)
+        self._converged = False
+        self._invalidate()
+        return True
+
+    def reset_free_cells(self) -> bool:
+        if self._sv is None:
+            from .errors import EpicError
+
+            raise EpicError(2, "planner not initialized")
+        sv = self._sv
+        self._sv = dataclasses.replace(
+            sv,
+            u=jnp.where(sv.frozen, sv.u, jnp.float32(C.LOG_SPACE_FREE)),
         )
         self._converged = False
         self._invalidate()

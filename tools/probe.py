@@ -1687,6 +1687,99 @@ def mesh_planner(q, size=4096, tick_steps=16384, segment=5000):
     return dict(size=size, mesh="1x1", kernel=kern, rows=rows)
 
 
+@experiment("mesh-planner3d", "Scaling across devices")
+def mesh_planner3d(q, shape=(256, 256, 256), tick_steps=8192, cap=2000):
+    """MeshVolumePlanner's verb surface ON the chip: warm anytime tick at
+    the z-resident layout's rate, then a blocking converge and an
+    edit->tick->warm-re-converge session on the mesh-resident
+    ShardedVolume buffers. Gates: tick device-equality vs
+    resident_z.update_n, converge iteration equality vs the unsharded
+    banded solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from epic_tpu.parallel import resident_z
+    from epic_tpu.parallel.sharded3d import make_mesh3d
+    from epic_tpu.planner3d import VolumePlannerConfig
+    from epic_tpu.planner_mesh import MeshVolumePlanner
+    from epic_tpu.solver import pallas_biggrid3d as b3
+
+    interp = _interpret()
+    kern = "resident_interpret" if interp else "resident"
+    if q:
+        shape, tick_steps, cap = (12, 16, 128), 8, 200
+    u, locked = _vol_np(*shape)
+    mesh = make_mesh3d((1, 1, 1), devices=np.asarray(jax.devices()[:1]))
+    cells = int(np.prod(shape))
+    rows = []
+
+    def planner():
+        mp = MeshVolumePlanner(VolumePlannerConfig(epsilon=1e-2),
+                               mesh=mesh, kernel=kern)
+        mp.state = _state(u, locked)
+        return mp
+
+    mp = planner()
+    mp.update(8)
+    ref = resident_z.update_n(_state(u, locked), 8, mesh,
+                              interpret=interp if interp else None)
+    d = _device_max_abs_diff(
+        mp._sv.u[:shape[0], :shape[1], :shape[2]], ref.u)
+    assert d == 0.0, d
+
+    mp = planner()
+    mp.update(tick_steps)
+    float(np.asarray(mp._sv.u[0, 0, :8]).sum())
+    mp = planner()
+    _stage(mp._sv.u, mp._sv.frozen)
+    t0 = time.perf_counter()
+    mp.update(tick_steps)
+    ck = float(np.asarray(mp._sv.u[0, 0, :8]).sum())
+    dt = time.perf_counter() - t0
+    rows.append(dict(verb="update", steps=tick_steps,
+                     g_updates_per_s=round(cells / 2 * tick_steps / dt / 1e9, 2),
+                     checksum=ck))
+
+    ref_out = b3.solve(_state(u, locked), max_iterations=cap)
+    ref_iters = int(ref_out.iteration)
+    # Warm the PLANNER's own programs (solve, small tick, scatter) — the
+    # unsharded oracle above is a different jaxpr and does not warm them.
+    mp = planner()
+    mp.solve(max_iterations=cap)
+    mp.set_cells([(1, 1, 1)], [1])
+    mp.update(min(512, tick_steps))
+    int(np.asarray(mp._sv.iteration))
+    mp = planner()
+    _stage(mp._sv.u, mp._sv.frozen)
+    t0 = time.perf_counter()
+    mp.solve(max_iterations=cap)
+    iters = int(np.asarray(mp._sv.iteration))
+    ck = float(np.asarray(mp._sv.u[0, 0, :8]).sum())
+    dt = time.perf_counter() - t0
+    assert iters == ref_iters, (iters, ref_iters)
+    assert bool(np.asarray(mp.state.converged)) or q
+    rows.append(dict(verb="solve-converge", iterations=iters,
+                     g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
+                     checksum=ck))
+
+    zs, ys, xs = np.mgrid[shape[0] // 3:shape[0] // 3 + 8,
+                          shape[1] // 3:shape[1] // 3 + 8,
+                          shape[2] // 3:shape[2] // 3 + 8]
+    xyz = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
+    t0 = time.perf_counter()
+    mp.set_cells(xyz, [1] * len(xyz))
+    mp.update(min(512, tick_steps))
+    mp.solve(max_iterations=cap)
+    iters2 = int(np.asarray(mp._sv.iteration))
+    ck = float(np.asarray(mp._sv.u[0, 0, :8]).sum())
+    dt = time.perf_counter() - t0
+    rows.append(dict(verb="edit-resume-converge",
+                     resumed_iterations=iters2,
+                     wall_s=round(dt, 2), checksum=ck))
+    return dict(shape="x".join(map(str, shape)), mesh="1x1x1 (z)",
+                kernel=kern, rows=rows)
+
+
 @experiment("sharded3d-zresident", "Scaling across devices")
 def sharded3d_zresident(q, shape=(256, 256, 256), steps=8192, cap=2000):
     """The z-resident plane-band shard layout (VERDICT r4 item 2: the cube
@@ -2171,7 +2264,7 @@ BATTERY = [
     "biggrid-solve", "biggrid-converge", "solve-body-iso", "sharded-banded",
     "sharded-resident", "sharded-solve", "sharded-converge", "sharded3d-banded",
     "sharded3d-resident", "sharded3d-solve", "sharded3d-zresident",
-    "mesh-planner", "tiled-solve", "tiled-converge", "tiled-update",
+    "mesh-planner", "mesh-planner3d", "tiled-solve", "tiled-converge", "tiled-update",
 ]
 
 
