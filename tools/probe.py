@@ -1656,6 +1656,15 @@ def mesh_planner(q, size=4096, tick_steps=16384, segment=5000):
     ref_out = sharded.solve(_state(u, locked), mesh, kernel=kern,
                             segment_iterations=segment)
     ref_iters = int(ref_out.iteration)
+    # Warm the planner's own programs (scatter + small tick + solve) so
+    # the timed session holds no cold remote compiles.
+    ys, xs = np.mgrid[size // 3:size // 3 + 40, size // 3:size // 3 + 40]
+    xy = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    mp = planner()
+    mp.set_cells(xy, [1] * len(xy))
+    mp.update(min(1024, tick_steps))
+    mp.solve(segment_iterations=segment)
+    int(np.asarray(mp._sh.iteration))
     mp = planner()
     _stage(mp._sh.u, mp._sh.frozen)
     t0 = time.perf_counter()
@@ -1671,8 +1680,6 @@ def mesh_planner(q, size=4096, tick_steps=16384, segment=5000):
 
     # Edit-resume session: scatter an obstacle block into the resident
     # shards, tick, warm-started re-converge (all on device).
-    ys, xs = np.mgrid[size // 3:size // 3 + 40, size // 3:size // 3 + 40]
-    xy = np.stack([xs.ravel(), ys.ravel()], axis=1)
     t0 = time.perf_counter()
     mp.set_cells(xy, [1] * len(xy))
     mp.update(min(1024, tick_steps))
@@ -1742,11 +1749,16 @@ def mesh_planner3d(q, shape=(256, 256, 256), tick_steps=8192, cap=2000):
 
     ref_out = b3.solve(_state(u, locked), max_iterations=cap)
     ref_iters = int(ref_out.iteration)
-    # Warm the PLANNER's own programs (solve, small tick, scatter) — the
-    # unsharded oracle above is a different jaxpr and does not warm them.
+    zs, ys, xs = np.mgrid[shape[0] // 3:shape[0] // 3 + 8,
+                          shape[1] // 3:shape[1] // 3 + 8,
+                          shape[2] // 3:shape[2] // 3 + 8]
+    xyz = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
+    # Warm the PLANNER's own programs (solve, small tick, the
+    # session-sized scatter) — the unsharded oracle above is a different
+    # jaxpr and does not warm them.
     mp = planner()
     mp.solve(max_iterations=cap)
-    mp.set_cells([(1, 1, 1)], [1])
+    mp.set_cells(xyz, [1] * len(xyz))
     mp.update(min(512, tick_steps))
     int(np.asarray(mp._sv.iteration))
     mp = planner()
@@ -1762,10 +1774,6 @@ def mesh_planner3d(q, shape=(256, 256, 256), tick_steps=8192, cap=2000):
                      g_updates_per_s=round(cells / 2 * iters / dt / 1e9, 2),
                      checksum=ck))
 
-    zs, ys, xs = np.mgrid[shape[0] // 3:shape[0] // 3 + 8,
-                          shape[1] // 3:shape[1] // 3 + 8,
-                          shape[2] // 3:shape[2] // 3 + 8]
-    xyz = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
     t0 = time.perf_counter()
     mp.set_cells(xyz, [1] * len(xyz))
     mp.update(min(512, tick_steps))
