@@ -509,6 +509,13 @@ def _update_n_sharded(
     rounds; delta (pmax-reduced) from the overall first sweep."""
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kernel not in ("pallas", "pallas_interpret", "pallas_banded",
+                      "pallas_banded_interpret", "xla"):
+        # "resident" is a layout, not a per-shard kernel: it must be
+        # routed at the entry points (update_n / update_n_resident3d /
+        # solve), never fall through to the XLA local-sweep branch (the
+        # 2D _update_n_sharded rule).
+        raise ValueError(f"unknown sharded 3D kernel {kernel!r}")
     interpret = kernel.endswith("_interpret")
     zsh = _has_z(mesh)
 

@@ -118,3 +118,12 @@ def test_mesh_volume_planner_auto_mesh_orientation():
     assert "mz" in p.mesh.shape and p.mesh.shape["mz"] == len(jax.devices())
     p.update(4)
     assert int(p.state.iteration) == 4
+
+
+def test_unknown_kernel_raises_3d(meshz8):
+    st = _volume()
+    sv = sharded3d.shard_state3d(st, meshz8)
+    with pytest.raises(ValueError, match="unknown sharded 3D kernel"):
+        sharded3d.update_n_resident3d(sv, 1, meshz8, kernel="bogus")
+    with pytest.raises(ValueError, match="unknown sharded 3D kernel"):
+        sharded3d.update_n(_volume(), 1, meshz8, kernel="bogus")
