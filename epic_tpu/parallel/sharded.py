@@ -562,12 +562,20 @@ def shard_state(state: GridState, mesh: Mesh) -> ShardedGrid:
     h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, P("my", "mx"))
+    # Scalars are committed to the mesh as replicated arrays: solver verbs
+    # return mesh-committed scalars, and a fresh-vs-post-solve mismatch in
+    # the iteration's committed-ness changes the tick jit's cache key — a
+    # hidden ~20 s recompile on the first tick after a solve (probe
+    # edit-resume isolation, r5).
+    rep = NamedSharding(mesh, P())
     return ShardedGrid(
         u=jax.device_put(u, sharding),
         frozen=jax.device_put(frozen, sharding),
-        iteration=state.iteration,
-        delta=state.delta,
-        epsilon=state.epsilon,
+        iteration=jax.device_put(jnp.asarray(state.iteration, jnp.int32),
+                                 rep),
+        delta=jax.device_put(jnp.asarray(state.delta, jnp.float32), rep),
+        epsilon=jax.device_put(jnp.asarray(state.epsilon, jnp.float32),
+                               rep),
         height=h,
         width=w,
     )

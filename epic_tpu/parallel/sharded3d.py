@@ -635,12 +635,18 @@ def shard_state3d(state: GridState, mesh: Mesh) -> ShardedVolume:
     d, h, w = state.u.shape
     u, frozen = _pad_for_mesh(state, mesh)
     sharding = NamedSharding(mesh, _spec(mesh))
+    # Commit the scalars to the mesh (replicated) — see shard_state: a
+    # committed-ness mismatch between fresh and post-solve scalars
+    # recompiles the tick jit (~20 s through the remote service).
+    rep = NamedSharding(mesh, P())
     return ShardedVolume(
         u=jax.device_put(u, sharding),
         frozen=jax.device_put(frozen, sharding),
-        iteration=state.iteration,
-        delta=state.delta,
-        epsilon=state.epsilon,
+        iteration=jax.device_put(jnp.asarray(state.iteration, jnp.int32),
+                                 rep),
+        delta=jax.device_put(jnp.asarray(state.delta, jnp.float32), rep),
+        epsilon=jax.device_put(jnp.asarray(state.epsilon, jnp.float32),
+                               rep),
         depth=d, height=h, width=w,
     )
 
