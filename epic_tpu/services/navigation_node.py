@@ -29,8 +29,12 @@ class EpicNavigationNode:
         self,
         config: PlannerConfig | None = None,
         update_rate: float = 10.0,   # epic_navigation_node_main.cpp:66 default
+        planner: Planner | None = None,
     ):
-        self.planner = Planner(config)
+        # An injected planner (e.g. planner_mesh.MeshPlanner) runs the
+        # same verb surface over mesh-resident sharded state — the node
+        # itself is planner-implementation-agnostic.
+        self.planner = Planner(config) if planner is None else planner
         self.update_rate = update_rate
 
     # --- subscriber ------------------------------------------------------

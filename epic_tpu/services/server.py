@@ -505,6 +505,10 @@ def main() -> None:  # pragma: no cover - CLI
     ap.add_argument("--backend", default=None,
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--kernel", default=None, choices=["masked"])
+    ap.add_argument("--mesh", action="store_true",
+                    help="run the node on planner_mesh.MeshPlanner: the "
+                         "grid lives sharded across all visible devices "
+                         "(resident ticks/edits/solves)")
     ap.add_argument("--log-json", action="store_true",
                     help="emit structured JSON-lines logs")
     ap.add_argument("--cpu", action="store_true",
@@ -537,7 +541,13 @@ def main() -> None:  # pragma: no cover - CLI
     if args.steps_per_update is not None:
         cfg.service.steps_per_update = args.steps_per_update
 
-    node = EpicNavigationNodeRviz(cfg, update_rate=cfg.service.update_rate_hz)
+    planner = None
+    if args.mesh:
+        from ..planner_mesh import MeshPlanner
+
+        planner = MeshPlanner(cfg, mesh=None)
+    node = EpicNavigationNodeRviz(cfg, update_rate=cfg.service.update_rate_hz,
+                                  planner=planner)
     map_path = args.map
     if map_path is None and cfg.map is not None:
         map_path = str(cfg.resolve_map_path())

@@ -108,3 +108,33 @@ def test_mesh_single_step_convergence_verdict(mesh8):
     assert bool(p2.state.converged)
     p2.update(1)   # relaxation continues; a converged field stays converged
     assert bool(p2.state.converged)
+
+
+def test_navigation_node_runs_on_mesh_planner(mesh8):
+    """The service node is planner-agnostic: injecting a MeshPlanner
+    (the server's --mesh flag) runs the same verb session as the default
+    single-device planner."""
+    import numpy as np
+
+    from epic_tpu.services import messages as msg
+    from epic_tpu.services.navigation_node import EpicNavigationNodeRviz
+
+    cfg = PlannerConfig(epsilon=1e-2, steps_per_update=10)
+    n1 = EpicNavigationNodeRviz(cfg)
+    n2 = EpicNavigationNodeRviz(
+        cfg, planner=MeshPlanner(cfg, mesh=mesh8))
+    occ = np.zeros((24, 32), dtype=np.int8)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 100
+    for n in (n1, n2):
+        n.sub_occupancy_grid(msg.OccupancyGrid(32, 24, 1.0, 0.0, 0.0, occ))
+        assert n.srv_add_goals(
+            msg.ModifyGoalsRequest([msg.PoseStamped(16.0, 12.0)])).success
+        n.update()
+        assert n.srv_set_cells(
+            msg.SetCellsRequest([5, 5], [1])).success
+        n.update()
+        assert n.srv_get_cell(msg.GetCellRequest(16, 12)).success
+    assert int(n1.planner.state.iteration) == int(n2.planner.state.iteration)
+    np.testing.assert_allclose(
+        np.asarray(n1.planner.state.u), np.asarray(n2.planner.state.u),
+        rtol=2e-6, atol=1e-4)
